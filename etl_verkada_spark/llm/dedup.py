@@ -1,0 +1,314 @@
+"""Deduplication family over ``documents`` (SURVEY.md §2.11).
+
+* exact      — normalize -> MD5 -> min-doc-id per hash. One hash-agg
+               shuffle on the 16-byte digest, never on the text.
+* minhash    — shingle -> 16-perm MinHash -> 4-band LSH -> candidate
+               pairs -> exact-Jaccard verification. Pure DataFrame ops;
+               at 100 TB the band join shuffles only (band, hash) pairs
+               (a few dozen bytes/doc), candidate verification touches
+               only the colliding docs.
+* simhash    — 64-bit SimHash from token hashes; near-dups = small
+               Hamming distance, found via 16-bit band blocking (any
+               pair within distance 3 shares at least one of 4 bands).
+* ngram      — exact n-gram Jaccard via inverted-index join (the
+               ground-truth metric the sketches approximate).
+
+Determinism: all hashing is xxhash64/md5 with fixed seeds — stable
+across runs and partitionings, which is what makes the rows-only driver
+checks reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import spec
+from .text import SHINGLES_EXPR
+
+N_PERMS = 16
+BAND_SIZE = 4  # -> 4 bands; s-curve threshold ~ (1/4)^(1/4) ≈ 0.7
+
+
+def normalized_text() -> F.Column:
+    """lower + trim + whitespace collapse (the canonical normalizer)."""
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id.
+
+    The shuffle key is the digest, so payload text never crosses the
+    wire; at 100 TB this is the cheapest possible full-corpus dedup.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalized_text()).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE_LLM_DEDUP_EXACT = """
+SELECT
+  md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+  MIN(doc_id) AS keep_id,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct — the set representation."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_EXPR))).alias("s")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_perms: int = N_PERMS) -> DataFrame:
+    """doc_id -> n_perms min-hashes. Permutation p = xxhash64(p || s):
+    seeded, deterministic, no stored permutation tables."""
+    sh = _doc_shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{p}|"), F.col("s")))).alias(f"h{p}")
+        for p in range(n_perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_perms: int = N_PERMS,
+                        band_size: int = BAND_SIZE) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash)."""
+    n_bands = n_perms // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * band_size + i}") for i in range(band_size)]
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Verify candidates with exact set Jaccard (join back to shingles)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup: candidates from banding, verified exactly.
+
+    Rows-only check (hash permutations are engine-specific) but fully
+    deterministic: fixed seeds, threshold 0.5 on the verified Jaccard.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    verified = exact_jaccard(pairs, _doc_shingles(docs))
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash_column(n_bits: int = 64) -> F.Column:
+    """64-bit SimHash of the whitespace tokens, as a single expression.
+
+    Per bit b: sign of sum over tokens of (+1 if bit b of xxhash64(tok)
+    else -1); bits packed into a BIGINT. Stays entirely in codegen —
+    the per-doc token array never leaves the row.
+    """
+    bit_terms = []
+    for b in range(n_bits):
+        vote = (
+            f"aggregate(split(text, ' '), 0L, "
+            f"(acc, t) -> acc + CASE WHEN (xxhash64(t) >> {b}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END)"
+        )
+        bit_terms.append(f"(CASE WHEN ({vote}) > 0 THEN 1L << {b} ELSE 0L END)")
+    return F.expr(" + ".join(bit_terms))
+
+
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup: 64-bit fingerprints + 16-bit band blocking.
+
+    Any pair with Hamming distance <= 3 collides on at least one of the
+    four 16-bit bands (pigeonhole), so the block join finds all of them
+    without an O(n^2) comparison. Rows-only (engine-specific hashing).
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", simhash_column().alias("simhash")
+    )
+    bands = docs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-gram Jaccard: top-20 most similar pairs (ground truth).
+
+    Inverted-index join on the shingle — the exact metric MinHash/SimHash
+    approximate. Oracle-checked: deterministic total order (rounded
+    jaccard desc, then pair ids).
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    pairs = (
+        sh.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        pairs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
+
+
+ORACLE_LLM_DEDUP_NGRAM = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(ws[i:i+3], ' ')
+                   for i in generate_series(1, LEN(ws) - 3)]) AS s
+    FROM w WHERE LEN(ws) >= 4
+    UNION ALL
+    SELECT doc_id, text AS s FROM w WHERE LEN(ws) < 4
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  i.doc_a,
+  i.doc_b,
+  ROUND(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON i.doc_a = za.doc_id
+JOIN sizes zb ON i.doc_b = zb.doc_id
+ORDER BY jaccard DESC, i.doc_a, i.doc_b
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "llm_dedup_exact": spec(
+        llm_dedup_exact, ORACLE_LLM_DEDUP_EXACT, "llm",
+        doc="exact dedup via content hash, keep min doc_id",
+    ),
+    "llm_dedup_minhash": spec(
+        llm_dedup_minhash, None, "llm",
+        doc="MinHash 16-perm + 4-band LSH, exact-Jaccard verified (rows-only)",
+    ),
+    "llm_dedup_simhash": spec(
+        llm_dedup_simhash, None, "llm",
+        doc="64-bit SimHash + band blocking, Hamming<=3 (rows-only)",
+    ),
+    "llm_dedup_ngram": spec(
+        llm_dedup_ngram, ORACLE_LLM_DEDUP_NGRAM, "llm",
+        doc="exact 4-gram Jaccard top-20 pairs (ground truth)",
+    ),
+}

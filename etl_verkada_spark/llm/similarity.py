@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.11).
+
+* ``llm_sim_search``   — brute-force cosine top-k against one query
+  vector. The dot product is a JVM-side fold over the array (zip_with +
+  aggregate) in DOUBLE, sequential element order — bit-identical to the
+  oracle. Scales linearly: a scan-project-topk with no shuffle but the
+  k-row TakeOrdered merge.
+* ``llm_sim_pairs``    — threshold pair search blocked by label (the
+  exact metric the ANN variants approximate), oracle-checked.
+* ``llm_sim_ann_lsh``  — random-hyperplane LSH: 16 signed projections ->
+  bucket id; the query probes only its own bucket. The projection is a
+  seeded numpy matmul inside an Arrow-batched pandas UDF (the sanctioned
+  Python path for genuinely numeric kernels). Rows-only.
+
+100 TB path: LSH bucket assignment is a narrow map; bucketed storage
+(partitionBy(bucket)) turns every query into a single-partition read —
+the IVF layout. Brute force stays the rescoring step inside the bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..catalog import table
+from ..registry import spec
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+N_PLANES = 6  # 64 buckets: bucket occupancy stays useful from sf0.001 up
+PLANE_SEED = 42
+
+
+def _as_double(col) -> F.Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> F.Column:
+    """Sequential-order double dot product (matches the oracle exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the query vector (vec_id=0).
+
+    The query vector is collected once (one row) and inlined as a
+    literal array — the degenerate broadcast. Ordering is total
+    (rounded sim desc, vec_id) so top-k is deterministic.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
+    qlit = F.array(*[F.lit(float(v)) for v in q["embedding"]])
+    sim = F.round(cosine(qlit, _as_double(F.col("embedding"))), 4)
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+ORACLE_LLM_SIM_SEARCH = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+)
+SELECT
+  e.vec_id,
+  e.label,
+  ROUND(
+    list_dot_product(q.qe, CAST(e.embedding AS DOUBLE[]))
+    / (SQRT(list_dot_product(q.qe, q.qe))
+       * SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))),
+    4) AS sim
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def llm_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Blocking bounds the pair explosion (the exact-metric companion to
+    the LSH variant); within-block brute force is the IVF 'probe one
+    cell' cost model. Top-20 by (rounded sim desc, ids) so the result is
+    a deterministic total order in both engines.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            sim.alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+ORACLE_LLM_SIM_PAIRS = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+)
+SELECT
+  a.vec_id AS vec_a,
+  b.vec_id AS vec_b,
+  a.label AS label,
+  ROUND(
+    list_dot_product(a.emb, b.emb)
+    / (SQRT(list_dot_product(a.emb, a.emb))
+       * SQRT(list_dot_product(b.emb, b.emb))),
+    4) AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY sim DESC, vec_a, vec_b
+LIMIT 20
+"""
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(PLANE_SEED)
+    return rng.standard_normal((N_PLANES, dim)).astype(np.float64)
+
+
+def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: random-hyperplane LSH bucket probe + in-bucket rescoring.
+
+    Signature = sign bits of 16 seeded Gaussian projections (numpy
+    matmul in an Arrow-batched pandas UDF — one JVM->Arrow->numpy round
+    trip per batch, no per-row Python). Query probes only its bucket;
+    exact cosine rescoresthe survivors. Rows-only (bucket content is
+    sketch-dependent), deterministic via the fixed seed.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    planes = _planes(dim)
+
+    @pandas_udf("long")
+    def bucket_of(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())  # (batch, dim) float32
+        bits = (mat.astype(np.float64) @ planes.T) > 0  # (batch, 16)
+        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    with_bucket = e.select("vec_id", "label", "embedding",
+                           bucket_of("embedding").alias("bucket"))
+    qrow = with_bucket.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "bucket", "embedding"
+    ).first()
+    qlit = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    sim = F.round(cosine(qlit, _as_double(F.col("embedding"))), 4)
+    return (
+        with_bucket.filter(
+            (F.col("bucket") == qrow["bucket"])
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select("vec_id", "label", "bucket", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+QUERIES = {
+    "llm_sim_search": spec(
+        llm_sim_search, ORACLE_LLM_SIM_SEARCH, "llm",
+        doc="brute-force cosine top-k (JVM-side fold)",
+    ),
+    "llm_sim_pairs": spec(
+        llm_sim_pairs, ORACLE_LLM_SIM_PAIRS, "llm",
+        doc="label-blocked cosine near-dup pairs (exact)",
+    ),
+    "llm_sim_ann_lsh": spec(
+        llm_sim_ann_lsh, None, "llm",
+        doc="random-hyperplane LSH bucket probe ANN (rows-only)",
+    ),
+}

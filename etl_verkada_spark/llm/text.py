@@ -1,0 +1,214 @@
+"""Text analysis over the ``documents`` table.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / ratio
+features), token counting (whitespace + regex tokenizer), and document
+fingerprinting (min-hash-1 over shingles). Everything is built-in
+column expressions — no Python in the hot path — so a 100 TB documents
+table streams scan->project->agg with partial aggregation and zero
+Python workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import spec
+
+#: tiny English stopword set used by the lang-id heuristic
+EN_STOPWORDS = ("the", "a", "of", "and", "to")
+
+def _words():
+    return F.split(F.col("text"), " ")
+
+
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source): docs, chars, tokens, avg tokens."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(_words())
+    per_doc = d.select("lang", "source", F.length("text").alias("chars"), toks.alias("toks"))
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").alias("sum_chars"),
+        F.sum("toks").alias("sum_toks"),
+        (F.sum("toks").cast("double") / F.count(F.lit(1))).alias("avg_toks"),
+    )
+
+
+ORACLE_LLM_TEXT_STATS = """
+SELECT
+  lang,
+  source,
+  COUNT(*) AS n_docs,
+  SUM(LENGTH(text)) AS sum_chars,
+  SUM(LEN(string_split(text, ' '))) AS sum_toks,
+  CAST(SUM(LEN(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_toks
+FROM documents
+GROUP BY lang, source
+"""
+
+
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit counting per candidate lang.
+
+    A real deployment swaps the scoring table for per-language n-gram
+    frequency profiles; the dataflow (filter-count over the token array,
+    argmax across candidates) is identical and stays JVM-side.
+    """
+    d = table(spark, sf_dir, "documents")
+    en_hits = F.size(
+        F.filter(_words(), lambda w: w.isin(*EN_STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        en_hits.alias("en_hits"),
+        F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+ORACLE_LLM_LANG_ID = """
+SELECT
+  doc_id,
+  lang,
+  LEN(list_filter(string_split(text, ' '),
+      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS en_hits,
+  CASE WHEN LEN(list_filter(string_split(text, ' '),
+      w -> w IN ('the', 'a', 'of', 'and', 'to'))) > 0
+       THEN 'en' ELSE 'unk' END AS pred_lang
+FROM documents
+"""
+
+
+def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, token, word-length and stopword features
+    bucketed into a keep/drop signal (the C4/Gopher-style rule family)."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_words())
+    chars_ns = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    stop_hits = F.size(F.filter(_words(), lambda w: w.isin(*EN_STOPWORDS)))
+    avg_wlen = chars_ns.cast("double") / n_tok
+    stop_ratio = stop_hits.cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        n_tok.alias("n_tok"),
+        avg_wlen.alias("avg_wlen"),
+        stop_ratio.alias("stop_ratio"),
+        F.when(
+            (n_tok >= 20) & (n_tok <= 500) & (avg_wlen >= 2.0) & (avg_wlen <= 12.0),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+    )
+
+
+ORACLE_LLM_QUALITY = """
+WITH f AS (
+  SELECT
+    doc_id,
+    LENGTH(text) AS n_char,
+    LEN(string_split(text, ' ')) AS n_tok,
+    CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+      / LEN(string_split(text, ' ')) AS avg_wlen,
+    CAST(LEN(list_filter(string_split(text, ' '),
+        w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      / LEN(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+)
+SELECT
+  doc_id, n_char, n_tok, avg_wlen, stop_ratio,
+  CASE WHEN n_tok >= 20 AND n_tok <= 500
+        AND avg_wlen >= 2.0 AND avg_wlen <= 12.0
+       THEN 'keep' ELSE 'drop' END AS verdict
+FROM f
+"""
+
+
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex tokenizer
+    (alpha runs / digit runs / single punctuation)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words()).alias("n_ws_tok"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)
+            )
+        ).alias("n_re_tok"),
+    )
+
+
+ORACLE_LLM_TOKEN_COUNT = """
+SELECT
+  doc_id,
+  LEN(string_split(text, ' ')) AS n_ws_tok,
+  LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_re_tok
+FROM documents
+"""
+
+
+#: 4-word shingles as a SQL expression (1-based slice, guarded for short docs)
+SHINGLES_EXPR = """
+CASE WHEN size(split(text, ' ')) >= 4
+     THEN transform(
+            sequence(1, size(split(text, ' ')) - 3),
+            i -> array_join(slice(split(text, ' '), i, 4), ' '))
+     ELSE array(text)
+END
+"""
+
+
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min MD5 over 4-gram shingles (minhash k=1).
+
+    The winnowing-style representative hash — equal fingerprints are
+    near-dup candidates; used as a cheap pre-cluster key before the full
+    MinHash LSH in llm/dedup.py.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = F.array_min(F.transform(F.expr(SHINGLES_EXPR), lambda s: F.md5(s)))
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+ORACLE_LLM_FINGERPRINT = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+)
+SELECT
+  doc_id,
+  CASE WHEN LEN(ws) >= 4
+       THEN list_aggregate(
+              [md5(array_to_string(ws[i:i+3], ' '))
+               for i in generate_series(1, LEN(ws) - 3)], 'min')
+       ELSE md5(text)
+  END AS fingerprint
+FROM w
+"""
+
+
+QUERIES = {
+    "llm_text_stats": spec(
+        llm_text_stats, ORACLE_LLM_TEXT_STATS, "llm",
+        doc="corpus stats per (lang, source)",
+    ),
+    "llm_lang_id": spec(
+        llm_lang_id, ORACLE_LLM_LANG_ID, "llm",
+        doc="stopword-heuristic language ID",
+    ),
+    "llm_quality": spec(
+        llm_quality, ORACLE_LLM_QUALITY, "llm",
+        doc="quality scoring with keep/drop verdict",
+    ),
+    "llm_token_count": spec(
+        llm_token_count, ORACLE_LLM_TOKEN_COUNT, "llm",
+        doc="whitespace + regex token counting",
+    ),
+    "llm_fingerprint": spec(
+        llm_fingerprint, ORACLE_LLM_FINGERPRINT, "llm",
+        doc="min-MD5 shingle fingerprint",
+    ),
+}

@@ -1,0 +1,98 @@
+"""Deduplication (reference J2, SURVEY.md §2.3/§2.5).
+
+The reference's "last wins": ``Map.set(source_id, lease)`` overwrites on
+duplicate keys, so the last arrival wins (task.ts:123; the v1.17.0
+duplicate-lease fix, CHANGELOG.md:16). Spark does not preserve arrival
+order, so "last" must be defined by an explicit ordering column — here
+the natural per-key ordinal. The canonical implementation is a
+row_number window; at scale this is one shuffle on the key and the
+window is evaluated streaming per partition (no buffering beyond a key
+group).
+
+``dropDuplicates`` is the order-insensitive cousin; it is cheaper (hash
+agg, partial combine map-side) but non-deterministic about WHICH row
+survives, so the engine defaults to the window form whenever the
+reference semantics ("last") matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import spec
+
+
+def last_wins(df: DataFrame, key: list[str], order: list) -> DataFrame:
+    """Keep the last row per key, 'last' defined by ``order`` ascending.
+
+    Library form used by the flagship pipeline and the upsert sink.
+    """
+    w = Window.partitionBy(*key).orderBy(*[F.col(c).desc() for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: last-wins dedup — keep the highest line number per order.
+
+    lineitem has multiple lines per l_orderkey; l_linenumber is the
+    deterministic arrival ordinal (fixtures carry page_idx/ord for the
+    same purpose, FIXTURES.md).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this data — the full
+    # ordering below is total (verified unique at every sf), which is
+    # exactly the SURVEY §7.4 point: "last" needs a deterministic order.
+    return last_wins(
+        li,
+        ["l_orderkey"],
+        ["l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"],
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("last_line"),
+        "l_quantity",
+    )
+
+
+ORACLE_DEDUP_LASTWINS = """
+SELECT l_orderkey, l_linenumber AS last_line, l_quantity
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber DESC, l_quantity DESC,
+                    l_extendedprice DESC, l_partkey DESC
+         ) AS rn
+  FROM lineitem
+)
+WHERE rn = 1
+"""
+
+
+def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact whole-row dedup via dropDuplicates (hash-agg under the hood;
+    partial combine map-side, one shuffle on the full row hash)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+ORACLE_DEDUP_EXACT_ROWS = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+QUERIES = {
+    "dedup_lastwins": spec(
+        dedup_lastwins, ORACLE_DEDUP_LASTWINS, "reference:J2", "reference:W1",
+        doc="last-wins dedup via row_number window, task.ts:123",
+    ),
+    "dedup_exact_rows": spec(
+        dedup_exact_rows, ORACLE_DEDUP_EXACT_ROWS, "beyond",
+        doc="order-insensitive exact dedup (dropDuplicates)",
+    ),
+}

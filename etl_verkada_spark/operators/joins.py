@@ -1,0 +1,223 @@
+"""Joins (reference J1–J4, SURVEY.md §2.3) + beyond-reference join kinds.
+
+Scale strategy per join:
+
+* ``join_broadcast_left`` — the reference's build-side hash map
+  (task.ts:114-125, probed at :228) IS a broadcast hash join: the lease
+  set is small (one per camera at most), so broadcast it explicitly and
+  never shuffle the big probe side. At 100 TB the probe side streams
+  through scan->join->project in one stage, zero exchange.
+* ``join_semi`` / ``join_anti`` — ACL membership (task.ts:209-212) as
+  left-semi/left-anti. Spark rewrites IN/EXISTS subqueries the same way;
+  broadcast the tiny ACL side.
+* ``join_sortmerge`` — large x large (lineitem x orders) where broadcast
+  is impossible; hinted merge join; with both sides bucketed by the key
+  on disk this becomes a zero-shuffle join (see SCALE.md).
+* ``join_asof`` — beyond-reference: event-time as-of matching implemented
+  with the union + running-max trick (one shuffle on the key, no range
+  explosion), NOT a range cross-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import spec
+
+
+def join_broadcast_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast hash left-outer equi-join, build side pre-filtered.
+
+    Reference: build `Map<source_id, lease>` from the filtered lease scan
+    (O1, task.ts:122-123), probe by camera_id (task.ts:228); misses keep
+    the camera (left outer) and route to the POST arm of the upsert.
+    """
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    build = customer.filter(F.col("c_acctbal") > F.lit(0)).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    joined = orders.join(
+        F.broadcast(build), orders.o_custkey == build.c_custkey, "left"
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("c_name").alias("cust_name"),
+        F.col("c_custkey").isNotNull().alias("matched"),
+    )
+
+
+ORACLE_JOIN_BROADCAST_LEFT = """
+SELECT
+  o.o_orderkey,
+  o.o_custkey,
+  c.c_name AS cust_name,
+  c.c_custkey IS NOT NULL AS matched
+FROM orders o
+LEFT JOIN (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_acctbal > 0
+) c ON o.o_custkey = c.c_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left-semi join — the ACL membership gate at scale.
+
+    Reference: only cameras whose site/camera id appears in the ACL lists
+    proceed (task.ts:209-212). Semi-join returns each left row at most
+    once — exactly `.includes()` semantics.
+    """
+    orders = table(spark, sf_dir, "orders")
+    acl = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == F.lit("BUILDING"))
+        .select("c_custkey")
+    )
+    return orders.join(
+        F.broadcast(acl), orders.o_custkey == acl.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+ORACLE_JOIN_SEMI = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-anti join — the complement of the ACL gate.
+
+    Reference: cameras failing the membership check silently skip the
+    lease call (the else-path of task.ts:209-273).
+    """
+    orders = table(spark, sf_dir, "orders")
+    acl = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == F.lit("BUILDING"))
+        .select("c_custkey")
+    )
+    return orders.join(
+        F.broadcast(acl), orders.o_custkey == acl.c_custkey, "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+ORACLE_JOIN_ANTI = """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+)
+"""
+
+
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: large x large sort-merge join.
+
+    lineitem x orders on the order key, merge-hinted so the plan is SMJ
+    even under the local broadcast threshold. Aggregates through DECIMAL
+    so the float sum is order-insensitive and oracle-exact.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+ORACLE_JOIN_SORTMERGE = """
+SELECT
+  o.o_orderpriority,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: as-of join (latest 'click' at or before each
+    'purchase', per user) via the union + running-max pattern.
+
+    One shuffle on (user_id), no range cross-join: tag both streams, sort
+    within user by (ts, tag) and carry the latest click timestamp forward
+    with a running max — O(n log n) and skew-safe, vs the O(n*m) range
+    join a naive implementation would produce. At tie timestamps the
+    click sorts first, giving <= (at-or-before) semantics.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p")
+    )
+    unioned = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "click_ts",
+        F.max(F.when(F.col("is_p") == 0, F.col("ts"))).over(w),
+    )
+    return carried.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+    )
+
+
+ORACLE_JOIN_ASOF = """
+SELECT
+  p.event_id,
+  p.user_id,
+  epoch_us(p.ts) AS ts_us,
+  MAX(epoch_us(c.ts)) AS click_ts_us
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id, p.ts
+"""
+
+
+QUERIES = {
+    "join_broadcast_left": spec(
+        join_broadcast_left, ORACLE_JOIN_BROADCAST_LEFT,
+        "reference:J1", "reference:O2",
+        doc="broadcast hash left-outer join (build-side map), task.ts:114-125,228",
+    ),
+    "join_semi": spec(
+        join_semi, ORACLE_JOIN_SEMI, "reference:J3",
+        doc="left-semi ACL membership join, task.ts:209-212",
+    ),
+    "join_anti": spec(
+        join_anti, ORACLE_JOIN_ANTI, "reference:J4",
+        doc="left-anti complement of the ACL gate, task.ts:209-273",
+    ),
+    "join_sortmerge": spec(
+        join_sortmerge, ORACLE_JOIN_SORTMERGE, "beyond",
+        doc="large x large sort-merge join + exact decimal agg",
+    ),
+    "join_asof": spec(
+        join_asof, ORACLE_JOIN_ASOF, "beyond",
+        doc="as-of join via union + running max (no range explosion)",
+    ),
+}

@@ -1,0 +1,167 @@
+"""Scans and pagination (reference S1/S2/S3, SURVEY.md §2.1).
+
+The reference's two pagination styles:
+
+* offset pagination — ``GET …?limit=50&page=N`` until ``total <= 50*page``
+  (task.ts:116-127). Relationally that is ORDER BY key LIMIT/OFFSET; the
+  parallel-at-scale form is the page-partitioned REST DataSource in
+  ``sources/rest.py``.
+* cursor pagination — follow ``next_page_token`` until null/absent/repeat
+  (task.ts:143-166). Keyset pagination: ``WHERE key > cursor ORDER BY key
+  LIMIT n``; inherently sequential, but each page is a pushed-down range
+  scan (parquet reads only matching row groups), which is what makes the
+  pattern viable at 100 TB — no OFFSET-style skip-scan of all prior rows.
+
+Scale notes: LIMIT/OFFSET over a sorted key is an anti-pattern at scale
+(the scan must produce and discard ``offset`` rows); keyset pagination is
+O(page) per page. Both are provided because the reference has both; the
+keyset form is the one to use on big tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table, table_validated
+from ..registry import spec
+
+PAGE_SIZE = 50  # reference page size, task.ts:119
+
+
+def scan_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/L1: offset pagination — page 2 (0-indexed) of lineitem, 50/page.
+
+    Deterministic because the composite key (l_orderkey, l_linenumber) is
+    unique. Spark compiles orderBy+offset+limit into a single global-sort
+    + take; at scale prefer :func:`scan_cursor`.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    # ORDER BY must be a total order or the page boundary rows are
+    # engine-dependent; (orderkey, linenumber) alone is not unique here.
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .offset(2 * PAGE_SIZE)
+        .limit(PAGE_SIZE)
+    )
+
+
+ORACLE_SCAN_PAGE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+LIMIT 50 OFFSET 100
+"""
+
+
+def keyset_pages(
+    df: DataFrame,
+    key: str,
+    page_size: int,
+    max_pages: int | None = None,
+):
+    """Generator of keyset-paginated pages (reference S2 made scalable).
+
+    Each yielded DataFrame is ``WHERE key > cursor ORDER BY key LIMIT n``;
+    the cursor advance requires one action per page (mirroring the
+    sequential HTTP fetch loop, task.ts:143-166). Includes the reference's
+    cursor-cycle guard (O6, task.ts:160-166): stop if the cursor fails to
+    advance.
+    """
+    cursor = None
+    pages = 0
+    while max_pages is None or pages < max_pages:
+        page = df.orderBy(key)
+        if cursor is not None:
+            page = page.filter(F.col(key) > F.lit(cursor))
+        page = page.limit(page_size)
+        tail = page.select(F.max(key).alias("mx")).first()
+        new_cursor = tail["mx"] if tail else None
+        if new_cursor is None:
+            break
+        if cursor is not None and new_cursor <= cursor:
+            # O6 cycle guard: token repeated / failed to advance.
+            break
+        yield page
+        cursor = new_cursor
+        pages += 1
+
+
+def scan_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/O6: cursor (keyset) pagination — the 3rd 100-row page of orders.
+
+    Walks the cursor exactly like the reference walks next_page_token
+    (sequential actions), but each page is a pushed-down range predicate,
+    not an offset skip-scan.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    third = None
+    for i, page in enumerate(keyset_pages(orders, "o_orderkey", 100, max_pages=3)):
+        third = page
+    assert third is not None
+    return third
+
+
+ORACLE_SCAN_CURSOR = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 100 OFFSET 200
+"""
+
+
+def validate_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: schema-on-read validation of a JSON payload column.
+
+    ``from_json`` with an explicit schema + FAILFAST mode is the Spark
+    analogue of TypeBox ``.typed(schema)`` (task.ts:155-158): a
+    non-conforming payload aborts instead of silently nulling.
+    """
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT", {"mode": "FAILFAST"})
+    return ev.select(
+        "event_id",
+        "event_type",
+        parsed.getField("k").alias("k"),
+    )
+
+
+ORACLE_VALIDATE_JSON = """
+SELECT event_id, event_type, CAST(props->>'$.k' AS INTEGER) AS k
+FROM events
+"""
+
+
+def validate_failfast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 strict path: declared StructType verified against the files."""
+    return table_validated(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+ORACLE_VALIDATE_FAILFAST = """
+SELECT o_orderkey, o_orderstatus FROM orders
+"""
+
+
+QUERIES = {
+    "scan_page": spec(
+        scan_page, ORACLE_SCAN_PAGE, "reference:S1", "reference:L1",
+        doc="offset-paginated scan (limit/offset), task.ts:116-127",
+    ),
+    "scan_cursor": spec(
+        scan_cursor, ORACLE_SCAN_CURSOR, "reference:S2", "reference:O6",
+        doc="cursor/keyset-paginated scan with cycle guard, task.ts:143-166",
+    ),
+    "validate_json": spec(
+        validate_json, ORACLE_VALIDATE_JSON, "reference:S3",
+        doc="schema-on-read JSON validation (FAILFAST), task.ts:155-158",
+    ),
+    "validate_failfast": spec(
+        validate_failfast, ORACLE_VALIDATE_FAILFAST, "reference:S3",
+        doc="declared-schema strict read, task.ts:104-106",
+    ),
+}

@@ -1,0 +1,159 @@
+"""Window functions (SURVEY.md §2.5 — beyond-reference except W1).
+
+The reference has no window functions, but its last-wins dedup IS the
+row_number window (see operators/dedup.py). The engine ships the full
+family. Scale notes: a window = one shuffle on partitionBy keys + a sort
+within each key group; frames are evaluated streaming (running
+aggregates keep O(1) state per row for UNBOUNDED PRECEDING..CURRENT).
+Skewed partition keys are the hazard — prefer keys with bounded group
+size (here: order key, user id), never a constant; the one global window
+in sorts.sort_orderby is flagged as test-scale-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import spec
+
+
+def win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number: latest order per customer (deterministic tie-break)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            "o_totalprice",
+        )
+    )
+
+
+ORACLE_WIN_ROWNUM = """
+SELECT o_custkey, o_orderkey AS last_orderkey, o_totalprice
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank: top-3 orders by price per priority class."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+ORACLE_WIN_RANK = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT *,
+         RANK() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+"""
+
+
+def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame: running quantity per order (ROWS UNBOUNDED PRECEDING).
+
+    The running sum goes through DECIMAL so every prefix is exact in both
+    engines (a double running sum would drift engine-specifically).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    # total order within the partition (see dedup_lastwins note): with a
+    # non-total ORDER BY, tied rows would take engine-dependent prefixes.
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_qty"),
+    )
+
+
+ORACLE_WIN_FRAME = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) OVER (
+    PARTITION BY l_orderkey
+    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_qty
+FROM lineitem
+"""
+
+
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag: inter-event gap per user in microseconds (event deltas)."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+ORACLE_WIN_LAG = """
+SELECT
+  event_id,
+  user_id,
+  epoch_us(ts) AS ts_us,
+  epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+  ) AS gap_us
+FROM events
+"""
+
+
+QUERIES = {
+    "win_rownum": spec(
+        win_rownum, ORACLE_WIN_ROWNUM, "beyond", "reference:J2",
+        doc="row_number top-1 per group (the last-wins primitive)",
+    ),
+    "win_rank": spec(
+        win_rank, ORACLE_WIN_RANK, "beyond",
+        doc="rank top-N per group",
+    ),
+    "win_frame": spec(
+        win_frame, ORACLE_WIN_FRAME, "beyond",
+        doc="running-sum frame, decimal-exact",
+    ),
+    "win_lag": spec(
+        win_lag, ORACLE_WIN_LAG, "beyond",
+        doc="lag event deltas per user",
+    ),
+}

@@ -1,0 +1,325 @@
+"""Flagship pipeline: the reference's entire control() as ONE DataFrame query.
+
+Reference trace (task.ts:93-286, SURVEY.md §3.4):
+
+    leases  --filter P2--> last-wins J2 --build J1-->\\
+    cameras --ACL gate P3/J3--> project Feature P1 ---> join --enrich P5--> sink
+
+Re-expressed Spark-first:
+
+* the lease hash map (task.ts:114-125) is a **broadcast** left join —
+  the build side is filtered first (O1) and tiny, so the 100 TB camera
+  side streams through with zero shuffle;
+* the ACL membership gate (task.ts:209-212) is two broadcast left joins
+  producing a boolean (the engine needs the flag, not just the gate,
+  because the un-streamable cameras still ship as Features — only the
+  video enrichment is gated);
+* "last wins" (task.ts:123) is a row_number window over the explicit
+  arrival ordinal (Spark preserves no arrival order — SURVEY.md §7.4);
+* the Feature projection (task.ts:168-195) is a pure narrow select into
+  nested structs; whole-stage codegen, no Python;
+* the PATCH/POST routing of the upsert sink (task.ts:228-264) becomes an
+  ``action`` column (patch/post/skip) — the actual REST sink lives in
+  ``sinks/rest.py``, MERGE semantics in ``streaming/upsert.py``.
+
+Two instantiations:
+
+* :func:`build_features` — runs on reference-shaped tables (fixtures.py);
+* ``flagship_flat`` / ``flagship_features`` — the same operator chain on
+  the driver's TPC-H tables (customer->cameras, orders->leases,
+  nation/region->site ACL) so the DuckDB oracle can check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.dedup import last_wins
+from ..registry import spec
+
+VIDEO_URL_PREFIX = "https://stream.example/hls/"
+SENSOR_RANGE = 50  # meters, task.ts:178
+
+
+# ---------------------------------------------------------------------------
+# Generic pipeline over reference-shaped inputs
+# ---------------------------------------------------------------------------
+
+def prepare_leases(leases: DataFrame, layer_id: int) -> DataFrame:
+    """P2 filter + J2 last-wins: the join build side (task.ts:116-127)."""
+    filtered = leases.filter(
+        (F.col("layer") == F.lit(layer_id)) & F.col("source_id").isNotNull()
+    )
+    return last_wins(filtered, ["source_id"], ["ord"]).select(
+        F.col("id").alias("lease_id"), "source_id"
+    )
+
+
+def acl_flag(cameras: DataFrame, stream_acl: DataFrame) -> DataFrame:
+    """P3/J3: streamable = site granted OR camera granted.
+
+    Implemented as two broadcast left joins against the (tiny) ACL table
+    rather than collected isin lists, so the same plan works when the ACL
+    is itself large.
+    """
+    sites = (
+        stream_acl.filter(F.col("kind") == "site")
+        .select(F.col("acl_id").alias("site_acl"))
+        .distinct()
+    )
+    cams = (
+        stream_acl.filter(F.col("kind") == "camera")
+        .select(F.col("acl_id").alias("cam_acl"))
+        .distinct()
+    )
+    out = cameras.join(
+        F.broadcast(sites), cameras["site_id"] == sites["site_acl"], "left"
+    ).join(F.broadcast(cams), cameras["camera_id"] == cams["cam_acl"], "left")
+    return out.withColumn(
+        "streamable",
+        F.col("site_acl").isNotNull() | F.col("cam_acl").isNotNull(),
+    ).drop("site_acl", "cam_acl")
+
+
+def build_features(
+    cameras: DataFrame,
+    leases: DataFrame,
+    stream_acl: DataFrame,
+    layer_id: int,
+) -> DataFrame:
+    """The whole reference control() as one declarative plan."""
+    cams = last_wins(cameras, ["camera_id"], ["page_idx"])  # dedup across pages
+    build = prepare_leases(leases, layer_id)
+    gated = acl_flag(cams, stream_acl)
+    joined = gated.join(
+        F.broadcast(build), gated["camera_id"] == build["source_id"], "left"
+    )
+    camera_cols = [c for c in cameras.columns if c != "page_idx"]
+    video = F.when(
+        F.col("streamable"),
+        F.struct(
+            F.concat(F.lit(VIDEO_URL_PREFIX), F.col("camera_id")).alias("url")
+        ),
+    )
+    return joined.select(
+        F.col("camera_id").alias("id"),
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.lit("b-m-p-s-p-loc").alias("type"),  # task.ts:173
+            F.lit("m-g").alias("how"),  # task.ts:174
+            F.col("name").alias("callsign"),  # task.ts:175
+            F.col("location_angle").alias("course"),  # task.ts:176
+            F.struct(
+                F.lit(SENSOR_RANGE).alias("range"),
+                F.col("location_angle").alias("azimuth"),
+                F.lit("Verkada").alias("type"),
+                F.col("model").alias("model"),
+            ).alias("sensor"),  # task.ts:177-182
+            F.concat_ws(",", F.col("site"), F.col("status")).alias("remarks"),
+            video.alias("video"),  # task.ts:246-249
+        ).alias("properties"),
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(F.col("location_lon"), F.col("location_lat")).alias(
+                "coordinates"
+            ),  # lon first, task.ts:188-191
+        ).alias("geometry"),
+        F.struct(*[F.col(c) for c in camera_cols]).alias("metadata"),
+        # upsert routing (task.ts:228-264): patch if lease exists else post
+        F.when(~F.col("streamable"), F.lit("skip"))
+        .when(F.col("lease_id").isNotNull(), F.lit("patch"))
+        .otherwise(F.lit("post"))
+        .alias("action"),
+    )
+
+
+def to_feature_collection(features: DataFrame):
+    """S8: FeatureCollection assembly (task.ts:280-283) — JSON lines of
+    Features; the single-document wrapper exists only at the sink edge
+    (foreachBatch / collectless write), never as a driver materialization.
+    """
+    return features.select(F.to_json(F.struct("*")).alias("feature_json"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H instantiation (oracle-checkable): customer->cameras, orders->leases,
+# nation/region->site ACL, custkey%7->camera ACL.
+# ---------------------------------------------------------------------------
+
+def _tpch_cameras(spark, sf_dir) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("string").alias("camera_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("string").alias("site_id"),
+        (F.col("c_custkey") % 360).cast("double").alias("location_angle"),
+        F.col("c_nationkey").cast("double").alias("location_lat"),
+        (F.col("c_acctbal") / F.lit(100.0)).alias("location_lon"),
+        F.col("c_mktsegment").alias("model"),
+    )
+
+
+def _tpch_leases(spark, sf_dir) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.when(F.col("o_orderstatus").isin("O", "P"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("long")
+        .alias("layer"),
+        F.when(
+            F.col("o_totalprice") >= F.lit(1000.0),
+            F.col("o_custkey").cast("string"),
+        ).alias("source_id"),
+        F.col("o_orderkey").alias("ord"),
+    )
+
+
+def _tpch_acl(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    c = table(spark, sf_dir, "customer")
+    sites = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .select(F.col("n_nationkey").cast("string").alias("site_acl"))
+        .distinct()
+    )
+    cams = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(F.col("c_custkey").cast("string").alias("cam_acl"))
+        .distinct()
+    )
+    return sites, cams
+
+
+def flagship_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship chain, flat output, DuckDB-oracle-checked.
+
+    Exercises S3, P1-P3, J1-J4, J2/W1, A-series routing in one plan:
+    scan -> filter -> last-wins window -> broadcast left join -> two
+    broadcast ACL joins -> projection -> conditional enrichment.
+    """
+    cams = _tpch_cameras(spark, sf_dir)
+    build = prepare_leases(_tpch_leases(spark, sf_dir), layer_id=1)
+    sites, acl_cams = _tpch_acl(spark, sf_dir)
+
+    gated = cams.join(
+        F.broadcast(sites), cams["site_id"] == sites["site_acl"], "left"
+    ).join(F.broadcast(acl_cams), cams["camera_id"] == acl_cams["cam_acl"], "left")
+    joined = gated.join(
+        F.broadcast(build), gated["camera_id"] == build["source_id"], "left"
+    )
+    streamable = F.col("site_acl").isNotNull() | F.col("cam_acl").isNotNull()
+    return joined.select(
+        F.col("camera_id").alias("id"),
+        F.lit("Feature").alias("type"),
+        F.col("name").alias("callsign"),
+        F.col("location_angle").alias("course"),
+        F.col("location_lon").alias("lon"),
+        F.col("location_lat").alias("lat"),
+        F.col("source_id").isNotNull().alias("has_lease"),
+        streamable.alias("streamable"),
+        F.when(
+            streamable, F.concat(F.lit(VIDEO_URL_PREFIX), F.col("camera_id"))
+        ).alias("video_url"),
+        F.when(~streamable, F.lit("skip"))
+        .when(F.col("source_id").isNotNull(), F.lit("patch"))
+        .otherwise(F.lit("post"))
+        .alias("action"),
+    )
+
+
+ORACLE_FLAGSHIP_FLAT = """
+WITH leases AS (
+  SELECT
+    CAST(o_orderkey AS VARCHAR) AS lease_id,
+    CASE WHEN o_orderstatus IN ('O','P') THEN 1 ELSE 2 END AS layer,
+    CASE WHEN o_totalprice >= 1000.0 THEN CAST(o_custkey AS VARCHAR) END AS source_id,
+    o_orderkey AS ord
+  FROM orders
+),
+lease_lw AS (
+  SELECT lease_id, source_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source_id ORDER BY ord DESC) AS rn
+    FROM leases
+    WHERE layer = 1 AND source_id IS NOT NULL
+  ) WHERE rn = 1
+),
+acl_sites AS (
+  SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS site_acl
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name IN ('AMERICA','ASIA')
+),
+acl_cams AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS cam_acl
+  FROM customer WHERE c_custkey % 7 = 0
+),
+cams AS (
+  SELECT
+    CAST(c_custkey AS VARCHAR) AS camera_id,
+    c_name AS name,
+    CAST(c_nationkey AS VARCHAR) AS site_id,
+    CAST(c_custkey % 360 AS DOUBLE) AS location_angle,
+    CAST(c_nationkey AS DOUBLE) AS location_lat,
+    c_acctbal / 100.0 AS location_lon
+  FROM customer
+)
+SELECT
+  cams.camera_id AS id,
+  'Feature' AS type,
+  cams.name AS callsign,
+  cams.location_angle AS course,
+  cams.location_lon AS lon,
+  cams.location_lat AS lat,
+  l.source_id IS NOT NULL AS has_lease,
+  (s.site_acl IS NOT NULL OR a.cam_acl IS NOT NULL) AS streamable,
+  CASE WHEN s.site_acl IS NOT NULL OR a.cam_acl IS NOT NULL
+       THEN 'https://stream.example/hls/' || cams.camera_id END AS video_url,
+  CASE WHEN s.site_acl IS NULL AND a.cam_acl IS NULL THEN 'skip'
+       WHEN l.source_id IS NOT NULL THEN 'patch'
+       ELSE 'post' END AS action
+FROM cams
+LEFT JOIN acl_sites s ON cams.site_id = s.site_acl
+LEFT JOIN acl_cams a ON cams.camera_id = a.cam_acl
+LEFT JOIN lease_lw l ON cams.camera_id = l.source_id
+"""
+
+
+def flagship_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full nested Feature output over the TPC-H derivation (rows-only:
+    nested structs aren't portable to the SQL oracle; the scalar surface
+    is checked by flagship_flat)."""
+    cams = _tpch_cameras(spark, sf_dir).select(
+        "*",
+        F.lit(0).alias("page_idx"),
+        F.lit("Site").alias("site"),
+        F.lit("online").alias("status"),
+    )
+    leases = _tpch_leases(spark, sf_dir)
+    sites, acl_cams = _tpch_acl(spark, sf_dir)
+    acl = sites.select(
+        F.lit("site").alias("kind"), F.col("site_acl").alias("acl_id")
+    ).unionByName(
+        acl_cams.select(
+            F.lit("camera").alias("kind"), F.col("cam_acl").alias("acl_id")
+        )
+    )
+    return build_features(cams, leases, acl, layer_id=1)
+
+
+QUERIES = {
+    "flagship_flat": spec(
+        flagship_flat, ORACLE_FLAGSHIP_FLAT,
+        "reference:P1", "reference:P2", "reference:P3", "reference:J1",
+        "reference:J2", "reference:J3", "reference:S9",
+        doc="whole reference control() as one plan (flat, oracle-checked)",
+    ),
+    "flagship_features": spec(
+        flagship_features, None,
+        "reference:P1", "reference:S8",
+        doc="full nested GeoJSON Feature output (rows-only)",
+    ),
+}

@@ -1,0 +1,80 @@
+"""SparkSession factory and runtime configuration defaults.
+
+Two layers:
+
+* builder-time confs — only for sessions this package creates itself
+  (tests, bench.py). The correctness driver passes its *own* session into
+  ``queries()`` callables, so nothing correctness-critical may live here.
+* runtime (SQLConf) defaults — settable on ANY session at any time via
+  :func:`ensure_session_defaults`; the catalog applies them before every
+  read so driver-provided sessions behave identically to ours.
+
+Scale notes (100 TB design point, local[32] test point):
+
+* AQE is on: runtime join-strategy switching, skew-join splitting and
+  partition coalescing replace hand-tuned shuffle partition counts on a
+  real cluster (SURVEY.md §4 O1–O3).
+* ``spark.sql.shuffle.partitions`` is set low (2 x cores) for the local
+  runs; on a 1000-executor cluster you'd set it to ~2-3x total cores and
+  let AQE coalesce — the operators themselves never depend on the value.
+* The session timezone is pinned to UTC so TIMESTAMP_LTZ values coincide
+  with the naive timestamps DuckDB (the correctness oracle) produces.
+* ``nanosAsLong`` is required because the driver's ``events`` table is
+  parquet TIMESTAMP(NANOS), which Spark 4 cannot read natively; the
+  catalog converts the long back to a microsecond timestamp (lossless for
+  this data — values carry exactly microsecond precision).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are runtime-settable (plain SQLConf) and required for
+#: correct + fast behavior regardless of who built the session.
+RUNTIME_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet is TIMESTAMP(NANOS): read as long, convert in catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for every pandas_udf / toPandas crossing of the JVM<->Python wall.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # local[32] scale; a cluster deployment overrides this (see SCALE.md).
+    "spark.sql.shuffle.partitions": "64",
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime defaults to an externally provided session.
+
+    Safe to call repeatedly; silently skips confs the session refuses
+    (e.g. static confs on some builds).
+    """
+    for key, value in RUNTIME_DEFAULTS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf rejected; keep going
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "etl-verkada-spark") -> SparkSession:
+    """Create (or fetch) a local session tuned for this machine.
+
+    Honors ``SPARK_GRAFT_CPUS`` (the bench driver's thread count knob).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    )
+    for key, value in RUNTIME_DEFAULTS.items():
+        builder = builder.config(key, value)
+    return ensure_session_defaults(builder.getOrCreate())

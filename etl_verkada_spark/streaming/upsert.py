@@ -1,0 +1,108 @@
+"""Upsert / MERGE semantics (reference S9, task.ts:228-271).
+
+The reference's lease sync: per camera, PATCH the existing lease else
+POST a new one — an upsert keyed on source_id, with the v1.17.0 "don't
+duplicate" fix (CHANGELOG.md:16) making it last-wins. Spark-first
+mapping:
+
+* :func:`merge_last_wins` — the pure relational MERGE: union(state,
+  updates) -> row_number window keyed on the merge key, ordered by the
+  explicit version ordinal. One shuffle on the key; with the state
+  table bucketed by key on disk, shuffle-free.
+* :func:`foreach_batch_merge` — the Structured Streaming form: a
+  ``foreachBatch`` sink applying the same merge into a parquet state
+  dir per micro-batch (exactly the scheduled-run snapshot-diff the
+  reference performs per Lambda invocation).
+
+The ``upsert_merge`` registered query simulates two scheduled runs over
+the orders table and oracle-checks the final converged state; MERGE
+idempotence (applying a batch twice == once) is property-tested in
+tests/test_properties.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.dedup import last_wins
+from ..registry import spec
+
+
+def merge_last_wins(
+    state: DataFrame | None,
+    updates: DataFrame,
+    key: list[str],
+    version: list[str],
+) -> DataFrame:
+    """MERGE INTO state USING updates: WHEN MATCHED update (if newer),
+    WHEN NOT MATCHED insert — expressed as union + last-wins window."""
+    merged = updates if state is None else state.unionByName(updates)
+    return last_wins(merged, key, version)
+
+
+def foreach_batch_merge(target_path: str, key: list[str], version: list[str]):
+    """Build a foreachBatch sink function merging each micro-batch into a
+    parquet state directory (the streaming S9)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(target_path)
+        except Exception:
+            state = None
+        out = merge_last_wins(state, batch_df, key, version)
+        # localCheckpoint breaks lineage to the input path before the
+        # overwrite (read-modify-write on the same location).
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    return _sink
+
+
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 as two scheduled runs converging to one state.
+
+    Run 1 upserts the even orders, run 2 the odd orders, keyed by
+    customer; later runs win, ties broken by the highest order key —
+    the deterministic replacement for the reference's arrival order.
+    """
+    o = table(spark, sf_dir, "orders")
+    run1 = o.filter(F.col("o_orderkey") % 2 == 0).withColumn("run_idx", F.lit(1))
+    run2 = o.filter(F.col("o_orderkey") % 2 == 1).withColumn("run_idx", F.lit(2))
+    state = merge_last_wins(None, run1, ["o_custkey"], ["run_idx", "o_orderkey"])
+    state = merge_last_wins(state, run2, ["o_custkey"], ["run_idx", "o_orderkey"])
+    return state.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        "run_idx",
+        "o_totalprice",
+    )
+
+
+ORACLE_UPSERT_MERGE = """
+SELECT
+  o_custkey,
+  o_orderkey AS last_orderkey,
+  CAST(1 + o_orderkey % 2 AS INTEGER) AS run_idx,
+  o_totalprice
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderkey % 2 DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "upsert_merge": spec(
+        upsert_merge, ORACLE_UPSERT_MERGE, "reference:S9",
+        doc="MERGE upsert across scheduled runs (PATCH/POST sync), task.ts:228-271",
+    ),
+}
