@@ -66,7 +66,7 @@ ACL_SCHEMA = T.StructType(
 N_CAMERAS = 120
 N_SITES = 10
 N_LEASES = 80
-TARGET_LAYER = 7
+TARGET_LEASE_LAYER = 7
 
 
 def cameras(spark: SparkSession, n: int = N_CAMERAS, seed: int = 42) -> DataFrame:
@@ -117,12 +117,12 @@ def leases(spark: SparkSession, n: int = N_LEASES, seed: int = 42) -> DataFrame:
             source = f"cam-{rng.randrange(N_CAMERAS):04d}"
         else:
             source = f"cam-{rng.randrange(N_CAMERAS):04d}"
-        layer = TARGET_LAYER if not (0.15 <= r < 0.30) else rng.choice([1, 2, 3])
+        layer = TARGET_LEASE_LAYER if not (0.15 <= r < 0.30) else rng.choice([1, 2, 3])
         rows.append((f"lease-{i:04d}", layer, source, i))
     # guaranteed duplicates on the build key for last-wins coverage
     for j in range(5):
-        rows.append((f"lease-dup-{j}", TARGET_LAYER, f"cam-{j:04d}", n + j))
-        rows.append((f"lease-dup-{j}b", TARGET_LAYER, f"cam-{j:04d}", n + 5 + j))
+        rows.append((f"lease-dup-{j}", TARGET_LEASE_LAYER, f"cam-{j:04d}", n + j))
+        rows.append((f"lease-dup-{j}b", TARGET_LEASE_LAYER, f"cam-{j:04d}", n + 5 + j))
     return spark.createDataFrame(rows, LEASE_SCHEMA)
 
 

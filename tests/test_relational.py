@@ -1,0 +1,181 @@
+"""Per-operator edge cases + physical-plan assertions (SURVEY.md §5.3).
+
+The plan assertions are the scale story made testable: broadcast joins
+must broadcast, filters must reach the parquet scan, top-k must compile
+to TakeOrderedAndProject — at 100 TB these are the difference between a
+working plan and a melted cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_verkada_spark.operators.dedup import last_wins
+from etl_verkada_spark.operators.filters import filter_conj
+from etl_verkada_spark.operators.joins import join_asof, join_broadcast_left
+from etl_verkada_spark.operators.scans import keyset_pages, validate_json
+from etl_verkada_spark.operators.sorts import topk
+from etl_verkada_spark.catalog import table_validated
+
+from .conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# --- physical plan assertions ------------------------------------------------
+
+def test_broadcast_join_is_broadcast(spark):
+    plan = plan_of(join_broadcast_left(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = formatted_plan(filter_conj(spark, SF_SMALL))
+    assert "PushedFilters: [" in plan
+    # the equality predicate must actually be pushed, not just declared
+    assert "EqualTo(l_returnflag,A)" in plan.replace(" ", "")
+
+
+def test_column_pruning(spark):
+    plan = formatted_plan(filter_conj(spark, SF_SMALL))
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # projection uses 4 cols + filter col; the 11-col table must be pruned
+    assert "l_extendedprice" not in scan_schema
+    assert "l_shipdate" not in scan_schema
+
+
+def test_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(topk(spark, SF_SMALL))
+
+
+# --- scans -------------------------------------------------------------------
+
+def test_keyset_pages_walks_everything(spark):
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select("o_orderkey")
+    total = orders.count()
+    seen = 0
+    for page in keyset_pages(orders, "o_orderkey", 400):
+        seen += page.count()
+    assert seen == total
+
+
+def test_keyset_pages_empty_input(spark):
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert list(keyset_pages(empty, "k", 10)) == []
+
+
+def test_validate_json_failfast_raises(spark):
+    bad = spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, "not json at all")], "event_id long, props string"
+    ).withColumn("event_type", F.lit("x"))
+    parsed = bad.select(
+        F.from_json("props", "k INT", {"mode": "FAILFAST"}).alias("p")
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        parsed.collect()
+
+
+def test_table_validated_rejects_drift(spark):
+    from etl_verkada_spark import catalog
+
+    old = catalog.EXPECTED_SCHEMAS
+    try:
+        import pyspark.sql.types as T
+
+        catalog.EXPECTED_SCHEMAS = {
+            "orders": T.StructType([T.StructField("o_orderkey", T.StringType())])
+        }
+        with pytest.raises(ValueError, match="o_orderkey"):
+            table_validated(spark, SF_SMALL, "orders")
+    finally:
+        catalog.EXPECTED_SCHEMAS = old
+
+
+# --- dedup -------------------------------------------------------------------
+
+def test_last_wins_ties_and_determinism(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "first"), ("a", 2, "second"), ("a", 2, "second"), ("b", 1, "only")],
+        "k string, ord int, v string",
+    )
+    out = last_wins(df, ["k"], ["ord"]).orderBy("k").collect()
+    assert [r["v"] for r in out] == ["second", "only"]
+    # idempotent: applying again changes nothing
+    again = last_wins(last_wins(df, ["k"], ["ord"]), ["k"], ["ord"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out))
+
+
+# --- joins -------------------------------------------------------------------
+
+def test_join_asof_matches_naive(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "click", 100),
+            (2, 10, "purchase", 120),   # latest click at 100
+            (3, 10, "click", 150),      # same-instant click...
+            (4, 10, "purchase", 150),   # ...counts (<= semantics)
+            (5, 20, "purchase", 50),    # user with no clicks -> null
+        ],
+        "event_id long, user_id long, event_type string, t long",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros(F.col("t") * 1_000_000).alias("ts"),
+    )
+    ev.createOrReplaceTempView("ev_asof")
+    got = {
+        r["event_id"]: r["click_ts_us"]
+        for r in _asof_on(ev).collect()
+    }
+    assert got[2] == 100 * 1_000_000
+    assert got[4] == 150 * 1_000_000
+    assert got[5] is None
+
+
+def _asof_on(ev):
+    from pyspark.sql import Window
+
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_p")
+    )
+    u = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("click_ts", F.max(F.when(F.col("is_p") == 0, F.col("ts"))).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"))
+    )
+
+
+def test_asof_registered_query_sane(spark):
+    out = join_asof(spark, SF_SMALL)
+    rows = out.collect()
+    # every match must be at-or-before the purchase
+    for r in rows:
+        if r["click_ts_us"] is not None:
+            assert r["click_ts_us"] <= r["ts_us"]
+
+
+# --- set ops -----------------------------------------------------------------
+
+def test_except_is_distinct_semantics(spark):
+    left = spark.createDataFrame([(1,), (1,), (2,)], "key long")
+    right = spark.createDataFrame([(1,)], "key long")
+    # SQL EXCEPT removes key 1 entirely (it exists on the right)
+    assert [r["key"] for r in left.subtract(right).collect()] == [2]

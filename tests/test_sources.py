@@ -1,0 +1,119 @@
+"""REST connector tests against the in-process HTTP stub: pagination
+parallelism (S1), cursor-cycle guard (O6), bounded-concurrency upsert
+with PATCH/POST routing and error isolation (S9/O4)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_verkada_spark.sources.http_stub import make_server
+from etl_verkada_spark.sources import rest as rest_sources
+from etl_verkada_spark.sinks.rest import upsert_partition, upsert_to_rest
+
+ITEMS = [{"id": f"it-{i:03d}", "value": i} for i in range(103)]
+SCHEMA_DDL = "id string, value int"
+
+
+@pytest.fixture()
+def stub():
+    server, port, stats = make_server(ITEMS)
+    yield f"http://127.0.0.1:{port}", stats
+    server.shutdown()
+
+
+def test_paged_rest_reads_everything_in_parallel(spark, stub):
+    base, stats = stub
+    rest_sources.register(spark)
+    df = (
+        spark.read.format("paged_rest")
+        .option("url", f"{base}/items")
+        .option("schema_ddl", SCHEMA_DDL)
+        .option("limit", 10)
+        .option("pages_per_task", 2)
+        .load()
+    )
+    # multiple input partitions -> pages fetched by parallel tasks
+    assert df.rdd.getNumPartitions() > 1
+    rows = df.collect()
+    assert len(rows) == len(ITEMS)
+    assert {r["id"] for r in rows} == {it["id"] for it in ITEMS}
+    # server-side LIMIT honored (O5): no page asked for more than `limit`
+    item_reqs = [p for m, p in stats.requests if p.startswith("/items") and "limit=10" in p]
+    assert len(item_reqs) == 11  # ceil(103/10) pages
+
+
+def test_cursor_rest_follows_tokens(spark, stub):
+    base, _ = stub
+    rest_sources.register(spark)
+    df = (
+        spark.read.format("cursor_rest")
+        .option("url", f"{base}/cursor")
+        .option("schema_ddl", SCHEMA_DDL)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == len(ITEMS)
+
+
+def test_cursor_cycle_guard_terminates(spark):
+    """A server that repeats the last token would loop the naive client
+    forever; the O6 guard (task.ts:160-166) must terminate exactly."""
+    server, port, _ = make_server(ITEMS, repeat_last_token=True)
+    try:
+        rest_sources.register(spark)
+        df = (
+            spark.read.format("cursor_rest")
+            .option("url", f"http://127.0.0.1:{port}/cursor")
+            .option("schema_ddl", SCHEMA_DDL)
+            .load()
+        )
+        rows = df.collect()
+        assert len(rows) == len(ITEMS)  # each item exactly once
+    finally:
+        server.shutdown()
+
+
+def _actions_df(spark, n=40):
+    rows = []
+    for i in range(n):
+        action = ["patch", "post", "skip"][i % 3]
+        rows.append(
+            (
+                f"cam-{i}",
+                action,
+                f"lease-{i}" if action == "patch" else None,
+                json.dumps({"name": f"cam {i}"}),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "id string, action string, lease_id string, payload_json string"
+    )
+
+
+def test_upsert_sink_routing_and_concurrency(spark, stub):
+    base, stats = stub
+    df = _actions_df(spark)
+    upsert_to_rest(df, f"{base}/lease", max_in_flight=5, max_partitions=2)
+    patches = [p for m, p in stats.requests if m == "PATCH"]
+    posts = [p for m, p in stats.requests if m == "POST"]
+    assert len(patches) == 14  # 40 rows: 14 patch, 13 post, 13 skip
+    assert len(posts) == 13
+    assert all("/lease/lease-" in p for p in patches)
+    # bounded fan-out (O4): never more in flight than partitions x cap
+    assert stats.max_in_flight <= 2 * 5
+
+
+def test_upsert_error_isolation():
+    """Unreachable server: failures counted, never raised (allSettled,
+    task.ts:277)."""
+    rows = [
+        {"id": "a", "action": "post", "lease_id": None, "payload_json": "{}"},
+        {"id": "b", "action": "skip", "lease_id": None, "payload_json": "{}"},
+    ]
+    ok, failed = upsert_partition(
+        iter(rows), "http://127.0.0.1:1/unreachable", timeout=0.2
+    )
+    assert (ok, failed) == (1, 1)  # the skip succeeds, the post fails quietly
