@@ -1,0 +1,116 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query executes through a noop sink so
+the timing covers the full physical plan (scan -> shuffle -> sink)
+without driver-side row serialization skew. A DuckDB run of the same
+oracle SQL is timed alongside (informational: the BASELINE target is
+"within 2x of DuckDB per query").
+
+Output: {"metric": ..., "value": total_sec, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "duckdb": {name: sec}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_verkada_spark.catalog import TABLES
+from etl_verkada_spark.registry import build_registry
+from etl_verkada_spark.session import get_spark
+
+#: queries that represent each operator family at scale; quadratic
+#: pair-ops (llm_sim_pairs, llm_dedup_ngram) are correctness-scale only.
+HEADLINE = [
+    "agg_groupby",
+    "join_sortmerge",
+    "join_broadcast_left",
+    "flagship_flat",
+    "win_rownum",
+    "win_frame",
+    "topk",
+    "dedup_lastwins",
+    "upsert_merge",
+    "stream_tumble",
+    "stream_session",
+    "llm_dedup_exact",
+    "llm_text_stats",
+    "llm_fingerprint",
+    "llm_sim_search",
+    "udf_pandas",
+    "join_asof",
+]
+
+
+def run_spark(fn, spark, sf_dir: str) -> float:
+    """Steady-state timing: one warmup run (JIT + page cache), one timed.
+
+    DuckDB gets the same treatment in run_duckdb for a fair comparison.
+    """
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def run_duckdb(con, sql: str) -> float:
+    con.execute(sql).fetchall()  # warmup (page cache)
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = build_registry()
+    spark = get_spark("etl-verkada-spark-bench")
+
+    # JVM/codegen warmup on an off-headline query
+    registry["agg_count"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_spark(registry[name].fn, spark, sf_dir), 3)
+
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        for name in HEADLINE:
+            sql = registry[name].oracle
+            if sql:
+                duck[name] = round(run_duckdb(con, sql), 3)
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, noop sink",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "duckdb": duck,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import spec
-from .text import SHINGLES_EXPR
+from .text import with_shingles
 
 N_PERMS = 16
 BAND_SIZE = 4  # -> 4 bands; s-curve threshold ~ (1/4)^(1/4) ≈ 0.7
@@ -65,8 +65,8 @@ GROUP BY 1
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct — the set representation."""
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_EXPR))).alias("s")
+    return with_shingles(docs).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
     )
 
 

@@ -151,15 +151,25 @@ FROM documents
 """
 
 
-#: 4-word shingles as a SQL expression (1-based slice, guarded for short docs)
-SHINGLES_EXPR = """
-CASE WHEN size(split(text, ' ')) >= 4
+#: 4-word shingles over a pre-projected word array ``ws``. The split MUST
+#: be projected into its own column first: inlining split(text) inside the
+#: transform lambda re-evaluates it per element -> O(tokens^2) per doc
+#: (measured 6x slower end-to-end at sf0.1).
+SHINGLES_FROM_WS = """
+CASE WHEN size(ws) >= 4
      THEN transform(
-            sequence(1, size(split(text, ' ')) - 3),
-            i -> array_join(slice(split(text, ' '), i, 4), ' '))
+            sequence(1, size(ws) - 3),
+            i -> array_join(slice(ws, i, 4), ' '))
      ELSE array(text)
 END
 """
+
+
+def with_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ws, shingles): the shared shingling projection."""
+    return docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("ws")
+    ).select("doc_id", "text", F.expr(SHINGLES_FROM_WS).alias("shingles"))
 
 
 def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,8 +179,8 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidates; used as a cheap pre-cluster key before the full
     MinHash LSH in llm/dedup.py.
     """
-    d = table(spark, sf_dir, "documents")
-    fp = F.array_min(F.transform(F.expr(SHINGLES_EXPR), lambda s: F.md5(s)))
+    d = with_shingles(table(spark, sf_dir, "documents"))
+    fp = F.array_min(F.transform("shingles", lambda s: F.md5(s)))
     return d.select("doc_id", fp.alias("fingerprint"))
 
 

@@ -40,8 +40,10 @@ RUNTIME_DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # events.parquet is TIMESTAMP(NANOS): read as long, convert in catalog.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
-    # Arrow for every pandas_udf / toPandas crossing of the JVM<->Python wall.
+    # Arrow for every pandas_udf / toPandas crossing of the JVM<->Python wall;
+    # bigger batches amortize the per-batch Arrow framing cost.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # local[32] scale; a cluster deployment overrides this (see SCALE.md).
     "spark.sql.shuffle.partitions": "64",
 }
