@@ -39,6 +39,24 @@ def _as_double(col) -> F.Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _fetch_query_vec(sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
+    """Driver-side point lookup of the query vector via pyarrow.
+
+    The query vector is a *parameter* of the search, not dataflow — at
+    scale it comes from a metadata/index store, not a cluster job. A
+    Spark `.first()` here costs a full scheduled job (~150 ms) per call;
+    the pushed-down pyarrow read is single-digit ms and returns the same
+    float32 values.
+    """
+    import pyarrow.dataset as ds
+
+    dset = ds.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dset.to_table(
+        filter=ds.field("vec_id") == vec_id, columns=["embedding"]
+    )
+    return [float(v) for v in t.column("embedding")[0].as_py()]
+
+
 def _dot(a, b) -> F.Column:
     """Sequential-order double dot product (matches the oracle exactly)."""
     return F.aggregate(
@@ -60,8 +78,7 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded sim desc, vec_id) so top-k is deterministic.
     """
     e = table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").first()
-    qlit = F.array(*[F.lit(float(v)) for v in q["embedding"]])
+    qlit = F.array(*[F.lit(v) for v in _fetch_query_vec(sf_dir)])
     sim = F.round(cosine(qlit, _as_double(F.col("embedding"))), 4)
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -156,8 +173,8 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-dependent), deterministic via the fixed seed.
     """
     e = table(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
-    planes = _planes(dim)
+    qvec = _fetch_query_vec(sf_dir)
+    planes = _planes(len(qvec))
 
     @pandas_udf("long")
     def bucket_of(emb: pd.Series) -> pd.Series:
@@ -166,16 +183,20 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights = (1 << np.arange(N_PLANES)).astype(np.int64)
         return pd.Series(bits @ weights)
 
+    # The query's bucket is computed driver-side with the same float32 ->
+    # float64 promotion the UDF applies, so it lands in the same bucket.
+    qbits = (
+        np.array(qvec, dtype=np.float32).astype(np.float64) @ planes.T
+    ) > 0
+    qbucket = int(qbits @ (1 << np.arange(N_PLANES)).astype(np.int64))
+
     with_bucket = e.select("vec_id", "label", "embedding",
                            bucket_of("embedding").alias("bucket"))
-    qrow = with_bucket.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        "bucket", "embedding"
-    ).first()
-    qlit = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    qlit = F.array(*[F.lit(v) for v in qvec])
     sim = F.round(cosine(qlit, _as_double(F.col("embedding"))), 4)
     return (
         with_bucket.filter(
-            (F.col("bucket") == qrow["bucket"])
+            (F.col("bucket") == F.lit(qbucket))
             & (F.col("vec_id") != QUERY_VEC_ID)
         )
         .select("vec_id", "label", "bucket", sim.alias("sim"))

@@ -7,11 +7,26 @@ plans partial (map-side combine) + final aggregation, so a group-by over
 100 TB shuffles only one row per (partition, group), not the data.
 
 Float determinism: SUM(double) is order-sensitive, and the DuckDB oracle
-would disagree in the last ulp. Every money/quantity sum is computed as
-SUM(CAST(x AS DECIMAL(...))) — exact, associative, order-insensitive —
-and cast back to DOUBLE at the end; both engines then produce
-bit-identical values. Averages are derived as decimal-sum / count in
-double, never AVG(double).
+would disagree in the last ulp. Every money/quantity sum is computed
+exactly and order-insensitively, then cast to DOUBLE once at the end, so
+both engines produce bit-identical values. Averages are derived as
+exact-sum / count in double, never AVG(double).
+
+Two exact-sum strategies:
+
+* ``dec_sum`` — SUM(CAST(x AS DECIMAL(28,s))). Always safe, but Spark's
+  >18-digit decimals leave the compact-long representation and aggregate
+  through BigDecimal (~4x slower than a long sum in the hash-agg loop).
+* ``scaled_long``/``unscale`` — the fast path used by the hot queries:
+  values with <= s true decimals become exact integers at scale 10^s,
+  SUM(LONG) runs entirely in whole-stage codegen, and one decimal
+  division per *group* converts back (long -> double directly would
+  double-round above 2^53). Identical results to the decimal oracle.
+  Overflow bound: sum of |x|*10^s must stay under 2^63 — at scale 6 and
+  ~1e5 magnitudes that is ~10^7 rows *per group* per the TPC-H column
+  profile, fine through sf100; a 100 TB deployment either switches to
+  ``dec_sum`` or pre-aggregates per partition before the final long sum
+  (partial sums can't overflow a partition's bound).
 """
 
 from __future__ import annotations
@@ -27,6 +42,33 @@ def dec_sum(col: str, scale: str = "decimal(28,2)", alias: str | None = None):
     """Order-insensitive SUM of a double column via decimal."""
     c = F.sum(F.col(col).cast(scale)).cast("double")
     return c.alias(alias) if alias else c
+
+
+def scaled_long(col, ndec: int = 2) -> F.Column:
+    """Exact integer form of a <=ndec-decimal double: floor(x*10^ndec + .5).
+
+    The half-offset absorbs float representation error in either
+    direction (42.07 is stored as 42.07000000000000028, 42.06 as
+    42.059999999999999); the result is the same unscaled integer a
+    CAST(x AS DECIMAL(p,ndec)) produces. floor() stays a native codegen
+    primitive where Spark's round() detours through BigDecimal for
+    doubles (~40% slower in the scan loop). Precondition: true values
+    have <= ndec decimals, so x*10^ndec is never at an exact .5 boundary
+    (where floor+offset and HALF_UP rounding would disagree for
+    negatives).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * (10 ** ndec) + F.lit(0.5))
+
+
+def unscale(sum_long: F.Column, ndec: int = 2) -> F.Column:
+    """LONG sum at scale ndec -> exact DOUBLE, via one decimal division.
+
+    Routing through DECIMAL keeps the conversion correctly rounded from
+    the exact rational u/10^ndec (a long->double cast would round once at
+    2^53 and again at the division — observable vs the oracle).
+    """
+    return (sum_long.cast("decimal(38,0)") / F.lit(10 ** ndec)).cast("double")
 
 
 def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,28 +114,26 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: TPC-H Q1-shaped pricing summary.
 
     The canonical hash-aggregate benchmark: filter -> group -> 6 aggs.
-    All double sums routed through DECIMAL (see module docstring); the
-    per-row product expression stays double (deterministic per row) and
-    is rounded to a fixed scale *before* the sum so both engines add
-    identical decimals.
+    Inputs have <= 2 true decimals, so every term has an exact integer
+    form (price scale 2, disc_price scale 4, charge scale 6) and the
+    whole aggregate runs as SUM(LONG) inside whole-stage codegen — same
+    values as the oracle's decimal arithmetic, ~4x faster than decimal
+    sums (see module docstring for the strategy and overflow bound).
     """
     li = table(spark, sf_dir, "lineitem")
-    # Inputs have <= 2 true decimals, so double->decimal casts are
-    # boundary-free; all products then happen in exact decimal arithmetic
-    # (disc_price scale 4, charge scale 6) identically in both engines.
-    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_d = F.col("l_discount").cast("decimal(4,2)")
-    tax_d = F.col("l_tax").cast("decimal(4,2)")
-    disc_price = price_d * (F.lit(1).cast("decimal(3,2)") - disc_d)
-    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax_d)
+    price_c = scaled_long("l_extendedprice")            # cents
+    disc_b = scaled_long("l_discount")                  # basis points /100
+    tax_b = scaled_long("l_tax")
+    disc_price_u = price_c * (F.lit(100) - disc_b)      # scale 4
+    charge_u = disc_price_u * (F.lit(100) + tax_b)      # scale 6
     filtered = li.filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
     )
     grouped = filtered.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double").alias("sum_qty"),
-        F.sum(price_d).cast("double").alias("sum_base_price"),
-        F.sum(disc_price).cast("double").alias("sum_disc_price"),
-        F.sum(charge).cast("double").alias("sum_charge"),
+        unscale(F.sum(scaled_long("l_quantity", 4)), 4).alias("sum_qty"),
+        unscale(F.sum(price_c), 2).alias("sum_base_price"),
+        unscale(F.sum(disc_price_u), 4).alias("sum_disc_price"),
+        unscale(F.sum(charge_u), 6).alias("sum_charge"),
         F.count(F.lit(1)).alias("count_order"),
     )
     return grouped.withColumn(
@@ -132,7 +172,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_custs"),
-        F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double").alias("sum_bal"),
+        unscale(F.sum(scaled_long("c_acctbal")), 2).alias("sum_bal"),
     )
 
 
@@ -154,7 +194,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double").alias("sum_price"),
+        unscale(F.sum(scaled_long("o_totalprice")), 2).alias("sum_price"),
     )
 
 

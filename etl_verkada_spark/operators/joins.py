@@ -121,17 +121,18 @@ def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: large x large sort-merge join.
 
     lineitem x orders on the order key, merge-hinted so the plan is SMJ
-    even under the local broadcast threshold. Aggregates through DECIMAL
-    so the float sum is order-insensitive and oracle-exact.
+    even under the local broadcast threshold. The revenue sum runs as
+    SUM(LONG) over exact cents (order-insensitive, oracle-exact — see
+    aggregates.py module docstring).
     """
+    from .aggregates import scaled_long, unscale
+
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey, "inner")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
-        .cast("double")
-        .alias("revenue"),
+        unscale(F.sum(scaled_long("l_extendedprice")), 2).alias("revenue"),
     )
 
 

@@ -80,9 +80,13 @@ WHERE rnk <= 3
 def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame: running quantity per order (ROWS UNBOUNDED PRECEDING).
 
-    The running sum goes through DECIMAL so every prefix is exact in both
-    engines (a double running sum would drift engine-specifically).
+    The running sum accumulates exact scale-2 LONGs so every prefix is
+    exact in both engines (a double running sum would drift
+    engine-specifically; a decimal one is ~4x slower in the window loop —
+    see aggregates.py module docstring).
     """
+    from .aggregates import scaled_long, unscale
+
     li = table(spark, sf_dir, "lineitem")
     # total order within the partition (see dedup_lastwins note): with a
     # non-total ORDER BY, tied rows would take engine-dependent prefixes.
@@ -94,10 +98,9 @@ def win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_quantity").cast("decimal(28,2)"))
-        .over(w)
-        .cast("double")
-        .alias("running_qty"),
+        unscale(F.sum(scaled_long("l_quantity")).over(w), 2).alias(
+            "running_qty"
+        ),
     )
 
 

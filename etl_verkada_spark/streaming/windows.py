@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.aggregates import scaled_long, unscale
 from ..registry import spec
 
 
@@ -30,7 +31,7 @@ def tumbling(events: DataFrame, width: str = "10 minutes") -> DataFrame:
         events.groupBy(win.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("sum_value"),
+            unscale(F.sum(scaled_long("value")), 2).alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
