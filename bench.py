@@ -44,6 +44,13 @@ HEADLINE = [
     "llm_sim_search",
     "udf_pandas",
     "join_asof",
+    "join_range",
+    "pivot",
+    "subquery_exists",
+    "agg_stats",
+    "win_ntile",
+    "llm_dedup_embed",
+    "llm_sim_ann_ivf",
 ]
 
 

@@ -7,10 +7,14 @@
   k-row TakeOrdered merge.
 * ``llm_sim_pairs``    — threshold pair search blocked by label (the
   exact metric the ANN variants approximate), oracle-checked.
-* ``llm_sim_ann_lsh``  — random-hyperplane LSH: 16 signed projections ->
+* ``llm_sim_ann_lsh``  — random-hyperplane LSH: signed projections ->
   bucket id; the query probes only its own bucket. The projection is a
   seeded numpy matmul inside an Arrow-batched pandas UDF (the sanctioned
   Python path for genuinely numeric kernels). Rows-only.
+* ``llm_sim_ann_ivf``  — IVF: coarse-quantize to N_CELLS centroid cells,
+  probe the N_PROBE nearest, exact-rescore inside them. Rows-only.
+* ``llm_dedup_embed``  — embedding-cosine near-dedup: threshold edges to
+  lower-id vectors -> (dup_id, keep_id) drop-list, oracle-checked.
 
 100 TB path: LSH bucket assignment is a narrow map; bucketed storage
 (partitionBy(bucket)) turns every query into a single-partition read —
@@ -205,6 +209,121 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DUP_THRESHOLD = 0.4  # rounded-cosine cutoff; testdata max sim ~0.5
+
+
+def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup: drop-list with keeper assignment.
+
+    A vector is a duplicate when some *lower-id* vector in its label
+    block has rounded cosine >= threshold; the keeper is the lowest such
+    id (the transitive-root approximation every large-scale dedup uses —
+    union-find over sim edges is an iterative job, not a single query).
+    Blocking by label bounds the pair space exactly like the LSH/IVF
+    cells do at 100 TB; the threshold compares *rounded* sims so the two
+    engines agree at the boundary.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("dup_id"),
+            F.col("a.vec_id").alias("cand_keep"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= EMBED_DUP_THRESHOLD)
+        .groupBy("dup_id")
+        .agg(
+            F.min("cand_keep").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+    )
+
+
+ORACLE_LLM_DEDUP_EMBED = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+edges AS (
+  SELECT
+    b.vec_id AS dup_id,
+    a.vec_id AS cand_keep,
+    ROUND(
+      list_dot_product(a.emb, b.emb)
+      / (SQRT(list_dot_product(a.emb, a.emb))
+         * SQRT(list_dot_product(b.emb, b.emb))),
+      4) AS sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT dup_id, MIN(cand_keep) AS keep_id, COUNT(*) AS n_matches
+FROM edges
+WHERE sim >= 0.4
+GROUP BY dup_id
+"""
+
+
+N_CELLS = 16  # IVF cells; centroids = the first N_CELLS vectors by id
+N_PROBE = 2
+
+
+def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: IVF — coarse-quantize to cells, probe the nearest N_PROBE.
+
+    Centroids are the N_CELLS lowest-id vectors (a deterministic stand-in
+    for a k-means codebook; training is an offline job, not the query).
+    Cell assignment is one seeded numpy argmax per Arrow batch; the query
+    probes its N_PROBE nearest cells and rescores with exact cosine.
+    Rows-only (cell contents are codebook-specific).
+
+    100 TB path: write the corpus partitioned/bucketed by ``cell`` so a
+    probe is N_PROBE partition-pruned reads — the scan never touches the
+    other cells; recall/cost tunes with N_PROBE exactly as in FAISS-IVF.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    import pyarrow.dataset as ds
+
+    dset = ds.dataset(f"{sf_dir}/embeddings.parquet")
+    cent_tbl = dset.to_table(
+        filter=ds.field("vec_id") < N_CELLS, columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    cents = np.array(
+        [list(v) for v in cent_tbl.column("embedding").to_pylist()],
+        dtype=np.float64,
+    )
+    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.Series(np.argmax(mat @ cents_n.T, axis=1).astype(np.int32))
+
+    qvec = np.array(_fetch_query_vec(sf_dir), dtype=np.float64)
+    qn = qvec / np.linalg.norm(qvec)
+    probe_cells = [int(c) for c in np.argsort(-(cents_n @ qn))[:N_PROBE]]
+
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    sim = F.round(cosine(qlit, _as_double(F.col("embedding"))), 4)
+    return (
+        e.select("vec_id", "label", "embedding", cell_of("embedding").alias("cell"))
+        .filter(
+            F.col("cell").isin(probe_cells)
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select("vec_id", "label", "cell", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 QUERIES = {
     "llm_sim_search": spec(
         llm_sim_search, ORACLE_LLM_SIM_SEARCH, "llm",
@@ -217,5 +336,13 @@ QUERIES = {
     "llm_sim_ann_lsh": spec(
         llm_sim_ann_lsh, None, "llm",
         doc="random-hyperplane LSH bucket probe ANN (rows-only)",
+    ),
+    "llm_sim_ann_ivf": spec(
+        llm_sim_ann_ivf, None, "llm",
+        doc="IVF cell probe ANN with exact rescoring (rows-only)",
+    ),
+    "llm_dedup_embed": spec(
+        llm_dedup_embed, ORACLE_LLM_DEDUP_EMBED, "llm",
+        doc="embedding-cosine near-dedup with keeper assignment",
     ),
 }

@@ -224,6 +224,101 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: variance / stddev / correlation, order-insensitive.
+
+    Spark's stddev/corr accumulate doubles (order-sensitive, oracle-
+    mismatching), so the moments are accumulated EXACTLY instead:
+    Σx, Σy as scale-2 longs, Σx², Σy², Σxy as exact integers (decimal for
+    the two that can exceed long range), then the textbook formulas run
+    in double on those exact moments — every arithmetic step is identical
+    in both engines, so the results are bit-identical. This is also the
+    scalable shape: one pass, five mergeable partials per group.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    x = scaled_long("l_quantity")        # scale 2, small magnitude
+    y = scaled_long("l_extendedprice")   # scale 2, up to ~1e7
+    mom = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),                        # <= ~1e13: long ok
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),  # may pass 2^63
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+    )
+    # Exact integers -> double once, then identical double arithmetic.
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    var_x = (n * sxx - sx * sx) / (n * (n - F.lit(1.0))) / F.lit(1e4)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return mom.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(var_x, 6).alias("var_qty"),
+        F.round(F.sqrt(var_x), 6).alias("std_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+ORACLE_AGG_STATS = """
+WITH mom AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+    SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+    SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+        * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+    SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+        * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS sxy,
+    SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+        * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n AS n_rows,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e4, 6) AS var_qty,
+  ROUND(SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) / 1e4), 6) AS std_qty,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+    AS corr_qty_price
+FROM mom
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: explicit GROUPING SETS (the general form rollup
+    and cube specialize). SQL surface via a temp view; Catalyst expands
+    to a single Expand + hash aggregate — one shuffle for all sets."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql("""
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          COUNT(*) AS n_orders
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+ORACLE_AGG_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 QUERIES = {
     "agg_count": spec(
         agg_count, ORACLE_AGG_COUNT, "reference:A1",
@@ -252,5 +347,13 @@ QUERIES = {
     "agg_approx": spec(
         agg_approx, None, "beyond",
         doc="HLL++ approx distinct (rows-only; sketch differs from DuckDB)",
+    ),
+    "agg_stats": spec(
+        agg_stats, ORACLE_AGG_STATS, "beyond",
+        doc="variance/stddev/corr from exact integer moments",
+    ),
+    "agg_grouping_sets": spec(
+        agg_grouping_sets, ORACLE_AGG_GROUPING_SETS, "beyond",
+        doc="GROUPING SETS via single Expand + hash aggregate",
     ),
 }

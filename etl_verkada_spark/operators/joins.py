@@ -199,6 +199,65 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+BAND_S = 600  # range-join band width = the range bound (10 minutes)
+
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: banded range join (interval containment).
+
+    Purchases attributed to same-user clicks within the preceding 10
+    minutes. A naive theta-join (`c.ts BETWEEN p.ts - 10m AND p.ts`) is
+    a nested-loop cross product per user — O(n*m) comparisons and, at
+    100 TB, an un-shuffleable plan. The scalable form *bands* time into
+    10-minute buckets: each click lands in one bucket, each purchase
+    probes its own and the previous bucket (any interval of width W
+    intersects at most 2 W-wide buckets), so the join is a pure
+    EQUI-join on (user_id, bucket) — shuffle-partitionable, AQE-skew
+    splittable — followed by the exact range predicate as a filter.
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ts_c"),
+        (F.unix_timestamp("ts") / BAND_S).cast("long").alias("bucket"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("ts_p"),
+            (F.unix_timestamp("ts") / BAND_S).cast("long").alias("b"),
+        )
+        .select(
+            "event_id", "user_id", "ts_p",
+            F.explode(F.array(F.col("b"), F.col("b") - 1)).alias("bucket"),
+        )
+    )
+    return (
+        purchases.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("ts_c") <= F.col("ts_p"))
+            & (F.col("ts_c") > F.col("ts_p") - F.expr("INTERVAL 10 MINUTES"))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_prior_clicks"))
+    )
+
+
+ORACLE_JOIN_RANGE = """
+SELECT p.event_id, p.user_id, COUNT(*) AS n_prior_clicks
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL '10 minutes'
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+
 QUERIES = {
     "join_broadcast_left": spec(
         join_broadcast_left, ORACLE_JOIN_BROADCAST_LEFT,
@@ -220,5 +279,9 @@ QUERIES = {
     "join_asof": spec(
         join_asof, ORACLE_JOIN_ASOF, "beyond",
         doc="as-of join via union + running max (no range explosion)",
+    ),
+    "join_range": spec(
+        join_range, ORACLE_JOIN_RANGE, "beyond",
+        doc="banded range join: equi-join on time buckets + exact filter",
     ),
 }

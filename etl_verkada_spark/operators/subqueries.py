@@ -1,0 +1,114 @@
+"""Correlated / scalar subqueries (beyond-reference).
+
+The reference's only subquery-shaped logic is the ACL membership gate
+(task.ts:209-212 — a semi-join, covered by J3). The engine exposes the
+full SQL subquery surface through ``spark.sql`` so Catalyst's
+decorrelation is exercised end-to-end:
+
+* EXISTS  -> rewritten to a left-semi join (RewriteCorrelatedScalarQuery
+  / RewritePredicateSubquery) — same physical plan as J3;
+* IN      -> left-semi with null-aware handling;
+* scalar  -> one-row aggregate joined as a broadcast (cross) — computed
+  once, not per row.
+
+These run as SQL on temp views (the point is the SQL surface; the
+DataFrame forms live in joins.py). Temp view names are prefixed to avoid
+collisions with other operators sharing the session.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..registry import spec
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    vname = f"subq_{name}"
+    table(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one open order (correlated EXISTS).
+
+    Catalyst decorrelates to a left-semi join on c_custkey — verify with
+    .explain(): no per-row subquery execution exists in the plan.
+    """
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_custkey, c_name
+        FROM {c} c
+        WHERE EXISTS (
+          SELECT 1 FROM {o} o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+        )
+    """)
+
+
+ORACLE_SUBQUERY_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+)
+"""
+
+
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems of large parts (uncorrelated IN -> left-semi join)."""
+    li = _view(spark, sf_dir, "lineitem")
+    p = _view(spark, sf_dir, "part")
+    return spark.sql(f"""
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM {li}
+        WHERE l_partkey IN (SELECT p_partkey FROM {p} WHERE p_size > 40)
+    """)
+
+
+ORACLE_SUBQUERY_IN = """
+SELECT l_orderkey, l_partkey, l_quantity
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+"""
+
+
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above half the maximum price (scalar subquery).
+
+    MAX is exact on doubles (no accumulation), so the predicate boundary
+    is bit-identical in both engines — the reason this query uses MAX/2
+    rather than AVG (an order-sensitive double sum).
+    """
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT o_orderkey, o_totalprice
+        FROM {o}
+        WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM {o})
+    """)
+
+
+ORACLE_SUBQUERY_SCALAR = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM orders)
+"""
+
+
+QUERIES = {
+    "subquery_exists": spec(
+        subquery_exists, ORACLE_SUBQUERY_EXISTS, "beyond",
+        doc="correlated EXISTS, decorrelated to left-semi",
+    ),
+    "subquery_in": spec(
+        subquery_in, ORACLE_SUBQUERY_IN, "beyond",
+        doc="IN-subquery -> null-aware left-semi",
+    ),
+    "subquery_scalar": spec(
+        subquery_scalar, ORACLE_SUBQUERY_SCALAR, "beyond",
+        doc="scalar subquery computed once (broadcast)",
+    ),
+}

@@ -142,6 +142,37 @@ FROM events
 """
 
 
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: distribution window functions — ntile /
+    percent_rank / cume_dist over customer balances per segment.
+
+    percent_rank and cume_dist are count ratios ((rank-1)/(n-1), a single
+    double division of exact integers), so they compare bit-identically
+    across engines; the ORDER BY is made total with the key column.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_WIN_NTILE = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 QUERIES = {
     "win_rownum": spec(
         win_rownum, ORACLE_WIN_ROWNUM, "beyond", "reference:J2",
@@ -158,5 +189,9 @@ QUERIES = {
     "win_lag": spec(
         win_lag, ORACLE_WIN_LAG, "beyond",
         doc="lag event deltas per user",
+    ),
+    "win_ntile": spec(
+        win_ntile, ORACLE_WIN_NTILE, "beyond",
+        doc="ntile/percent_rank/cume_dist distribution windows",
     ),
 }

@@ -55,7 +55,7 @@ def build_registry() -> dict[str, QuerySpec]:
     failure in one family (e.g. optional deps) surfaces per-query, not at
     module import of the driver entry point."""
     from .operators import aggregates, dedup, filters, joins, projections
-    from .operators import scans, setops, sorts, windows
+    from .operators import reshape, scans, setops, sorts, subqueries, windows
     from .functions import scalars
     from .pipeline import features
     from .llm import dedup as llm_dedup
@@ -74,6 +74,8 @@ def build_registry() -> dict[str, QuerySpec]:
         windows,
         sorts,
         setops,
+        reshape,
+        subqueries,
         scalars,
         features,
         llm_dedup,

@@ -99,3 +99,28 @@ def test_decode_real_codec_path_is_stubbed(spark):
     frames = decode_frames(with_binary_payload(docs), real_codecs=True)
     with pytest.raises(Exception, match="NotImplementedError|real image"):
         frames.collect()
+
+
+def test_ivf_results_sorted_and_exactly_rescored(spark):
+    from etl_verkada_spark.llm.similarity import (
+        TOP_K, llm_sim_ann_ivf, llm_sim_search,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    ivf = llm_sim_ann_ivf(spark, SF).collect()
+    assert 0 < len(ivf) <= TOP_K
+    sims = [r["sim"] for r in ivf]
+    assert sims == sorted(sims, reverse=True)
+    # IVF sims are exact cosines: any vec also in the brute-force top-k
+    # must carry the identical similarity value
+    bf = {r["vec_id"]: r["sim"] for r in llm_sim_search(spark, SF).collect()}
+    for r in ivf:
+        if r["vec_id"] in bf:
+            assert r["sim"] == bf[r["vec_id"]]
+
+
+def test_embed_dedup_keeper_is_lower_id(spark):
+    from etl_verkada_spark.llm.similarity import llm_dedup_embed
+
+    out = llm_dedup_embed(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["keep_id"] < r["dup_id"] for r in out)

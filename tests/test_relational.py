@@ -179,3 +179,49 @@ def test_except_is_distinct_semantics(spark):
     right = spark.createDataFrame([(1,)], "key long")
     # SQL EXCEPT removes key 1 entirely (it exists on the right)
     assert [r["key"] for r in left.subtract(right).collect()] == [2]
+
+
+# --- banded range join -------------------------------------------------------
+
+def test_range_join_matches_naive_theta(spark):
+    """The banded equi-join + filter must find exactly the pairs a naive
+    theta-join finds (the banding is a pure execution-strategy rewrite)."""
+    from pyspark.sql import functions as F
+
+    from etl_verkada_spark.catalog import table
+    from etl_verkada_spark.operators.joins import join_range
+
+    e = table(spark, SF_SMALL, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_c")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("ts_p")
+    )
+    naive = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("ts_c") <= F.col("ts_p"))
+            & (F.col("ts_c") > F.col("ts_p") - F.expr("INTERVAL 10 MINUTES"))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_prior_clicks"))
+    )
+    banded = join_range(spark, SF_SMALL)
+    assert sorted(map(tuple, banded.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+
+
+# --- distribution windows ----------------------------------------------------
+
+def test_ntile_quartiles_balanced(spark):
+    from etl_verkada_spark.operators.windows import win_ntile
+
+    rows = win_ntile(spark, SF_SMALL).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r["quartile"])
+    for seg, qs in by_seg.items():
+        counts = [qs.count(q) for q in (1, 2, 3, 4)]
+        assert max(counts) - min(counts) <= 1, (seg, counts)  # balanced tiles
