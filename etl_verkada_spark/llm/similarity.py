@@ -40,7 +40,10 @@ PLANE_SEED = 42
 
 
 def _as_double(col) -> F.Column:
-    return F.transform(col, lambda x: x.cast("double"))
+    """array<float> -> array<double> via one array-level cast (codegen'd;
+    a per-element transform() lambda is interpreted and ~2x slower)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
 
 
 def _fetch_query_vec(sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
@@ -62,7 +65,14 @@ def _fetch_query_vec(sf_dir: str, vec_id: int = QUERY_VEC_ID) -> list[float]:
 
 
 def _dot(a, b) -> F.Column:
-    """Sequential-order double dot product (matches the oracle exactly)."""
+    """Sequential-order double dot product (matches the oracle exactly).
+
+    zip_with/aggregate higher-order functions are interpreted per
+    element, but still beat an unrolled element_at chain (measured ~4x:
+    the giant scalar expression falls out of efficient codegen). Hot
+    paths additionally (a) cast the array ONCE via _as_double, (b)
+    precompute norms per vector, not per pair.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -74,6 +84,24 @@ def cosine(a, b) -> F.Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _qnorm(qvec: list[float]) -> float:
+    """Driver-side ||q||: sequential double ops — the same IEEE sequence
+    as the oracle's SQRT(list_dot_product(q,q)), so bit-identical."""
+    import math
+
+    acc = 0.0
+    for v in qvec:
+        acc += v * v
+    return math.sqrt(acc)
+
+
+def _sim_to_query(qvec: list[float]) -> F.Column:
+    """cosine(q, embedding) with the query norm folded to a literal."""
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    embd = _as_double(F.col("embedding"))
+    return _dot(qlit, embd) / (F.lit(_qnorm(qvec)) * F.sqrt(_dot(embd, embd)))
+
+
 def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the query vector (vec_id=0).
 
@@ -82,8 +110,8 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded sim desc, vec_id) so top-k is deterministic.
     """
     e = table(spark, sf_dir, "embeddings")
-    qlit = F.array(*[F.lit(v) for v in _fetch_query_vec(sf_dir)])
-    sim = F.round(cosine(qlit, _as_double(F.col("embedding"))), 4)
+    qvec = _fetch_query_vec(sf_dir)
+    sim = F.round(_sim_to_query(qvec), 4)
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", sim.alias("sim"))
@@ -123,9 +151,16 @@ def llm_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
+    e = e.select(
+        "*", F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("norm")
+    )
     a = e.alias("a")
     b = e.alias("b")
-    sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4)
+    sim = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        4,
+    )
     return (
         a.join(
             b,
@@ -196,8 +231,7 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_bucket = e.select("vec_id", "label", "embedding",
                            bucket_of("embedding").alias("bucket"))
-    qlit = F.array(*[F.lit(v) for v in qvec])
-    sim = F.round(cosine(qlit, _as_double(F.col("embedding"))), 4)
+    sim = F.round(_sim_to_query(qvec), 4)
     return (
         with_bucket.filter(
             (F.col("bucket") == F.lit(qbucket))
@@ -223,11 +257,22 @@ def llm_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells do at 100 TB; the threshold compares *rounded* sims so the two
     engines agree at the boundary.
     """
+    # Norms are computed ONCE per vector before the pair join (the oracle
+    # recomputes them per pair, but sqrt(dot(x,x)) is deterministic, so
+    # the values are bit-identical either way).
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("emb")
     )
+    e = e.select(
+        "vec_id", "label", "emb",
+        F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("norm"),
+    )
     a, b = e.alias("a"), e.alias("b")
-    sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 4)
+    sim = F.round(
+        _dot(F.col("a.emb"), F.col("b.emb"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        4,
+    )
     return (
         a.join(
             b,
@@ -310,8 +355,7 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = qvec / np.linalg.norm(qvec)
     probe_cells = [int(c) for c in np.argsort(-(cents_n @ qn))[:N_PROBE]]
 
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
-    sim = F.round(cosine(qlit, _as_double(F.col("embedding"))), 4)
+    sim = F.round(_sim_to_query([float(v) for v in qvec]), 4)
     return (
         e.select("vec_id", "label", "embedding", cell_of("embedding").alias("cell"))
         .filter(

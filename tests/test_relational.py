@@ -225,3 +225,39 @@ def test_ntile_quartiles_balanced(spark):
     for seg, qs in by_seg.items():
         counts = [qs.count(q) for q in (1, 2, 3, 4)]
         assert max(counts) - min(counts) <= 1, (seg, counts)  # balanced tiles
+
+
+# --- physical plans of the round-1 additions ---------------------------------
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    from etl_verkada_spark.operators.subqueries import subquery_exists
+
+    plan = plan_of(subquery_exists(spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan  # no per-row subquery execution
+
+
+def test_range_join_avoids_nested_loop(spark):
+    from etl_verkada_spark.operators.joins import join_range
+
+    plan = plan_of(join_range(spark, SF_SMALL))
+    # the banding rewrite must keep this an equi-join; a BETWEEN theta
+    # join would plan as BroadcastNestedLoopJoin (O(n*m) at scale)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pivot_is_single_aggregate_pass(spark):
+    from etl_verkada_spark.operators.reshape import pivot
+
+    plan = plan_of(pivot(spark, SF_SMALL))
+    # explicit value list -> no distinct-discovery job, ONE scan of the
+    # input; Spark pivots as two aggregates (pre-agg on (group, pivot),
+    # then collapse), so the second exchange only carries post-agg rows
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_grouping_sets_is_one_expand(spark):
+    from etl_verkada_spark.operators.aggregates import agg_grouping_sets
+
+    plan = plan_of(agg_grouping_sets(spark, SF_SMALL))
+    assert "Expand" in plan and plan.count("Exchange") == 1, plan
