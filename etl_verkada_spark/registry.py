@@ -60,6 +60,7 @@ def build_registry() -> dict[str, QuerySpec]:
     from .pipeline import features
     from .llm import dedup as llm_dedup
     from .llm import multimodal, similarity, text
+    from .streaming import stateful as stream_stateful
     from .streaming import windows as stream_windows
     from .streaming import upsert
 
@@ -83,6 +84,7 @@ def build_registry() -> dict[str, QuerySpec]:
         text,
         multimodal,
         stream_windows,
+        stream_stateful,
         upsert,
     ):
         overlap = merged.keys() & module.QUERIES.keys()

@@ -106,3 +106,77 @@ def test_merge_upsert_idempotent(spark):
     once = merge_last_wins(None, o, ["o_custkey"], ["o_orderkey"])
     twice = merge_last_wins(once, o, ["o_custkey"], ["o_orderkey"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# --- arbitrary stateful processing (applyInPandasWithState) ------------------
+
+def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
+    """Split events into two files, stream with one file per micro-batch:
+    the second batch's emitted totals must INCLUDE the first batch's
+    counts (state carried by the engine), and the final totals must equal
+    the batch group-by."""
+    from etl_verkada_spark.streaming.stateful import running_user_totals
+
+    ev = table(spark, SF_SMALL, "events").select("user_id", "value", "ts")
+    base = str(tmp_path / "ev")
+    # deterministic halves: even/odd event position per user
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(
+        f"{base}/f0"
+    )
+    # second file re-includes SOME even users so their state must carry
+    ev.filter(
+        (F.col("user_id") % 2 == 1) | (F.col("user_id") % 4 == 0)
+    ).coalesce(1).write.parquet(f"{base}/f1")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    import uuid
+
+    qname = f"stateful_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.table(qname).collect()
+
+    # state carry: users updated twice have two emitted rows, max = total
+    per_user_max = {}
+    seen_counts = {}
+    for r in emitted:
+        per_user_max[r["user_id"]] = max(
+            per_user_max.get(r["user_id"], 0), r["n_events"]
+        )
+        seen_counts[r["user_id"]] = seen_counts.get(r["user_id"], 0) + 1
+    assert any(c == 2 for c in seen_counts.values())  # some users in both files
+
+    expected = {
+        r["user_id"]: r["n"]
+        for r in ev.filter(
+            (F.col("user_id") % 2 == 0)
+            | (F.col("user_id") % 2 == 1)
+            | (F.col("user_id") % 4 == 0)
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # users re-included in file 1 (%4==0) are counted twice overall
+    double = {
+        r["user_id"]: r["n"]
+        for r in ev.filter(F.col("user_id") % 4 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for u, n in double.items():
+        expected[u] += n
+    assert per_user_max == expected
