@@ -95,6 +95,82 @@ def decode_frames(
     return payloads.mapInPandas(decode, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, mime string, out_w int, out_h int, n_bytes_in long, "
+    "scale double"
+)
+
+
+def resize_images(
+    payloads: DataFrame, out_w: int = 224, out_h: int = 224,
+    real_codecs: bool = False,
+) -> DataFrame:
+    """Resize 'kernel': 1->1 mapInPandas over binary payloads.
+
+    The real path (PIL `Image.resize`) is stubbed like decode_frames;
+    the fake computes the scale factor from the metadata dims so the
+    full Arrow round trip, schema contract, and batch shape are real.
+    Unlike decode_frames (1->N fan-out), this is the 1->1 kernel shape.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if real_codecs:
+            raise NotImplementedError(
+                "real image codecs are not available in this container; "
+                "install PIL and implement here"
+            )
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h = int(meta["width"]), int(meta["height"])
+                out.append(
+                    (
+                        doc_id,
+                        meta["mime"],
+                        out_w,
+                        out_h,
+                        len(payload),
+                        round(min(out_w / w, out_h / h), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "mime", "out_w", "out_h", "n_bytes_in", "scale"
+                ],
+            )
+
+    return payloads.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed resize pipeline over image-mime payloads only — the mime
+    filter on the metadata struct happens BEFORE the Python boundary, so
+    the kernel never sees filtered-out rows (pushdown-then-decode,
+    module docstring)."""
+    docs = table(spark, sf_dir, "documents")
+    imgs = with_binary_payload(docs).filter(
+        F.col("meta.mime").startswith("image/")
+    )
+    return resize_images(imgs)
+
+
+ORACLE_MM_RESIZE = """
+SELECT
+  doc_id,
+  ['image/jpeg', 'image/png', 'audio/wav'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+  224 AS out_w,
+  224 AS out_h,
+  octet_length(encode(text)) AS n_bytes_in,
+  ROUND(LEAST(224.0 / (640 + (doc_id % 4) * 160),
+              224.0 / (360 + (doc_id % 4) * 90)), 6) AS scale
+FROM documents
+WHERE doc_id % 3 IN (0, 1)
+"""
+
+
 def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked metadata/payload stats (no Python involved)."""
     docs = table(spark, sf_dir, "documents")
@@ -137,5 +213,9 @@ QUERIES = {
     "mm_decode_stub": spec(
         mm_decode_stub, None, "llm",
         doc="mapInPandas frame-sampling decode (stubbed codec, rows-only)",
+    ),
+    "mm_resize_stub": spec(
+        mm_resize_stub, ORACLE_MM_RESIZE, "llm",
+        doc="mapInPandas 1->1 resize kernel, mime-filtered pre-Python",
     ),
 }

@@ -56,7 +56,7 @@ def build_registry() -> dict[str, QuerySpec]:
     module import of the driver entry point."""
     from .operators import aggregates, dedup, filters, joins, projections
     from .operators import reshape, scans, setops, sorts, subqueries, windows
-    from .functions import scalars
+    from .functions import scalars, udtfs
     from .pipeline import features
     from .llm import dedup as llm_dedup
     from .llm import multimodal, similarity, text
@@ -78,6 +78,7 @@ def build_registry() -> dict[str, QuerySpec]:
         reshape,
         subqueries,
         scalars,
+        udtfs,
         features,
         llm_dedup,
         similarity,

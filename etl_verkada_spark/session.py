@@ -44,6 +44,8 @@ RUNTIME_DEFAULTS: dict[str, str] = {
     # bigger batches amortize the per-batch Arrow framing cost.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Arrow-batched UDTF eval (functions/udtfs.py)
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # local[32] scale; a cluster deployment overrides this (see SCALE.md).
     "spark.sql.shuffle.partitions": "64",
 }
