@@ -297,6 +297,55 @@ FROM mom
 """
 
 
+N_SALT = 16
+
+
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: two-phase salted aggregation for skewed keys.
+
+    l_returnflag has 3 distinct values — at 100 TB a direct group-by puts
+    a third of the table through each of 3 reducers. Salting splits each
+    hot group into N_SALT subgroups (phase 1: group by (key, salt), the
+    shuffle spreads over 3*N_SALT reducers), then re-aggregates the tiny
+    partials (phase 2). Works because the scaled-long sums and counts are
+    associative — the exact property the oracle verifies (plain group-by
+    must give bit-identical results). AQE's skew handling covers *join*
+    skew automatically; aggregation skew needs this explicit rewrite.
+
+    The salt must be deterministic per row (not rand()) or speculative
+    task retries double-count: here it hashes stable key columns.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    salt = F.pmod(
+        F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"), F.lit(N_SALT)
+    )
+    phase1 = (
+        li.withColumn("salt", salt)
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(scaled_long("l_extendedprice")).alias("ps"),
+        )
+    )
+    return (
+        phase1.groupBy("l_returnflag")
+        .agg(
+            F.sum("pc").alias("n_items"),
+            unscale(F.sum("ps"), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_AGG_SALTED = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: explicit GROUPING SETS (the general form rollup
     and cube specialize). SQL surface via a temp view; Catalyst expands
@@ -355,5 +404,9 @@ QUERIES = {
     "agg_grouping_sets": spec(
         agg_grouping_sets, ORACLE_AGG_GROUPING_SETS, "beyond",
         doc="GROUPING SETS via single Expand + hash aggregate",
+    ),
+    "agg_salted": spec(
+        agg_salted, ORACLE_AGG_SALTED, "beyond",
+        doc="two-phase salted aggregation for skewed group keys",
     ),
 }

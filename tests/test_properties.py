@@ -83,3 +83,46 @@ def test_dropduplicates_idempotent(spark, rows):
 def test_union_count_additive(spark, rows, rows2):
     a, b = _df(spark, rows), _df(spark, rows2)
     assert a.unionByName(b).count() == a.count() + b.count()
+
+
+# --- exact scaled-long sums (aggregates.py fast path) ------------------------
+
+money_st = st.lists(
+    # 2-decimal values as scaled ints, carried through a double column the
+    # way the testdata stores money
+    st.integers(min_value=-10**9, max_value=10**9),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(cents=money_st)
+@SETTINGS
+def test_scaled_long_sum_equals_decimal_sum(spark, cents):
+    """SUM over scaled longs == SUM over DECIMAL casts, bit-identical
+    after the unscale division — the equivalence the hot aggregates rely
+    on (agg_groupby, join_sortmerge, win_frame, stream_tumble)."""
+    from etl_verkada_spark.operators.aggregates import scaled_long, unscale
+
+    df = spark.createDataFrame(
+        [(c / 100.0,) for c in cents], "x double"
+    )
+    got = df.agg(
+        unscale(F.sum(scaled_long("x")), 2).alias("fast"),
+        F.sum(F.col("x").cast("decimal(28,2)")).cast("double").alias("exact"),
+    ).first()
+    assert got["fast"] == got["exact"]
+
+
+@given(cents=money_st)
+@SETTINGS
+def test_scaled_long_roundtrip_identity(spark, cents):
+    """floor(x*100+0.5) recovers the true scaled integer for every
+    representable 2-decimal double, positive and negative."""
+    from etl_verkada_spark.operators.aggregates import scaled_long
+
+    df = spark.createDataFrame([(c,) for c in cents], "c long")
+    out = df.select(
+        "c", scaled_long(F.col("c") / F.lit(100.0)).alias("rt")
+    ).collect()
+    assert all(r["rt"] == r["c"] for r in out)
