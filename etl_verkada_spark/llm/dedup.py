@@ -226,14 +226,9 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 4-gram Jaccard: top-20 most similar pairs (ground truth).
-
-    Inverted-index join on the shingle — the exact metric MinHash/SimHash
-    approximate. Oracle-checked: deterministic total order (rounded
-    jaccard desc, then pair ids).
-    """
-    docs = table(spark, sf_dir, "documents")
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """All (doc_a, doc_b, jaccard) pairs via inverted-index join on the
+    shingle — the exact metric MinHash/SimHash approximate."""
     sh = _doc_shingles(docs)
     pairs = (
         sh.select(F.col("doc_id").alias("doc_a"), "s")
@@ -245,7 +240,7 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = (
+    return (
         pairs.join(za, "doc_a")
         .join(zb, "doc_b")
         .select(
@@ -258,6 +253,16 @@ def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def llm_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 4-gram Jaccard: top-20 most similar pairs (ground truth).
+
+    Oracle-checked: deterministic total order (rounded jaccard desc,
+    then pair ids).
+    """
+    docs = table(spark, sf_dir, "documents")
+    jac = ngram_jaccard_pairs(docs)
     return jac.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(20)
 
 
@@ -294,6 +299,122 @@ LIMIT 20
 """
 
 
+CC_THRESHOLD = 0.5
+CC_MAX_ITER = 20
+
+
+def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
+    """Min-label propagation: each node converges to the smallest id in
+    its component. Deterministic and partition-independent (min is
+    associative/commutative), which is what lets the DuckDB recursive-CTE
+    oracle check an ITERATIVE Spark job.
+
+    Each iteration is one join + one min-aggregate on the (small) edge
+    set; ``localCheckpoint`` truncates the growing lineage so iteration
+    N doesn't replan iterations 1..N-1. Converges in O(diameter)
+    rounds — near-dup clusters are shallow; a 100 TB graph with long
+    chains would switch to the large-star/small-star algorithm (same
+    primitives, O(log n) rounds).
+
+    Expects columns (doc_a, doc_b); returns (doc_id, cluster_root) for
+    every node that has at least one edge.
+    """
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("root", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_roots = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "root")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_roots)
+            .groupBy("id")
+            .agg(F.min("root").alias("root"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.alias("old")
+            .join(new_labels.alias("new"), "id")
+            .filter(F.col("old.root") != F.col("new.root"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("root").alias("cluster_root")
+    )
+
+
+def llm_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over the
+    exact n-gram-Jaccard edge graph (>= 0.5).
+
+    Pairwise dedup (llm_dedup_embed et al.) under-merges chains
+    (A~B, B~C but A!~C); cluster-level dedup needs the transitive
+    closure. This is the engine's iterative-algorithm surface — a
+    driver-side fixpoint loop over DataFrame ops, checked against a
+    DuckDB WITH RECURSIVE oracle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs).filter(
+        F.col("jaccard") >= CC_THRESHOLD
+    ).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    return labels.withColumn("cluster_root", F.col("cluster_root").cast("long"))
+
+
+ORACLE_LLM_DEDUP_CC = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(ws[i:i+3], ' ')
+                   for i in generate_series(1, LEN(ws) - 3)]) AS s
+    FROM w WHERE LEN(ws) >= 4
+    UNION ALL
+    SELECT doc_id, text AS s FROM w WHERE LEN(ws) < 4
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON i.doc_a = za.doc_id
+  JOIN sizes zb ON i.doc_b = zb.doc_id
+  WHERE ROUND(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6) >= 0.5
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+)
+SELECT a AS doc_id, MIN(b) AS cluster_root
+FROM reach
+GROUP BY a
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": spec(
         llm_dedup_exact, ORACLE_LLM_DEDUP_EXACT, "llm",
@@ -310,5 +431,9 @@ QUERIES = {
     "llm_dedup_ngram": spec(
         llm_dedup_ngram, ORACLE_LLM_DEDUP_NGRAM, "llm",
         doc="exact 4-gram Jaccard top-20 pairs (ground truth)",
+    ),
+    "llm_dedup_cc": spec(
+        llm_dedup_cc, ORACLE_LLM_DEDUP_CC, "llm",
+        doc="transitive near-dup clustering (iterative CC vs recursive CTE)",
     ),
 }

@@ -124,3 +124,20 @@ def test_embed_dedup_keeper_is_lower_id(spark):
 
     out = llm_dedup_embed(spark, "/root/testdata/sf0.001").collect()
     assert all(r["keep_id"] < r["dup_id"] for r in out)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A path graph must collapse to one cluster (transitive closure) in
+    O(diameter) label-propagation rounds, and disjoint components must
+    stay separate."""
+    from etl_verkada_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_root"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
