@@ -319,7 +319,9 @@ N_CELLS = 16  # IVF cells; centroids = the first N_CELLS vectors by id
 N_PROBE = 2
 
 
-def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_sim_ann_ivf(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
     """ANN: IVF — coarse-quantize to cells, probe the nearest N_PROBE.
 
     Centroids are the N_CELLS lowest-id vectors (a deterministic stand-in
@@ -353,7 +355,7 @@ def llm_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qvec = np.array(_fetch_query_vec(sf_dir), dtype=np.float64)
     qn = qvec / np.linalg.norm(qvec)
-    probe_cells = [int(c) for c in np.argsort(-(cents_n @ qn))[:N_PROBE]]
+    probe_cells = [int(c) for c in np.argsort(-(cents_n @ qn))[:n_probe]]
 
     sim = F.round(_sim_to_query([float(v) for v in qvec]), 4)
     return (

@@ -141,3 +141,20 @@ def test_connected_components_transitive_chain(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 10: 10, 11: 10}
+
+
+def test_ivf_probe_all_equals_brute_force(spark):
+    """Probing every cell degrades IVF to exact brute force: the top-k
+    must be identical (validates both the cell partition — no vector
+    lost or duplicated — and the rescoring metric)."""
+    from etl_verkada_spark.llm.similarity import (
+        N_CELLS, llm_sim_ann_ivf, llm_sim_search,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    bf = [(r["vec_id"], r["sim"]) for r in llm_sim_search(spark, SF).collect()]
+    ivf = [
+        (r["vec_id"], r["sim"])
+        for r in llm_sim_ann_ivf(spark, SF, n_probe=N_CELLS).collect()
+    ]
+    assert ivf == bf

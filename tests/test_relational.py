@@ -261,3 +261,48 @@ def test_grouping_sets_is_one_expand(spark):
 
     plan = plan_of(agg_grouping_sets(spark, SF_SMALL))
     assert "Expand" in plan and plan.count("Exchange") == 1, plan
+
+
+def test_bucketed_join_is_zero_shuffle(spark, tmp_path):
+    """The SCALE.md §3 claim: with both sides bucketed by the join key,
+    Catalyst plans a sort-merge join with NO shuffle exchange — the
+    layout decision that removes the dominant 100 TB cost."""
+    from etl_verkada_spark.catalog import table
+
+    li = table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(tmp_path / "li_b")
+    ).mode("overwrite").saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(tmp_path / "o_b")
+    ).mode("overwrite").saveAsTable("o_bucketed")
+    try:
+        joined = (
+            spark.table("li_bucketed")
+            .hint("merge")
+            .join(
+                spark.table("o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan  # co-located: zero shuffle
+        # sanity: same row count as the shuffled join
+        n_plain = (
+            table(spark, SF_SMALL, "lineitem")
+            .join(
+                table(spark, SF_SMALL, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == n_plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
