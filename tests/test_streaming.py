@@ -180,3 +180,69 @@ def test_stateful_totals_carry_state_across_batches(spark, tmp_path):
     for u, n in double.items():
         expected[u] += n
     assert per_user_max == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics made concrete. Spark applies a newly computed
+    watermark starting with the NEXT batch, so the timeline is three
+    micro-batches: batch 0 advances event time to 03:00 (watermark
+    becomes 02:50), batch 1 runs under that watermark (its own event just
+    keeps things moving), batch 2 delivers an event at 00:01 — far below
+    the watermark — which must be DROPPED, not merged into its (already
+    finalized) window."""
+    import datetime as dt
+    import os
+    import time as _time
+    import uuid
+
+    base = str(tmp_path / "late")
+    P = dt.datetime.fromisoformat
+
+    def mk(path, rows, age_s):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(path)
+        # the file source orders micro-batches by modification time: pin
+        # distinct ages (the three writes land within the same ms)
+        now = _time.time()
+        for root, _, files in os.walk(path):
+            for f in files:
+                os.utime(os.path.join(root, f), (now - age_s, now - age_s))
+
+    mk(f"{base}/f0",
+       [(1, P("2024-01-01 00:00:00")), (1, P("2024-01-01 03:00:00"))], 180)
+    mk(f"{base}/f1", [(1, P("2024-01-01 03:01:00"))], 120)
+    mk(f"{base}/f2",
+       [(1, P("2024-01-01 00:01:00")), (1, P("2024-01-01 03:05:00"))], 60)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    qname = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["ws"]: r["n"] for r in spark.table(qname).collect()}
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    # the 00:00 window finalized with exactly ONE event (t0); the late
+    # 00:01 arrival in batch 2 was counted dropped, not merged
+    assert got.get("2024-01-01 00:00:00") == 1, (got, dropped)
+    assert dropped == 1, (got, dropped)
