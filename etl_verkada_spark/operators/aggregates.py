@@ -346,6 +346,36 @@ GROUP BY l_returnflag
 """
 
 
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: exact percentiles (sort-based, linearly
+    interpolated — the same continuous-quantile definition DuckDB's
+    quantile_cont uses: index p*(n-1), lerp between floor/ceil ranks).
+
+    Exact percentile shuffles every value to its group; at 100 TB the
+    scalable form is approx_percentile (KLL/GK sketches, mergeable
+    partials) — registered separately under agg_approx's rows-only
+    regime would go here if contractual exactness is dropped. Rounded to
+    4 decimals: the lerp arithmetic is one subtraction+multiply+add in
+    double, identical in both engines.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pcts, 1), 4).alias("p50"),
+        F.round(F.element_at(pcts, 2), 4).alias("p95"),
+    )
+
+
+ORACLE_AGG_PERCENTILE = """
+SELECT
+  l_returnflag,
+  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: explicit GROUPING SETS (the general form rollup
     and cube specialize). SQL surface via a temp view; Catalyst expands
@@ -408,5 +438,9 @@ QUERIES = {
     "agg_salted": spec(
         agg_salted, ORACLE_AGG_SALTED, "beyond",
         doc="two-phase salted aggregation for skewed group keys",
+    ),
+    "agg_percentile": spec(
+        agg_percentile, ORACLE_AGG_PERCENTILE, "beyond",
+        doc="exact linear-interpolated percentiles per group",
     ),
 }

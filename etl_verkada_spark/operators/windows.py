@@ -173,6 +173,51 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
+RANGE_FRAME_US = 10 * 60 * 1_000_000  # 10 minutes in microseconds
+
+
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: time-based RANGE frame — per-user rolling
+    10-minute sum over event time.
+
+    RANGE frames bound by *value distance*, not row count: every peer
+    within [ts - 10min, ts] joins the frame regardless of how many rows
+    that is — the semantics sliding-window features (rolling rates,
+    monitoring counters) actually need. Spark's DataFrame rangeBetween
+    takes numeric offsets, so the ordering column is exact epoch
+    microseconds; the SQL form (`RANGE BETWEEN INTERVAL 10 MINUTES
+    PRECEDING AND CURRENT ROW`) compiles to the same SpecifiedWindowFrame.
+    The sum accumulates exact cents (aggregates.py discipline).
+    """
+    from .aggregates import scaled_long, unscale
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-RANGE_FRAME_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        unscale(F.sum(scaled_long("value")).over(w), 2).alias("rolling_10m"),
+    )
+
+
+ORACLE_WIN_RANGE_INTERVAL = """
+SELECT
+  event_id,
+  user_id,
+  epoch_us(ts) AS ts_us,
+  CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW
+       ) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS rolling_10m
+FROM events
+"""
+
+
 QUERIES = {
     "win_rownum": spec(
         win_rownum, ORACLE_WIN_ROWNUM, "beyond", "reference:J2",
@@ -193,5 +238,9 @@ QUERIES = {
     "win_ntile": spec(
         win_ntile, ORACLE_WIN_NTILE, "beyond",
         doc="ntile/percent_rank/cume_dist distribution windows",
+    ),
+    "win_range_interval": spec(
+        win_range_interval, ORACLE_WIN_RANGE_INTERVAL, "beyond",
+        doc="time-based RANGE frame: rolling 10-minute sum per user",
     ),
 }
