@@ -195,6 +195,46 @@ FROM lineitem
 """
 
 
+def fx_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: map-typed columns — build, extract, interrogate.
+
+    The reference embeds the whole camera record as an open object
+    (`metadata: camera`, task.ts:186); the engine models open-schema
+    payloads as MapType when keys vary per row (structs when fixed —
+    SURVEY §1.2). The oracle compares scalar EXTRACTS, not the map value
+    itself: map iteration order is engine-specific, so a map column can
+    never be in a hash-compared result (same rule as sketches).
+    """
+    n = table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_v"),
+        F.element_at(m, "region").alias("region_v"),
+        F.size(m).alias("n_keys"),
+        F.array_contains(F.map_keys(m), "region").alias("has_region"),
+    )
+
+
+ORACLE_FX_MAP = """
+SELECT
+  n_nationkey,
+  map_extract(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)},
+              'name')[1] AS name_v,
+  map_extract(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)},
+              'region')[1] AS region_v,
+  cardinality(MAP {'name': n_name,
+                   'region': CAST(n_regionkey AS VARCHAR)}) AS n_keys,
+  list_contains(map_keys(MAP {'name': n_name,
+                              'region': CAST(n_regionkey AS VARCHAR)}),
+                'region') AS has_region
+FROM nation
+"""
+
+
 QUERIES = {
     "fx_string": spec(
         fx_string, ORACLE_FX_STRING, "reference:F1", "reference:F2", "reference:F4",
@@ -215,6 +255,10 @@ QUERIES = {
     "fx_json": spec(
         fx_json, ORACLE_FX_JSON, "reference:F3",
         doc="JSON extract + to_json(struct), task.ts:235,256",
+    ),
+    "fx_map": spec(
+        fx_map, ORACLE_FX_MAP, "beyond",
+        doc="map-typed columns: build/extract/keys (open-schema payloads)",
     ),
     "udf_pandas": spec(
         udf_pandas, ORACLE_UDF_PANDAS, "beyond",

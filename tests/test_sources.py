@@ -117,3 +117,63 @@ def test_upsert_error_isolation():
         iter(rows), "http://127.0.0.1:1/unreachable", timeout=0.2
     )
     assert (ok, failed) == (1, 1)  # the skip succeeds, the post fails quietly
+
+
+# --- file-format sources: JSON / CSV land-then-read --------------------------
+
+def test_json_land_then_read_roundtrip(spark, tmp_path):
+    """The land-then-read pattern with JSON lines: explicit schema on
+    read (no inference job), values identical to the parquet original."""
+    from etl_verkada_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    orig = table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_json")
+    orig.write.json(path)
+    back = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orig.collect())
+    )
+
+
+def test_json_permissive_quarantines_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE mode (the lenient S3 path): corrupt lines land in
+    _corrupt_record instead of failing the read; valid rows parse."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"k": 1, "v": "ok"}\n'
+        "this is not json\n"
+        '{"k": 2, "v": "also ok"}\n'
+    )
+    df = spark.read.schema(
+        "k long, v string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(str(p))
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["k"] for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_csv_land_then_read_roundtrip(spark, tmp_path):
+    """CSV with explicit schema + header: doubles survive the text
+    round trip via the canonical repr."""
+    from etl_verkada_spark.catalog import table
+
+    orig = table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    path = str(tmp_path / "customer_csv")
+    orig.write.option("header", True).csv(path)
+    back = spark.read.schema(
+        "c_custkey long, c_name string, c_acctbal double"
+    ).option("header", True).csv(path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orig.collect())
+    )
