@@ -202,13 +202,20 @@ def _planes(dim: int) -> np.ndarray:
     return rng.standard_normal((N_PLANES, dim)).astype(np.float64)
 
 
-def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN: random-hyperplane LSH bucket probe + in-bucket rescoring.
+def llm_sim_ann_lsh(
+    spark: SparkSession, sf_dir: str, multiprobe: int = 1
+) -> DataFrame:
+    """ANN: random-hyperplane LSH with multi-probe + in-bucket rescoring.
 
-    Signature = sign bits of 16 seeded Gaussian projections (numpy
-    matmul in an Arrow-batched pandas UDF — one JVM->Arrow->numpy round
-    trip per batch, no per-row Python). Query probes only its bucket;
-    exact cosine rescoresthe survivors. Rows-only (bucket content is
+    Signature = sign bits of seeded Gaussian projections (numpy matmul
+    in an Arrow-batched pandas UDF — one JVM->Arrow->numpy round trip
+    per batch, no per-row Python). The query probes its own bucket plus
+    every bucket within Hamming distance ``multiprobe`` of it —
+    multi-probe LSH (Lv et al., VLDB'07): near neighbors that fall just
+    across one hyperplane land one bit-flip away, so probing the flip
+    neighborhood buys recall WITHOUT more hash tables (at 100 TB,
+    1 + N_PLANES partition-pruned reads instead of another full index).
+    Exact cosine rescores the survivors. Rows-only (bucket content is
     sketch-dependent), deterministic via the fixed seed.
     """
     e = table(spark, sf_dir, "embeddings")
@@ -218,7 +225,7 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("long")
     def bucket_of(emb: pd.Series) -> pd.Series:
         mat = np.vstack(emb.to_numpy())  # (batch, dim) float32
-        bits = (mat.astype(np.float64) @ planes.T) > 0  # (batch, 16)
+        bits = (mat.astype(np.float64) @ planes.T) > 0  # (batch, n_planes)
         weights = (1 << np.arange(N_PLANES)).astype(np.int64)
         return pd.Series(bits @ weights)
 
@@ -228,13 +235,20 @@ def llm_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         np.array(qvec, dtype=np.float32).astype(np.float64) @ planes.T
     ) > 0
     qbucket = int(qbits @ (1 << np.arange(N_PLANES)).astype(np.int64))
+    probes = {qbucket}
+    if multiprobe >= 1:
+        probes.update(qbucket ^ (1 << b) for b in range(N_PLANES))
+    if multiprobe >= 2:
+        for b1 in range(N_PLANES):
+            for b2 in range(b1 + 1, N_PLANES):
+                probes.add(qbucket ^ (1 << b1) ^ (1 << b2))
 
     with_bucket = e.select("vec_id", "label", "embedding",
                            bucket_of("embedding").alias("bucket"))
     sim = F.round(_sim_to_query(qvec), 4)
     return (
         with_bucket.filter(
-            (F.col("bucket") == F.lit(qbucket))
+            F.col("bucket").isin(sorted(probes))
             & (F.col("vec_id") != QUERY_VEC_ID)
         )
         .select("vec_id", "label", "bucket", sim.alias("sim"))

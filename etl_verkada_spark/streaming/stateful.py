@@ -23,6 +23,14 @@ oracle match is exact.
 SCALE.md §1/§6); the shuffle is one exchange on user_id per micro-batch;
 state size = #keys x 16 bytes, independent of history length. Timeouts
 (``GroupStateTimeout.ProcessingTimeTimeout``) evict idle keys.
+
+Spark 4.1's successor API ``transformWithStateInPandas`` (typed
+ValueState/ListState/MapState, timers, TTL) was evaluated and works the
+same way for this operator, but its driver-side worker requires the
+Python ``protobuf`` package, absent from this container — its prototype
+fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The
+applyInPandasWithState form below has no such dependency; migrating is a
+rename plus a StatefulProcessor wrapper when protobuf is available.
 """
 
 from __future__ import annotations

@@ -158,3 +158,19 @@ def test_ivf_probe_all_equals_brute_force(spark):
         for r in llm_sim_ann_ivf(spark, SF, n_probe=N_CELLS).collect()
     ]
     assert ivf == bf
+
+
+def test_lsh_multiprobe_recall_dominates_single_bucket(spark):
+    """Probing the Hamming-1 neighborhood must return a superset of the
+    single-bucket candidates, and strictly improve (or equal) recall of
+    the brute-force top-k."""
+    from etl_verkada_spark.llm.similarity import llm_sim_ann_lsh, llm_sim_search
+
+    SF = "/root/testdata/sf0.001"
+    single = {r["vec_id"] for r in llm_sim_ann_lsh(spark, SF, multiprobe=0).collect()}
+    multi = {r["vec_id"] for r in llm_sim_ann_lsh(spark, SF, multiprobe=1).collect()}
+    bf = {r["vec_id"] for r in llm_sim_search(spark, SF).collect()}
+    # both return <= TOP_K rows; multi-probe candidates must cover at
+    # least as much of the true top-k as the single bucket did
+    assert len(multi & bf) >= len(single & bf)
+    assert len(multi) >= len(single)
