@@ -65,6 +65,36 @@ SELECT o_custkey AS key FROM orders
 """
 
 
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: bag difference — each order 'consumes' one occurrence.
+
+    Distinct-set EXCEPT (above) can't express per-occurrence accounting;
+    bag semantics matter whenever multiplicity is data (inventory,
+    retries, quota). Spark plans exceptAll as a counted anti-join
+    (generate + aggregate), one shuffle.
+    """
+    return _order_keys(spark, sf_dir).exceptAll(_cust_keys(spark, sf_dir))
+
+
+ORACLE_SET_EXCEPT_ALL = """
+SELECT o_custkey AS key FROM orders
+EXCEPT ALL
+SELECT c_custkey AS key FROM customer
+"""
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag intersection, min of the two multiplicities."""
+    return _order_keys(spark, sf_dir).intersectAll(_cust_keys(spark, sf_dir))
+
+
+ORACLE_SET_INTERSECT_ALL = """
+SELECT o_custkey AS key FROM orders
+INTERSECT ALL
+SELECT c_custkey AS key FROM customer
+"""
+
+
 QUERIES = {
     "set_union": spec(
         set_union, ORACLE_SET_UNION, "beyond", doc="UNION DISTINCT"
@@ -74,5 +104,13 @@ QUERIES = {
     ),
     "set_except": spec(
         set_except, ORACLE_SET_EXCEPT, "beyond", doc="EXCEPT"
+    ),
+    "set_except_all": spec(
+        set_except_all, ORACLE_SET_EXCEPT_ALL, "beyond",
+        doc="EXCEPT ALL (bag difference, counted anti-join)",
+    ),
+    "set_intersect_all": spec(
+        set_intersect_all, ORACLE_SET_INTERSECT_ALL, "beyond",
+        doc="INTERSECT ALL (bag intersection)",
     ),
 }
