@@ -69,7 +69,11 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer; later runs win, ties broken by the highest order key —
     the deterministic replacement for the reference's arrival order.
     """
-    o = table(spark, sf_dir, "orders")
+    # project to the merged columns first — the merge's argmax carries
+    # whole rows, so surviving width is per-row cost (dedup.py docstring)
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
     run1 = o.filter(F.col("o_orderkey") % 2 == 0).withColumn("run_idx", F.lit(1))
     run2 = o.filter(F.col("o_orderkey") % 2 == 1).withColumn("run_idx", F.lit(2))
     state = merge_last_wins(None, run1, ["o_custkey"], ["run_idx", "o_orderkey"])
