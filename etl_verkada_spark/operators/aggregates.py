@@ -376,6 +376,32 @@ GROUP BY l_returnflag
 """
 
 
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: set collection into a deterministic ARRAY result.
+
+    collect_set order is engine- and partitioning-dependent; sort_array
+    canonicalizes it, making an array-valued aggregate oracle-comparable
+    (the driver canonicalizes arrays element-wise). The 100 TB caveat is
+    cardinality: collected arrays live in one row — bounded domains only
+    (statuses here), never unbounded user data.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ORACLE_AGG_COLLECT = """
+SELECT
+  o_orderpriority,
+  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: explicit GROUPING SETS (the general form rollup
     and cube specialize). SQL surface via a temp view; Catalyst expands
@@ -442,5 +468,9 @@ QUERIES = {
     "agg_percentile": spec(
         agg_percentile, ORACLE_AGG_PERCENTILE, "beyond",
         doc="exact linear-interpolated percentiles per group",
+    ),
+    "agg_collect": spec(
+        agg_collect, ORACLE_AGG_COLLECT, "beyond",
+        doc="sorted collect_set: deterministic array-valued aggregate",
     ),
 }

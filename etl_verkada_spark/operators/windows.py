@@ -173,6 +173,45 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: first_value / last_value / nth_value navigation.
+
+    The frame MUST be the full partition (unbounded both ways) for
+    last_value to mean the partition's last row — the default frame
+    (unbounded preceding .. current row) silently makes last_value ==
+    current row, the classic window footgun both engines share.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first_value(F.col("l_quantity")).over(w).alias("first_qty"),
+        F.last_value(F.col("l_quantity")).over(w).alias("last_qty"),
+        F.nth_value(F.col("l_quantity"), 2).over(w).alias("second_qty"),
+    )
+
+
+ORACLE_WIN_FIRST_LAST = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  FIRST_VALUE(l_quantity) OVER w AS first_qty,
+  LAST_VALUE(l_quantity) OVER w AS last_qty,
+  NTH_VALUE(l_quantity, 2) OVER w AS second_qty
+FROM lineitem
+WINDOW w AS (
+  PARTITION BY l_orderkey
+  ORDER BY l_linenumber, l_quantity, l_extendedprice, l_partkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
 RANGE_FRAME_US = 10 * 60 * 1_000_000  # 10 minutes in microseconds
 
 
@@ -242,5 +281,9 @@ QUERIES = {
     "win_range_interval": spec(
         win_range_interval, ORACLE_WIN_RANGE_INTERVAL, "beyond",
         doc="time-based RANGE frame: rolling 10-minute sum per user",
+    ),
+    "win_first_last": spec(
+        win_first_last, ORACLE_WIN_FIRST_LAST, "beyond",
+        doc="first/last/nth_value navigation over full-partition frames",
     ),
 }
