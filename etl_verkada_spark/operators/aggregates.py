@@ -228,23 +228,37 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: variance / stddev / correlation, order-insensitive.
 
     Spark's stddev/corr accumulate doubles (order-sensitive, oracle-
-    mismatching), so the moments are accumulated EXACTLY instead:
-    Σx, Σy as scale-2 longs, Σx², Σy², Σxy as exact integers (decimal for
-    the two that can exceed long range), then the textbook formulas run
-    in double on those exact moments — every arithmetic step is identical
-    in both engines, so the results are bit-identical. This is also the
-    scalable shape: one pass, five mergeable partials per group.
+    mismatching), so the moments are accumulated EXACTLY instead: every
+    sum is a LONG of exact integers (the y² term is decomposed into
+    dollar/cent cross-terms to stay under 2^63 — see inline comment),
+    then the textbook formulas run in double on those exact moments —
+    every arithmetic step is identical in both engines, so the results
+    are bit-identical. This is also the scalable shape: one pass, eight
+    mergeable long partials per group, all in whole-stage codegen.
     """
     li = table(spark, sf_dir, "lineitem")
-    x = scaled_long("l_quantity")        # scale 2, small magnitude
+    x = scaled_long("l_quantity")        # scale 2, <= ~5e3 (qty <= 50)
     y = scaled_long("l_extendedprice")   # scale 2, up to ~1e7
+    # y*y reaches 1e14 and its sum would overflow 2^63; split y into
+    # dollars/cents (y = 100*yd + yr) so every squared term sums in a
+    # long: y^2 = 1e4*yd^2 + 200*yd*yr + yr^2, recombined exactly in
+    # decimal AFTER aggregation. x*y (<= 5e10) sums long-safe directly.
+    yd = F.floor(y / F.lit(100))
+    yr = y - yd * 100
     mom = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),                        # <= ~1e13: long ok
-        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),  # may pass 2^63
-        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+        F.sum(x * x).alias("sxx"),       # <= ~1e13/row: long ok
+        F.sum(x * y).alias("sxy"),
+        F.sum(yd * yd).alias("sydd"),
+        F.sum(yd * yr).alias("sydr"),
+        F.sum(yr * yr).alias("syrr"),
+    )
+    syy_dec = (
+        F.col("sydd").cast("decimal(38,0)") * 10_000
+        + F.col("sydr").cast("decimal(38,0)") * 200
+        + F.col("syrr").cast("decimal(38,0)")
     )
     # Exact integers -> double once, then identical double arithmetic.
     n = F.col("n").cast("double")
@@ -252,7 +266,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.col("sy").cast("double")
     sxx = F.col("sxx").cast("double")
     sxy = F.col("sxy").cast("double")
-    syy = F.col("syy").cast("double")
+    syy = syy_dec.cast("double")
     var_x = (n * sxx - sx * sx) / (n * (n - F.lit(1.0))) / F.lit(1e4)
     corr = (n * sxy - sx * sy) / (
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
