@@ -174,3 +174,30 @@ def test_lsh_multiprobe_recall_dominates_single_bucket(spark):
     # least as much of the true top-k as the single bucket did
     assert len(multi & bf) >= len(single & bf)
     assert len(multi) >= len(single)
+
+
+def test_minhash_recall_on_true_neardups(spark):
+    """With the fixed hash seeds, the 16-perm/4-band sketch must find
+    EVERY true pair at Jaccard >= 0.7 in the testdata (the s-curve puts
+    candidate probability >= ~0.97 at 0.9 and the corpus's near-dups are
+    high-similarity; deterministic because all hashing is seeded)."""
+    from pyspark.sql import functions as F
+
+    from etl_verkada_spark.catalog import table
+    from etl_verkada_spark.llm.dedup import (
+        llm_dedup_minhash, ngram_jaccard_pairs,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(table(spark, SF, "documents"))
+        .filter(F.col("jaccard") >= 0.7)
+        .collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in llm_dedup_minhash(spark, SF).collect()
+    }
+    assert truth, "corpus must contain planted near-dups"
+    assert truth <= found  # 100% recall on the high-similarity band
