@@ -10,7 +10,7 @@ Python workers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -200,6 +200,84 @@ FROM w
 """
 
 
+TFIDF_TOP_TERMS = 5
+
+
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF.
+
+    The ranking key is the EXACT integer ``tf * N * 10^6 div df``
+    (linear inverse document frequency in parts-per-million): both
+    engines compute identical longs, so ordering and values are
+    bit-stable. The textbook log-idf is a one-line change — but Java's
+    Math.log and DuckDB's ln disagree in the last ulp (~9% of inputs,
+    measured), which poisons a hash-compared oracle; the linear form
+    ranks almost identically at corpus scale and keeps the gate exact.
+
+    Shape at 100 TB: two shuffles (term counts per doc; doc frequency
+    per term), both map-side combined; the top-k per doc is one
+    window over the doc key. The corpus size N is a metadata lookup,
+    not a job.
+    """
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        # `div` is exact long integer division — no float in the ranking
+        # key (Spark casts double->long by truncation, DuckDB by
+        # rounding, so a float path would diverge at .5 boundaries)
+        F.expr(f"tf * 1000000L * {n_docs}L div df").alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "term", "tf", "df", "score_ppm", "rk")
+    )
+
+
+ORACLE_LLM_TFIDF = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(LOWER(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM terms WHERE LEN(term) >= 3
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT
+    tf.doc_id, tf.term, tf.tf, df.df,
+    (tf.tf * 1000000 * n.n_docs) // df.df AS score_ppm
+  FROM tf JOIN df ON tf.term = df.term, n
+)
+SELECT doc_id, term, tf, df, score_ppm, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_ppm DESC, term
+  ) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "llm_text_stats": spec(
         llm_text_stats, ORACLE_LLM_TEXT_STATS, "llm",
@@ -220,5 +298,9 @@ QUERIES = {
     "llm_fingerprint": spec(
         llm_fingerprint, ORACLE_LLM_FINGERPRINT, "llm",
         doc="min-MD5 shingle fingerprint",
+    ),
+    "llm_tfidf": spec(
+        llm_tfidf, ORACLE_LLM_TFIDF, "llm",
+        doc="top-5 characteristic terms per doc (exact-integer TF-IDF)",
     ),
 }
