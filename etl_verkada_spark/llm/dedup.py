@@ -25,15 +25,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import spec
-from .text import with_shingles
+from .text import normalized_text, with_shingles
 
 N_PERMS = 16
 BAND_SIZE = 4  # -> 4 bands; s-curve threshold ~ (1/4)^(1/4) ≈ 0.7
-
-
-def normalized_text() -> F.Column:
-    """lower + trim + whitespace collapse (the canonical normalizer)."""
-    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
 
 
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -165,6 +165,12 @@ END
 """
 
 
+def normalized_text() -> F.Column:
+    """lower + trim + whitespace collapse (the canonical normalizer,
+    shared by exact dedup and the cleaning pipeline)."""
+    return F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+
+
 def with_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, text, ws, shingles): the shared shingling projection."""
     return docs.select(
@@ -197,6 +203,77 @@ SELECT
        ELSE md5(text)
   END AS fingerprint
 FROM w
+"""
+
+
+def llm_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM counterpart of the reference flagship: a full corpus-
+    cleaning pass as ONE declarative plan.
+
+        documents
+          -> quality gate   (token count / word length bounds)   [C4-style]
+          -> language gate  (stopword-hit heuristic)
+          -> exact dedup    (content-hash argmin keeps lowest id)
+          -> survivors      + per-doc token count and dedup provenance
+
+    Every stage is a narrow projection or one map-side-combined
+    aggregate; the only shuffle is the dedup group-by on the 16-byte
+    content hash. At 100 TB this IS the shape of a pretraining-corpus
+    clean: gates first (cheap, prune early), hash-dedup on digests
+    (never shuffles text), survivors carry provenance for audit.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(_words())
+    chars_ns = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    avg_wlen = chars_ns.cast("double") / n_tok
+    en_hits = F.size(F.filter(_words(), lambda w: w.isin(*EN_STOPWORDS)))
+    gated = d.select(
+        "doc_id", "text", n_tok.alias("n_tok"), en_hits.alias("en_hits"),
+        avg_wlen.alias("avg_wlen"),
+    ).filter(
+        (F.col("n_tok") >= 20) & (F.col("n_tok") <= 500)
+        & (F.col("avg_wlen") >= 2.0) & (F.col("avg_wlen") <= 12.0)
+        & (F.col("en_hits") > 0)
+    )
+    hashed = gated.select(
+        "doc_id", "n_tok", F.md5(normalized_text()).alias("content_hash")
+    )
+    keepers = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        hashed.join(keepers, "content_hash")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "n_tok", "content_hash", "n_copies")
+    )
+
+
+ORACLE_LLM_CLEAN_PIPELINE = """
+WITH gated AS (
+  SELECT
+    doc_id,
+    text,
+    LEN(string_split(text, ' ')) AS n_tok
+  FROM documents
+  WHERE LEN(string_split(text, ' ')) BETWEEN 20 AND 500
+    AND CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE)
+        / LEN(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+    AND LEN(list_filter(string_split(text, ' '),
+            w -> w IN ('the', 'a', 'of', 'and', 'to'))) > 0
+),
+hashed AS (
+  SELECT doc_id, n_tok,
+         md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+  FROM gated
+),
+keepers AS (
+  SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+  FROM hashed GROUP BY content_hash
+)
+SELECT h.doc_id, h.n_tok, h.content_hash, k.n_copies
+FROM hashed h JOIN keepers k USING (content_hash)
+WHERE h.doc_id = k.keep_id
 """
 
 
@@ -302,5 +379,9 @@ QUERIES = {
     "llm_tfidf": spec(
         llm_tfidf, ORACLE_LLM_TFIDF, "llm",
         doc="top-5 characteristic terms per doc (exact-integer TF-IDF)",
+    ),
+    "llm_clean_pipeline": spec(
+        llm_clean_pipeline, ORACLE_LLM_CLEAN_PIPELINE, "llm",
+        doc="end-to-end corpus clean: quality gate -> lang gate -> dedup",
     ),
 }
