@@ -340,3 +340,41 @@ def test_partition_pruning_skips_other_partitions(spark, tmp_path):
     else:
         # fallback: the pushed partition filter must appear in the scan
         assert "o_orderstatus" in plan and "PartitionFilters" in plan, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The SCALE.md §3 skew claim, observed for real: a 90%-hot key under
+    aggressive skew thresholds makes AQE re-plan the sort-merge join with
+    skew=true (the hot partition is split across tasks instead of
+    melting one executor). Thresholds are restored afterwards."""
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.hint("merge").join(right, "k")
+        n = len(j.collect())  # materialize THIS df so AQE finalizes it
+        plan = plan_of(j)
+        assert n == 270_100
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
