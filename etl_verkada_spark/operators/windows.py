@@ -268,7 +268,7 @@ QUERIES = {
     ),
     "win_frame": spec(
         win_frame, ORACLE_WIN_FRAME, "beyond",
-        doc="running-sum frame, decimal-exact",
+        doc="running-sum frame, exact scaled-long accumulation",
     ),
     "win_lag": spec(
         win_lag, ORACLE_WIN_LAG, "beyond",
