@@ -60,6 +60,7 @@ def build_registry() -> dict[str, QuerySpec]:
     from .pipeline import features
     from .llm import dedup as llm_dedup
     from .llm import multimodal, similarity, text
+    from .streaming import joins as stream_joins
     from .streaming import stateful as stream_stateful
     from .streaming import windows as stream_windows
     from .streaming import upsert
@@ -86,6 +87,7 @@ def build_registry() -> dict[str, QuerySpec]:
         multimodal,
         stream_windows,
         stream_stateful,
+        stream_joins,
         upsert,
     ):
         overlap = merged.keys() & module.QUERIES.keys()
