@@ -314,8 +314,13 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
     Expects columns (doc_a, doc_b); returns (doc_id, cluster_root) for
     every node that has at least one edge.
     """
-    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    # Materialize the edge set ONCE: every iteration joins against sym,
+    # and without this checkpoint the (expensive) edge-derivation lineage
+    # re-executes per round (measured 3x end-to-end on the n-gram graph).
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
