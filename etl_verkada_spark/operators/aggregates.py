@@ -210,18 +210,43 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference (rows-only): HyperLogLog++ approximate distinct.
+    """Beyond-reference: HyperLogLog++ approximate distinct, oracle-checked
+    on its ERROR BOUND rather than the sketch value.
 
-    Sketch-based — the 100 TB answer to COUNT(DISTINCT) when 2% error is
+    Sketch-based — the 100 TB answer to COUNT(DISTINCT) when ~2% error is
     acceptable: one pass, fixed memory, mergeable partials, no distinct
-    shuffle. Not oracle-checkable (DuckDB's approx sketch differs), so
-    rows-only; the exact companion is agg_count_distinct.
+    shuffle. The raw estimate is engine-specific (Spark HLL++ != DuckDB
+    HLL), so the comparable contract is "each engine's sketch lands
+    within 8% (4 sigma at rsd=0.02) of the exact count" — both sides
+    emit that boolean next to the exact count, and the exact count also
+    pins the data itself. The exact COUNT(DISTINCT) here exists only to
+    judge the sketch; production use is the sketch alone.
     """
     li = table(spark, sf_dir, "lineitem")
+    exact = F.count_distinct(F.col("l_partkey"))
+    approx = F.approx_count_distinct("l_partkey", 0.02)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        exact.alias("exact_parts"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.08 * exact.cast("double")
+        ).alias("sketch_within_4sigma"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+ORACLE_AGG_APPROX = """
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey) AS exact_parts,
+  abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+      - CAST(COUNT(DISTINCT l_partkey) AS DOUBLE))
+    <= 0.08 * CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+    AS sketch_within_4sigma,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,7 +426,12 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        # joined to one string: same information, and a scalar value every
+        # comparison harness can hash (raw arrays break pandas-based
+        # canonicalizers — driver finding, round 1)
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -409,7 +439,7 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_AGG_COLLECT = """
 SELECT
   o_orderpriority,
-  list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
   COUNT(*) AS n_orders
 FROM orders
 GROUP BY o_orderpriority
@@ -464,8 +494,8 @@ QUERIES = {
         doc="CUBE aggregate",
     ),
     "agg_approx": spec(
-        agg_approx, None, "beyond",
-        doc="HLL++ approx distinct (rows-only; sketch differs from DuckDB)",
+        agg_approx, ORACLE_AGG_APPROX, "beyond",
+        doc="HLL++ approx distinct, oracle-checked on its error bound",
     ),
     "agg_stats": spec(
         agg_stats, ORACLE_AGG_STATS, "beyond",
@@ -485,6 +515,6 @@ QUERIES = {
     ),
     "agg_collect": spec(
         agg_collect, ORACLE_AGG_COLLECT, "beyond",
-        doc="sorted collect_set: deterministic array-valued aggregate",
+        doc="sorted collect_set joined to a deterministic scalar string",
     ),
 }

@@ -60,36 +60,76 @@ FROM customer
 
 
 def project_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 (nested form, rows-only): the full Feature shape.
+    """P1 (nested form, oracle-checked): the full Feature as one JSON doc.
 
     Builds the nested ``properties.sensor`` / ``geometry`` /
-    ``metadata`` structure of task.ts:169-192 over the customer table.
-    Registered rows-only because nested-struct hashing is not portable to
-    the SQL oracle; the flat scalar surface is checked by
-    ``project_struct`` and the full pipeline by ``flagship_*``.
+    ``metadata`` structure of task.ts:169-192 over the customer table,
+    then serializes it with ``to_json`` — the same wire form the
+    reference submits (FeatureCollection bodies are JSON, task.ts:259).
+    A single string column is also what makes the nested shape portable
+    to the driver's hash compare and the DuckDB oracle (struct_pack
+    key order + shortest-roundtrip doubles were verified byte-identical
+    between the engines; both stay in range for non-exponent rendering).
     """
     c = table(spark, sf_dir, "customer")
     lon = F.col("c_acctbal") / F.lit(100.0)
     lat = F.col("c_nationkey").cast("double")
     return c.select(
         F.col("c_custkey").cast("string").alias("id"),
-        F.lit("Feature").alias("type"),
-        F.struct(
-            F.lit("b-m-p-s-p-loc").alias("type"),
-            F.lit("m-g").alias("how"),
-            F.col("c_name").alias("callsign"),
+        F.to_json(
             F.struct(
-                F.lit(50).alias("range"),
-                F.lit("Verkada").alias("type"),
-                F.col("c_mktsegment").alias("model"),
-            ).alias("sensor"),
-        ).alias("properties"),
-        F.struct(
-            F.lit("Point").alias("type"),
-            F.array(lon, lat).alias("coordinates"),  # lon first, task.ts:190
-        ).alias("geometry"),
-        F.struct(F.col("*")).alias("metadata"),  # whole-row embed, task.ts:186
+                F.lit("Feature").alias("type"),
+                F.struct(
+                    F.lit("b-m-p-s-p-loc").alias("type"),
+                    F.lit("m-g").alias("how"),
+                    F.col("c_name").alias("callsign"),
+                    F.struct(
+                        F.lit(50).alias("range"),
+                        F.lit("Verkada").alias("type"),
+                        F.col("c_mktsegment").alias("model"),
+                    ).alias("sensor"),
+                ).alias("properties"),
+                F.struct(
+                    F.lit("Point").alias("type"),
+                    # lon first, task.ts:190
+                    F.array(lon, lat).alias("coordinates"),
+                ).alias("geometry"),
+                # whole-row embed, task.ts:186
+                F.struct(F.col("*")).alias("metadata"),
+            )
+        ).alias("feature"),
     )
+
+
+ORACLE_PROJECT_STRUCT_NESTED = """
+SELECT
+  CAST(c_custkey AS VARCHAR) AS id,
+  to_json(struct_pack(
+    type := 'Feature',
+    properties := struct_pack(
+      type := 'b-m-p-s-p-loc',
+      how := 'm-g',
+      callsign := c_name,
+      sensor := struct_pack(
+        range := 50,
+        type := 'Verkada',
+        model := c_mktsegment
+      )
+    ),
+    geometry := struct_pack(
+      type := 'Point',
+      coordinates := [c_acctbal / 100.0, CAST(c_nationkey AS DOUBLE)]
+    ),
+    metadata := struct_pack(
+      c_custkey := c_custkey,
+      c_name := c_name,
+      c_nationkey := c_nationkey,
+      c_acctbal := c_acctbal,
+      c_mktsegment := c_mktsegment
+    )
+  )) AS feature
+FROM customer
+"""
 
 
 def enrich_when(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,8 +167,8 @@ QUERIES = {
         doc="rename/literal/computed projection (flat), task.ts:168-195",
     ),
     "project_struct_nested": spec(
-        project_struct_nested, None, "reference:P1",
-        doc="full nested Feature struct (rows-only), task.ts:169-192",
+        project_struct_nested, ORACLE_PROJECT_STRUCT_NESTED, "reference:P1",
+        doc="full nested Feature struct as JSON doc, task.ts:169-192",
     ),
     "enrich_when": spec(
         enrich_when, ORACLE_ENRICH_WHEN, "reference:P5", "reference:F8",
