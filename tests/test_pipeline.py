@@ -108,3 +108,31 @@ def test_feature_collection_is_json(spark):
         doc = json.loads(line["feature_json"])
         assert doc["type"] == "Feature"
         assert set(doc) >= {"id", "properties", "geometry", "metadata"}
+
+
+def test_flagship_plan_shape(spark):
+    """The 100 TB contract of the flagship plan (VERDICT r1 item 4):
+
+    * exactly one scan of customer on the PROBE side (the second
+      customer read is the tiny pruned ACL build, 1 column);
+    * every dimension side is a broadcast build — no shuffle of the
+      probe side at all (the only Exchange is the lease argmax's);
+    * the lease filters reach the orders parquet scan as PushedFilters
+      (plain-column predicates, not the CASE-derived forms);
+    * the lease build aggregates BEFORE the string casts (argmax over
+      longs, dictionary-sized cast after).
+    """
+    from etl_verkada_spark.pipeline.features import flagship_flat
+
+    df = flagship_flat(spark, "/root/testdata/sf0.001")
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert plan.count("BroadcastHashJoin") >= 4  # sites(+region), cams, lease
+    # probe side never shuffles: the single Exchange belongs to the
+    # lease aggregate build
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "max_by" in plan  # J2 argmax present (lease_id is output)
+    # pushed lease predicates on the orders scan
+    assert "In(o_orderstatus, [O,P]" in plan
+    assert "GreaterThanOrEqual(o_totalprice,1000.0)" in plan
