@@ -33,16 +33,30 @@ class StubStats:
 
 
 def make_server(items: list[dict], cursor_page_size: int = 7,
-                repeat_last_token: bool = False):
+                repeat_last_token: bool = False,
+                api_key: str | None = None,
+                zero_indexed_pages: bool = False,
+                acl: dict | None = None):
     """Start a stub server; returns (server, port, stats).
 
-    * ``GET /items?limit=&page=``   -> offset pages ``{items, total}``
+    * ``GET /items?limit=&page=``   -> offset pages ``{items, total}``;
+      1-indexed by default, 0-indexed with ``zero_indexed_pages`` (the
+      reference API's convention, task.ts:117-127)
     * ``GET /cursor``               -> token pages ``{items, next_page_token}``;
       with ``repeat_last_token`` the final page repeats its own token —
       the infinite-loop bug the reference's O6 guard defends against.
+    * ``POST /token``               -> S6 exchange: requires the
+      ``x-api-key`` header when ``api_key`` is set, issues a bearer;
+      with ``api_key`` set, ``/items``/``/cursor`` then 401 unless the
+      ``x-verkada-auth`` header carries an issued bearer.
+    * ``GET /cameras/v1/footage/token`` -> S7 scoped credential: JWT +
+      ACL lists (``acl`` = {"accessibleCameras": [...],
+      "accessibleSites": [...]}; defaults to empty lists).
     * ``PATCH/POST /lease...``      -> 204, recorded in stats
     """
     stats = StubStats()
+    issued_tokens: set[str] = set()
+    acl = acl or {"accessibleCameras": [], "accessibleSites": []}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # silence
@@ -56,15 +70,38 @@ def make_server(items: list[dict], cursor_page_size: int = 7,
             self.end_headers()
             self.wfile.write(body)
 
+        def _authed(self) -> bool:
+            if api_key is None:
+                return True
+            return self.headers.get("x-verkada-auth") in issued_tokens
+
         def do_GET(self):
             stats.enter("GET", self.path)
             try:
                 u = urlparse(self.path)
                 q = parse_qs(u.query)
-                if u.path == "/items":
+                if u.path == "/cameras/v1/footage/token":
+                    if api_key is not None and (
+                        self.headers.get("x-api-key") != api_key
+                    ):
+                        self._json({"error": "bad api key"}, 401)
+                        return
+                    self._json(
+                        {
+                            "jwt": "stub-jwt",
+                            "accessibleCameras": acl["accessibleCameras"],
+                            "accessibleSites": acl["accessibleSites"],
+                            "expiration": 3600,
+                            "expiresAt": 2_000_000_000,
+                            "permission": ["live"],
+                        }
+                    )
+                elif not self._authed():
+                    self._json({"error": "unauthorized"}, 401)
+                elif u.path == "/items":
                     limit = int(q.get("limit", ["50"])[0])
                     page = int(q.get("page", ["1"])[0])
-                    start = (page - 1) * limit
+                    start = (page if zero_indexed_pages else page - 1) * limit
                     self._json(
                         {
                             "items": items[start : start + limit],
@@ -89,6 +126,20 @@ def make_server(items: list[dict], cursor_page_size: int = 7,
                 stats.leave()
 
         def do_POST(self):
+            if urlparse(self.path).path == "/token":
+                stats.enter("POST", self.path)
+                try:
+                    if api_key is not None and (
+                        self.headers.get("x-api-key") != api_key
+                    ):
+                        self._json({"error": "bad api key"}, 401)
+                        return
+                    tok = f"bearer-{len(issued_tokens)}"
+                    issued_tokens.add(tok)
+                    self._json({"token": tok})
+                finally:
+                    stats.leave()
+                return
             self._upsert("POST")
 
         def do_PATCH(self):

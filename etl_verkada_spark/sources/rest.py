@@ -15,9 +15,12 @@ sources, so pagination happens *inside* the scan with its optimizations
   pattern at 100 TB is land-then-read: this source drains the cursor to
   object storage once, then analytics run on the landed parquet.
 
-Auth (S6/S7: token exchange before scanning) is modeled by an optional
-``auth_token`` option forwarded as a header — the exchange itself is a
-driver-side pre-step exactly as in the reference (task.ts:97-106).
+Auth (S6/S7: token exchange before scanning) is a real driver-side
+pre-step in :mod:`.auth` — ``exchange_token`` POSTs the API key for a
+bearer (task.ts:97-106), ``fetch_stream_token`` pulls the scoped JWT +
+ACL lists (task.ts:129-141) — whose results feed the ``auth_token``
+option here (forwarded as the ``x-verkada-auth`` header) and the ACL
+broadcast join in ``pipeline.features.acl_flag``.
 
 Options (both sources): ``url``, ``schema_ddl`` (DDL column list; fields
 are pulled from each JSON item by name), ``limit`` (page size, default
@@ -66,16 +69,25 @@ class PagedRestReader(DataSourceReader):
         self.limit = int(options.get("limit", DEFAULT_PAGE_SIZE))
         self.token = options.get("auth_token")
         self.pages_per_task = int(options.get("pages_per_task", 4))
+        # Indexing contract: ``first_page`` is the index of the first
+        # page (default 1; the reference API is 0-indexed — its loop
+        # starts at page=0 and runs while total > 50*page,
+        # task.ts:117-127 — so reference-style servers need
+        # first_page=0). The count probe asks for 1 item of the first
+        # page and requires a ``total`` field in the response; for APIs
+        # without ``total``, use the cursor source or land-then-read.
+        self.first_page = int(options.get("first_page", 1))
 
     def partitions(self) -> list[InputPartition]:
         # One cheap HEAD-style call for the count (the reference reads
         # `total` off every page response, task.ts:127).
-        first = _fetch_json(f"{self.url}?limit=1&page=1", self.token)
-        total = int(first["total"])
+        probe = f"{self.url}?limit=1&page={self.first_page}"
+        total = int(_fetch_json(probe, self.token)["total"])
         n_pages = max(1, math.ceil(total / self.limit))
+        last = self.first_page + n_pages  # exclusive
         return [
-            _PageRange(p, min(p + self.pages_per_task, n_pages + 1))
-            for p in range(1, n_pages + 1, self.pages_per_task)
+            _PageRange(p, min(p + self.pages_per_task, last))
+            for p in range(self.first_page, last, self.pages_per_task)
         ]
 
     def read(self, partition: _PageRange) -> Iterator[tuple]:

@@ -177,3 +177,97 @@ def test_csv_land_then_read_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, orig.collect())
     )
+
+
+def test_auth_exchange_feeds_paged_scan(spark):
+    """S6/S7 end-to-end (task.ts:97-141): API key -> POST /token bearer
+    -> authed paged scan; footage token -> JWT + ACL lists. The server
+    401s unauthenticated scans, so a passing read proves the bearer
+    flowed from the driver pre-step to every executor fetch."""
+    from etl_verkada_spark.sources import auth
+
+    server, port, stats = make_server(
+        ITEMS,
+        api_key="k-123",
+        acl={"accessibleCameras": ["it-001"], "accessibleSites": ["s-9"]},
+    )
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rest_sources.register(spark)
+
+        # unauthenticated scan is rejected (the 401 surfaces as a task
+        # failure wrapping HTTP Error 401)
+        with pytest.raises(Exception, match="401"):
+            (
+                spark.read.format("paged_rest")
+                .option("url", f"{base}/items")
+                .option("schema_ddl", SCHEMA_DDL)
+                .load()
+                .collect()
+            )
+
+        token = auth.exchange_token(base, "k-123")
+        df = (
+            spark.read.format("paged_rest")
+            .option("url", f"{base}/items")
+            .option("schema_ddl", SCHEMA_DDL)
+            .option("limit", 10)
+            .option("auth_token", token)
+            .load()
+        )
+        assert df.count() == len(ITEMS)
+        assert ("POST", "/token") in stats.requests
+
+        # S7: scoped credential -> ACL table -> streamability gate
+        st = auth.fetch_stream_token(base, "k-123")
+        assert st.jwt == "stub-jwt"
+        acl_df = auth.acl_dataframe(spark, st)
+        rows = {(r["kind"], r["acl_id"]) for r in acl_df.collect()}
+        assert rows == {("camera", "it-001"), ("site", "s-9")}
+
+        from etl_verkada_spark.pipeline.features import acl_flag
+
+        cams = spark.createDataFrame(
+            [("it-001", "s-1"), ("it-002", "s-9"), ("it-003", "s-2")],
+            "camera_id string, site_id string",
+        )
+        flags = {
+            r["camera_id"]: r["streamable"]
+            for r in acl_flag(cams, acl_df).collect()
+        }
+        assert flags == {"it-001": True, "it-002": True, "it-003": False}
+
+        # bad API key is rejected at the exchange
+        with pytest.raises(Exception, match="401"):
+            auth.exchange_token(base, "wrong")
+    finally:
+        server.shutdown()
+
+
+def test_paged_rest_zero_indexed_pages(spark):
+    """The reference API convention: first page is page=0 and the loop
+    condition is total > limit*page (task.ts:117-127). first_page=0
+    must fetch every item exactly once against such a server."""
+    server, port, stats = make_server(ITEMS, zero_indexed_pages=True)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        rest_sources.register(spark)
+        df = (
+            spark.read.format("paged_rest")
+            .option("url", f"{base}/items")
+            .option("schema_ddl", SCHEMA_DDL)
+            .option("limit", 10)
+            .option("first_page", 0)
+            .load()
+        )
+        rows = df.collect()
+        assert len(rows) == len(ITEMS)
+        assert {r["id"] for r in rows} == {it["id"] for it in ITEMS}
+        pages = sorted(
+            int(p.split("page=")[1])
+            for _, p in stats.requests
+            if "limit=10" in p
+        )
+        assert pages == list(range(11))  # 0..10, ceil(103/10) pages
+    finally:
+        server.shutdown()
