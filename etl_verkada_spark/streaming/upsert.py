@@ -42,21 +42,72 @@ def merge_last_wins(
     return last_wins(merged, key, version)
 
 
-def foreach_batch_merge(target_path: str, key: list[str], version: list[str]):
+#: state-table bucket count. At 100 TB size this so one bucket's rows fit
+#: an executor comfortably (e.g. 4096 buckets over 100 TB ~ 25 GB/bucket
+#: on disk); locally 16 keeps the partition dirs observable in tests.
+N_STATE_BUCKETS = 16
+
+
+def state_bucket(key: list[str], n_buckets: int) -> F.Column:
+    """Deterministic bucket of the merge key: pmod(hash(key), n)."""
+    return F.pmod(F.hash(*[F.col(k) for k in key]), F.lit(n_buckets))
+
+
+def foreach_batch_merge(
+    target_path: str,
+    key: list[str],
+    version: list[str],
+    n_buckets: int = N_STATE_BUCKETS,
+):
     """Build a foreachBatch sink function merging each micro-batch into a
-    parquet state directory (the streaming S9)."""
+    parquet state directory (the streaming S9).
+
+    The state table is laid out ``partitionBy(__bucket)`` with
+    ``__bucket = pmod(hash(key), n_buckets)``, and each micro-batch is a
+    partition-scoped MERGE (the Delta ``MERGE INTO`` / replaceWhere
+    pattern, SURVEY §2.1 S9):
+
+    1. the batch's touched buckets are computed (<= n_buckets ints);
+    2. only those state partitions are read back (partition-pruned scan);
+    3. merge = union + last-wins within the slice;
+    4. dynamic partition overwrite rewrites ONLY the touched bucket dirs.
+
+    A micro-batch that touches k of n buckets therefore rewrites k/n of
+    the state instead of all of it — the difference between a bounded
+    write per batch and a full-table write per batch at 100 TB. Re-running
+    a batch is still idempotent (merge of already-merged rows is a no-op),
+    which is the task-retry contract foreachBatch requires.
+    """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch = batch_df.withColumn("__bucket", state_bucket(key, n_buckets))
         try:
             state = spark.read.parquet(target_path)
         except Exception:
             state = None
-        out = merge_last_wins(state, batch_df, key, version)
+        if state is not None:
+            touched = [
+                r["__bucket"]
+                for r in batch.select("__bucket").distinct().collect()
+            ]
+            # partition-pruned read: only the touched bucket dirs
+            slice_ = state.filter(F.col("__bucket").isin(touched))
+            # __bucket is a function of the key, so grouping by key alone
+            # is enough; last_wins carries it through as a payload column
+            merged = last_wins(slice_.unionByName(batch), key, version)
+        else:
+            merged = last_wins(batch, key, version)
         # localCheckpoint breaks lineage to the input path before the
-        # overwrite (read-modify-write on the same location).
-        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            target_path
+        # overwrite (read-modify-write on the same location); dynamic
+        # mode limits the overwrite to partitions present in `merged`,
+        # i.e. exactly the touched buckets.
+        (
+            merged.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(target_path)
         )
 
     return _sink

@@ -88,16 +88,60 @@ def test_foreach_batch_merge_converges(spark, tmp_path):
     sink = foreach_batch_merge(target, ["o_custkey"], ["v", "o_orderkey"])
     sink(b1, 0)
     sink(b2, 1)
-    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "v"]
+    got = sorted(
+        map(tuple, spark.read.parquet(target).select(*cols).collect())
+    )
     want = sorted(
         map(
             tuple,
             merge_last_wins(
                 b1.unionByName(b2), b1.limit(0), ["o_custkey"], ["v", "o_orderkey"]
-            ).collect(),
+            ).select(*cols).collect(),
         )
     )
     assert got == want
+
+
+def test_foreach_batch_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The S9 state sink is a partition-scoped MERGE (VERDICT r1 item 7):
+    a micro-batch must rewrite only the bucket partitions its keys hash
+    into, leaving every other bucket's files untouched on disk."""
+    import os
+
+    target = str(tmp_path / "state")
+    o = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sink = foreach_batch_merge(target, ["o_custkey"], ["v", "o_orderkey"])
+    sink(o.withColumn("v", F.lit(1)), 0)  # seed: every bucket populated
+
+    def files_by_bucket():
+        out = {}
+        for d in os.listdir(target):
+            if d.startswith("__bucket="):
+                out[d] = sorted(os.listdir(os.path.join(target, d)))
+        return out
+
+    before = files_by_bucket()
+    assert len(before) > 1  # the layout actually bucketed
+
+    # one key -> exactly one touched bucket
+    single = o.filter(F.col("o_custkey") == 1).withColumn("v", F.lit(2))
+    sink(single, 1)
+    after = files_by_bucket()
+
+    changed = [d for d in before if after.get(d) != before[d]]
+    assert len(changed) == 1, changed
+    # and the merge inside the touched bucket took the update
+    got_v = (
+        spark.read.parquet(target)
+        .filter(F.col("o_custkey") == 1)
+        .select("v")
+        .distinct()
+        .collect()
+    )
+    assert [r["v"] for r in got_v] == [2]
 
 
 def test_merge_upsert_idempotent(spark):
