@@ -327,6 +327,7 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         .withColumn("root", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_roots = (
             sym.join(labels, sym["src"] == labels["id"])
@@ -347,6 +348,17 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A silent exit here would return partially-propagated labels
+        # that diverge from the recursive-CTE oracle with no signal
+        # (ADVICE r1). Component diameter > max_iter means this graph
+        # needs the O(log n) large-star/small-star variant, not more
+        # quiet rounds.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); component diameter "
+            "exceeds max_iter — raise it or use large-star/small-star"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("root").alias("cluster_root")
     )

@@ -270,15 +270,34 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal AFTER aggregation. x*y (<= 5e10) sums long-safe directly.
     yd = F.floor(y / F.lit(100))
     yr = y - yd * 100
+    # x*y (<= 5.5e10/row) is decomposed the same way (ADVICE r1):
+    # x*y = 100*(x*yd) + x*yr, so BOTH engines sum the identical long
+    # partials and recombine in decimal — one shared overflow-free
+    # strategy instead of Spark-long vs oracle-decimal divergence.
     mom = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
         F.sum(x * x).alias("sxx"),       # <= ~1e13/row: long ok
-        F.sum(x * y).alias("sxy"),
-        F.sum(yd * yd).alias("sydd"),
+        F.sum(x * yd).alias("sxyd"),     # <= ~5.5e8/row
+        F.sum(x * yr).alias("sxyr"),     # <= ~5e5/row
+        F.sum(yd * yd).alias("sydd"),    # <= ~1.2e10/row: the bound
         F.sum(yd * yr).alias("sydr"),
         F.sum(yr * yr).alias("syrr"),
+    )
+    # Tightest per-row term is yd^2 <= ~1.21e10, so partial sums stay
+    # exact below 2^63/1.21e10 ~ 7.6e8 rows PER GROUP; asserted at
+    # runtime (both engines would need a wider decomposition past it).
+    mom = mom.filter(
+        F.assert_true(
+            F.col("n") < F.lit(700_000_000),
+            F.lit("agg_stats: per-group row count exceeds the exact-long "
+                  "moment bound (~7e8); widen the decomposition"),
+        ).isNull()
+    )
+    sxy_dec = (
+        F.col("sxyd").cast("decimal(38,0)") * 100
+        + F.col("sxyr").cast("decimal(38,0)")
     )
     syy_dec = (
         F.col("sydd").cast("decimal(38,0)") * 10_000
@@ -290,7 +309,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = F.col("sx").cast("double")
     sy = F.col("sy").cast("double")
     sxx = F.col("sxx").cast("double")
-    sxy = F.col("sxy").cast("double")
+    sxy = sxy_dec.cast("double")
     syy = syy_dec.cast("double")
     var_x = (n * sxx - sx * sx) / (n * (n - F.lit(1.0))) / F.lit(1e4)
     corr = (n * sxy - sx * sy) / (
@@ -314,10 +333,23 @@ WITH mom AS (
     SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
     SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
         * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
-    SUM(CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
-        * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS sxy,
-    SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
-        * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS syy
+    -- x*y and y*y decomposed into dollar/cent cross terms summed as
+    -- BIGINT and recombined in DECIMAL, mirroring the Spark plan's
+    -- exact-long strategy term for term
+    CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+         * CAST(FLOOR(FLOOR(l_extendedprice * 100 + 0.5) / 100) AS BIGINT)) AS DECIMAL(38,0)) * 100
+      + CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+         * (CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+            - 100 * CAST(FLOOR(FLOOR(l_extendedprice * 100 + 0.5) / 100) AS BIGINT))) AS DECIMAL(38,0)) AS sxy,
+    CAST(SUM(CAST(FLOOR(FLOOR(l_extendedprice * 100 + 0.5) / 100) AS BIGINT)
+         * CAST(FLOOR(FLOOR(l_extendedprice * 100 + 0.5) / 100) AS BIGINT)) AS DECIMAL(38,0)) * 10000
+      + CAST(SUM(CAST(FLOOR(FLOOR(l_extendedprice * 100 + 0.5) / 100) AS BIGINT)
+         * (CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+            - 100 * CAST(FLOOR(FLOOR(l_extendedprice * 100 + 0.5) / 100) AS BIGINT))) AS DECIMAL(38,0)) * 200
+      + CAST(SUM((CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+            - 100 * CAST(FLOOR(FLOOR(l_extendedprice * 100 + 0.5) / 100) AS BIGINT))
+         * (CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+            - 100 * CAST(FLOOR(FLOOR(l_extendedprice * 100 + 0.5) / 100) AS BIGINT))) AS DECIMAL(38,0)) AS syy
   FROM lineitem
   GROUP BY l_returnflag
 )
