@@ -195,6 +195,64 @@ FROM documents
 """
 
 
+#: char-class histogram buckets for the fake feature extractor. ASCII-only
+#: classes so pandas (Python re) and DuckDB (RE2) count identically; the
+#: documents corpus is pure ASCII (verified per-lang at every sf).
+FEATURE_CLASSES = [
+    r"[a-e]", r"[f-m]", r"[n-s]", r"[t-z]",
+    r"[A-Z]", r"[0-9]", r"[ ]", r"[^a-zA-Z0-9 ]",
+]
+FEATURE_SCHEMA = "doc_id long, " + ", ".join(
+    f"f{i} long" for i in range(len(FEATURE_CLASSES))
+)
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Feature-extract kernel: binary payload -> fixed-width feature row.
+
+    The production shape: decode the payload (here utf-8 -> text; for
+    images this is the pixel decode) and reduce it to a fixed-dim
+    feature vector, all inside one Arrow-batched ``mapInPandas`` pass —
+    decode+featurize fused so the decoded intermediate never crosses a
+    stage boundary. The fake featurizer is a char-class histogram
+    (vectorized ``pandas.Series.str.count`` per class), chosen because
+    it is ALSO SQL-expressible — which is what lets a DuckDB oracle
+    hash-check a Python-kernel operator end to end.
+    """
+    import re
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            text = pdf["payload"].map(lambda b: bytes(b).decode("utf-8"))
+            out = {"doc_id": pdf["doc_id"]}
+            for i, cls in enumerate(FEATURE_CLASSES):
+                out[f"f{i}"] = text.str.count(re.compile(cls)).astype("int64")
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode+featurize over every payload (oracle-checked)."""
+    docs = table(spark, sf_dir, "documents")
+    return extract_features(with_binary_payload(docs))
+
+
+ORACLE_MM_FEATURE_EXTRACT = """
+SELECT
+  doc_id,
+  len(regexp_extract_all(text, '[a-e]'))        AS f0,
+  len(regexp_extract_all(text, '[f-m]'))        AS f1,
+  len(regexp_extract_all(text, '[n-s]'))        AS f2,
+  len(regexp_extract_all(text, '[t-z]'))        AS f3,
+  len(regexp_extract_all(text, '[A-Z]'))        AS f4,
+  len(regexp_extract_all(text, '[0-9]'))        AS f5,
+  len(regexp_extract_all(text, '[ ]'))          AS f6,
+  len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS f7
+FROM documents
+"""
+
+
 def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode pipeline: payload -> mapInPandas -> per-frame rows.
 
@@ -217,5 +275,9 @@ QUERIES = {
     "mm_resize_stub": spec(
         mm_resize_stub, ORACLE_MM_RESIZE, "llm",
         doc="mapInPandas 1->1 resize kernel, mime-filtered pre-Python",
+    ),
+    "mm_feature_extract": spec(
+        mm_feature_extract, ORACLE_MM_FEATURE_EXTRACT, "llm",
+        doc="fused decode+featurize mapInPandas kernel (oracle-checked)",
     ),
 }

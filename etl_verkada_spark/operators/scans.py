@@ -147,6 +147,59 @@ SELECT o_orderkey, o_orderstatus FROM orders
 """
 
 
+LAND_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+LAND_DDL = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double"
+)
+
+
+def _land_dir(sf_dir: str, fmt: str) -> str:
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return f"/tmp/spark_graft_land/{fmt}_{token}"
+
+
+def _land_then_read(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write the orders projection out as CSV/JSON lines, then read it
+    back with a DECLARED schema in FAILFAST mode — the land-then-read
+    pattern SCALE.md prescribes for sequential sources (drain the API to
+    object storage once; analytics scan the landed files in parallel).
+    The read side is the operator under test: schema-on-read text
+    formats with strict validation, partition-parallel file splits, and
+    lossless round-trip of longs/strings/doubles (Spark writes doubles
+    as shortest-roundtrip decimal strings, so read(write(x)) == x)."""
+    src = table(spark, sf_dir, "orders").select(*LAND_COLS)
+    path = _land_dir(sf_dir, fmt)
+    writer = src.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+        return (
+            spark.read.schema(LAND_DDL)
+            .option("header", True)
+            .option("mode", "FAILFAST")
+            .csv(path)
+        )
+    writer.json(path)
+    return (
+        spark.read.schema(LAND_DDL).option("mode", "FAILFAST").json(path)
+    )
+
+
+def scan_csv_land(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 scale path: land-then-read via CSV with declared schema."""
+    return _land_then_read(spark, sf_dir, "csv")
+
+
+def scan_json_land(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 scale path: land-then-read via JSON lines with declared schema."""
+    return _land_then_read(spark, sf_dir, "json")
+
+
+ORACLE_SCAN_LAND = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
 QUERIES = {
     "scan_page": spec(
         scan_page, ORACLE_SCAN_PAGE, "reference:S1", "reference:L1",
@@ -163,5 +216,13 @@ QUERIES = {
     "validate_failfast": spec(
         validate_failfast, ORACLE_VALIDATE_FAILFAST, "reference:S3",
         doc="declared-schema strict read, task.ts:104-106",
+    ),
+    "scan_csv_land": spec(
+        scan_csv_land, ORACLE_SCAN_LAND, "reference:S2", "beyond",
+        doc="land-then-read CSV with declared schema (FAILFAST)",
+    ),
+    "scan_json_land": spec(
+        scan_json_land, ORACLE_SCAN_LAND, "reference:S2", "beyond",
+        doc="land-then-read JSON lines with declared schema (FAILFAST)",
     ),
 }

@@ -257,6 +257,79 @@ FROM events
 """
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, = streaming session gap
+
+
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: batch sessionization (gaps-and-islands).
+
+    The window-function twin of ``stream_session``'s session_window: a
+    new session starts when the gap to the previous event is >= 30 min
+    (session_window merges an event iff it lands strictly inside the
+    gap after the previous one — same break condition as the streaming
+    oracle, streaming/windows.py:110). Two window passes over ONE
+    (user_id, ts) sort — lag -> boundary flag -> running sum = session
+    ordinal — then a hash aggregate per (user, session). Catalyst plans
+    both window functions in a single Window operator, so the total
+    cost is one shuffle + one sort: the classic large-scale
+    sessionization shape. Ties in ts are broken by event_id so both
+    engines walk an identical total order.
+    """
+    e = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    order = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(order)
+    is_new = F.when(
+        gap.isNull() | (gap >= SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy(
+        ts_us, F.col("event_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    with_sess = e.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.sum(is_new).over(run).alias("session_no"),
+    )
+    return with_sess.groupBy("user_id", "session_no").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_WIN_SESSIONIZE = """
+WITH flagged AS (
+  SELECT
+    user_id,
+    event_id,
+    epoch_us(ts) AS ts_us,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+numbered AS (
+  SELECT
+    user_id,
+    ts_us,
+    SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS session_no
+  FROM flagged
+)
+SELECT
+  user_id,
+  session_no,
+  MIN(ts_us) AS session_start_us,
+  MAX(ts_us) AS session_end_us,
+  COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
 QUERIES = {
     "win_rownum": spec(
         win_rownum, ORACLE_WIN_ROWNUM, "beyond", "reference:J2",
@@ -285,5 +358,9 @@ QUERIES = {
     "win_first_last": spec(
         win_first_last, ORACLE_WIN_FIRST_LAST, "beyond",
         doc="first/last/nth_value navigation over full-partition frames",
+    ),
+    "win_sessionize": spec(
+        win_sessionize, ORACLE_WIN_SESSIONIZE, "beyond",
+        doc="batch gaps-and-islands sessionization (one sort, two windows)",
     ),
 }

@@ -81,12 +81,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "mm_binary_stats",
     "mm_decode_stub",
     "mm_resize_stub",
+    "mm_feature_extract",
     # streaming family (real structured-streaming runs, batch oracles)
     "stream_tumble",
     "stream_slide",
     "stream_session",
     "stream_stateful",
     "stream_stream_join",
+    "stream_dedup",
     "upsert_merge",
     # scalar-function / UDF / UDTF surface
     "fx_string",
@@ -102,18 +104,18 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "project_struct_nested",
     "agg_collect",
     "agg_approx",
-    # one representative per already-proven relational family
-    "scan_page",
-    "scan_cursor",
-    "validate_json",
-    "join_broadcast_left",
-    "join_asof",
+    # new or implementation-changed this round -- need fresh driver rows
+    "win_sessionize",
+    "scan_csv_land",
+    "scan_json_land",
+    "join_large",
     "dedup_lastwins",
     "agg_stats",
-    "agg_salted",
+    # representatives of already-proven relational families (the rest of
+    # the round-1 driver-green rows sit past 50, covered by local parity)
+    "validate_json",
+    "join_broadcast_left",
     "win_frame",
-    "pivot",
-    "subquery_exists",
 )
 
 
@@ -127,6 +129,7 @@ def build_registry() -> dict[str, QuerySpec]:
     from .pipeline import features
     from .llm import dedup as llm_dedup
     from .llm import multimodal, similarity, text
+    from .streaming import dedup as stream_dedup_ops
     from .streaming import joins as stream_joins
     from .streaming import stateful as stream_stateful
     from .streaming import windows as stream_windows
@@ -155,6 +158,7 @@ def build_registry() -> dict[str, QuerySpec]:
         stream_windows,
         stream_stateful,
         stream_joins,
+        stream_dedup_ops,
         upsert,
     ):
         overlap = merged.keys() & module.QUERIES.keys()

