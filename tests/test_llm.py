@@ -177,9 +177,9 @@ def test_lsh_multiprobe_recall_dominates_single_bucket(spark):
 
 
 def test_minhash_recall_on_true_neardups(spark):
-    """With the fixed hash seeds, the 16-perm/4-band sketch must find
+    """With the fixed hash seeds, the 64-perm/16-band sketch must find
     EVERY true pair at Jaccard >= 0.7 in the testdata (the s-curve puts
-    candidate probability >= ~0.97 at 0.9 and the corpus's near-dups are
+    candidate probability >= ~0.99 at 0.7 and the corpus's near-dups are
     high-similarity; deterministic because all hashing is seeded)."""
     from pyspark.sql import functions as F
 
