@@ -235,6 +235,91 @@ FROM nation
 """
 
 
+def fx_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: regex family — extract / replace / match /
+    count. RE2-compatible patterns only (no backrefs/lookaround), so the
+    same pattern means the same thing in Spark (Java regex), DuckDB
+    (RE2), and any pushdown target."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"\b(\w+)\b", 1).alias("first_word"),
+        F.regexp_replace("text", r"\s+", "_").alias("snake"),
+        F.col("text").rlike(r"\bquery\b").alias("mentions_query"),
+        F.size(F.split("text", r"\bthe\b", -1)).alias("n_the_splits"),
+    )
+
+
+ORACLE_FX_REGEX = """
+SELECT
+  doc_id,
+  regexp_extract(text, '\\b(\\w+)\\b', 1)      AS first_word,
+  regexp_replace(text, '\\s+', '_', 'g')       AS snake,
+  regexp_matches(text, '\\bquery\\b')          AS mentions_query,
+  LEN(regexp_split_to_array(text, '\\bthe\\b')) AS n_the_splits
+FROM documents
+"""
+
+
+def fx_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: conditional/null family — coalesce, nullif,
+    least/greatest, nvl2-style branch. The null-propagation contract is
+    the part worth pinning cross-engine."""
+    o = table(spark, sf_dir, "orders")
+    clerk_bonus = F.nullif(F.col("o_totalprice"), F.lit(0.0))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")),
+            F.lit(-1.0),
+        ).alias("final_price"),
+        F.least(F.col("o_orderkey"), F.col("o_custkey")).alias("min_key"),
+        F.greatest(F.col("o_orderkey"), F.col("o_custkey")).alias("max_key"),
+        F.isnull(clerk_bonus).alias("zero_price"),
+    )
+
+
+ORACLE_FX_COND = """
+SELECT
+  o_orderkey,
+  COALESCE(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, -1.0)
+    AS final_price,
+  LEAST(o_orderkey, o_custkey)    AS min_key,
+  GREATEST(o_orderkey, o_custkey) AS max_key,
+  NULLIF(o_totalprice, 0.0) IS NULL AS zero_price
+FROM orders
+"""
+
+
+def fx_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: cryptographic/content hashes — md5, sha1,
+    sha256. These are SPECIFIED functions (identical bytes -> identical
+    digest in every engine), unlike xxhash64/hash whose seeds are
+    engine-private — the distinction that decides which hash can key a
+    cross-system dedup (llm_dedup_exact uses md5 for exactly this
+    reason)."""
+    d = table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("text"))
+    return d.select(
+        "doc_id",
+        md5.alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        # hash-sharding: the digest's first byte is the shard key every
+        # engine agrees on (the cross-system partitioner)
+        F.substring(md5, 1, 2).alias("shard_hex"),
+    )
+
+
+ORACLE_FX_HASH = """
+SELECT
+  doc_id,
+  md5(text)              AS md5_hex,
+  sha256(text)           AS sha256_hex,
+  substr(md5(text), 1, 2) AS shard_hex
+FROM documents
+"""
+
+
 QUERIES = {
     "fx_string": spec(
         fx_string, ORACLE_FX_STRING, "reference:F1", "reference:F2", "reference:F4",
@@ -259,6 +344,18 @@ QUERIES = {
     "fx_map": spec(
         fx_map, ORACLE_FX_MAP, "beyond",
         doc="map-typed columns: build/extract/keys (open-schema payloads)",
+    ),
+    "fx_regex": spec(
+        fx_regex, ORACLE_FX_REGEX, "beyond",
+        doc="regex extract/replace/match/split (RE2-compatible subset)",
+    ),
+    "fx_cond": spec(
+        fx_cond, ORACLE_FX_COND, "beyond",
+        doc="conditional/null family: coalesce/nullif/least/greatest",
+    ),
+    "fx_hash": spec(
+        fx_hash, ORACLE_FX_HASH, "beyond",
+        doc="specified content hashes (md5/sha256/crc32) for cross-engine keys",
     ),
     "udf_pandas": spec(
         udf_pandas, ORACLE_UDF_PANDAS, "beyond",

@@ -355,6 +355,109 @@ WHERE rk <= 5
 """
 
 
+BM25_TERMS = ("query", "table", "spark")  # fixed retrieval query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 15
+
+
+def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of a fixed term query over the corpus.
+
+    The search-side companion to the dedup/quality family: score(d) =
+    sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)). Corpus stats
+    (N, avgdl, per-term df) reduce to ONE row that broadcast-joins onto
+    the scoring scan — the scalar-subquery pattern, no second pass at
+    query time in production (stats come from the index build).
+
+    idf uses the LINEAR odds (N-df+0.5)/(df+0.5), not its log: +,-,*,/
+    are IEEE-exact and bit-identical cross-engine, while Java and DuckDB
+    ln() disagree in the last ulp on ~9% of inputs (measured, see
+    llm_tfidf) — same ranking family, hash-exact oracle. Terms are
+    summed in fixed order so the float sum is order-identical too.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tf_cols = [
+        F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"tf{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    base = d.select(
+        "doc_id", F.size(toks).alias("dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    norm = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+    )
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}").cast("double")
+        idf = (n - df + F.lit(0.5)) / (df + F.lit(0.5))
+        score = score + idf * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)
+    return (
+        scored.select("doc_id", F.round(score, 4).alias("bm25"))
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+ORACLE_LLM_BM25 = """
+WITH base AS (
+  SELECT
+    doc_id,
+    LEN(string_split(text, ' ')) AS dl,
+    LEN(list_filter(string_split(text, ' '), x -> x = 'query')) AS tf0,
+    LEN(list_filter(string_split(text, ' '), x -> x = 'table')) AS tf1,
+    LEN(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf2
+  FROM documents
+),
+stats AS (
+  SELECT
+    COUNT(*) AS n_docs,
+    SUM(dl) AS sum_dl,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM base
+)
+SELECT doc_id, bm25 FROM (
+  SELECT
+    b.doc_id,
+    ROUND(
+      0.0
+      + ((CAST(n_docs AS DOUBLE) - CAST(df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        * CAST(tf0 AS DOUBLE) * 2.2
+        / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      + ((CAST(n_docs AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        * CAST(tf1 AS DOUBLE) * 2.2
+        / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      + ((CAST(n_docs AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        * CAST(tf2 AS DOUBLE) * 2.2
+        / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+             / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+      4) AS bm25
+  FROM base b CROSS JOIN stats
+)
+WHERE bm25 > 0.0
+ORDER BY bm25 DESC, doc_id
+LIMIT 15
+"""
+
+
 QUERIES = {
     "llm_text_stats": spec(
         llm_text_stats, ORACLE_LLM_TEXT_STATS, "llm",
@@ -383,5 +486,9 @@ QUERIES = {
     "llm_clean_pipeline": spec(
         llm_clean_pipeline, ORACLE_LLM_CLEAN_PIPELINE, "llm",
         doc="end-to-end corpus clean: quality gate -> lang gate -> dedup",
+    ),
+    "llm_bm25": spec(
+        llm_bm25, ORACLE_LLM_BM25, "llm",
+        doc="BM25 retrieval scoring (linear-idf, hash-exact oracle)",
     ),
 }

@@ -77,6 +77,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_token_count",
     "llm_fingerprint",
     "llm_tfidf",
+    "llm_bm25",
     "llm_clean_pipeline",
     "mm_binary_stats",
     "mm_decode_stub",
@@ -97,6 +98,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "fx_array",
     "fx_json",
     "fx_map",
+    "fx_regex",
+    "fx_cond",
+    "fx_hash",
     "udf_pandas",
     "udtf_bigrams",
     # previously driver-FAIL rows, fixed this round -- keep in-window to
@@ -105,17 +109,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_collect",
     "agg_approx",
     # new or implementation-changed this round -- need fresh driver rows
+    # (scan_json_land and the round-1-green relational rows sit past 50,
+    # covered by local parity)
     "win_sessionize",
     "scan_csv_land",
-    "scan_json_land",
     "join_large",
     "dedup_lastwins",
     "agg_stats",
-    # representatives of already-proven relational families (the rest of
-    # the round-1 driver-green rows sit past 50, covered by local parity)
-    "validate_json",
-    "join_broadcast_left",
-    "win_frame",
 )
 
 
