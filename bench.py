@@ -52,6 +52,9 @@ HEADLINE = [
     "llm_dedup_embed",
     "llm_sim_ann_ivf",
     "agg_salted",
+    "win_sessionize",
+    "llm_bm25",
+    "mm_feature_extract",
 ]
 
 

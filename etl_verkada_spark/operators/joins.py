@@ -165,6 +165,43 @@ GROUP BY o.o_orderpriority
 """
 
 
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: co-located (bucketed) large x large join.
+
+    Both sides are written ``bucketBy(16, orderkey).sortBy(orderkey)``
+    managed tables, then joined: Catalyst sees matching bucket specs and
+    plans a sort-merge join with ZERO Exchange — the layout decision
+    that removes the dominant shuffle cost at 100 TB (asserted as a
+    plan shape in tests/test_relational.py). The build step here stands
+    in for the one-time layout job a production pipeline amortizes over
+    every subsequent join; the aggregate mirrors join_large so the two
+    bench rows isolate exactly the shuffle-vs-layout difference.
+    """
+    from .aggregates import scaled_long, unscale
+
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    li_t, o_t = f"li_bkt_{token}", f"o_bkt_{token}"
+    table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.bucketBy(16, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(li_t)
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.bucketBy(16, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable(o_t)
+    joined = (
+        spark.table(li_t)
+        .hint("merge")
+        .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        unscale(F.sum(scaled_long("l_extendedprice")), 2).alias("revenue"),
+    )
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: as-of join (latest 'click' at or before each
     'purchase', per user) via the union + running-max pattern.
@@ -297,6 +334,10 @@ QUERIES = {
     "join_large": spec(
         join_large, ORACLE_JOIN_SORTMERGE, "beyond",
         doc="large x large join, engine-chosen plan (bench row)",
+    ),
+    "join_bucketed": spec(
+        join_bucketed, ORACLE_JOIN_SORTMERGE, "beyond",
+        doc="co-located bucketed join: zero-shuffle SMJ via layout",
     ),
     "join_asof": spec(
         join_asof, ORACLE_JOIN_ASOF, "beyond",
