@@ -355,6 +355,128 @@ WHERE rk <= 5
 """
 
 
+#: RE2-compatible PII patterns (no lookaround), applied in fixed order.
+PII_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CARD>"),
+)
+
+
+def scrub_pii(col: F.Column) -> F.Column:
+    """Chained regexp_replace over the rule list — one codegen'd
+    expression, no Python. Order matters (card before phone would
+    mis-mask), so rules apply in declaration order in both engines."""
+    out = col
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: mask emails/phones/SSNs/card-like numbers.
+
+    A standard pre-training hygiene stage: the scrubbed text replaces
+    the raw column downstream, and the per-doc redaction count is kept
+    as metadata (a spike flags a source that needs exclusion, not just
+    masking). Purely narrow (scan -> regexp chain), so it runs at scan
+    speed and composes in front of dedup/quality in clean_pipeline
+    fashion. The synthetic corpus contains no planted PII, so the
+    interesting assertions are the zero-diff invariants — which is
+    exactly what a hash-compared oracle checks end to end.
+    """
+    d = table(spark, sf_dir, "documents")
+    scrubbed = scrub_pii(F.col("text"))
+    return d.select(
+        "doc_id",
+        scrubbed.alias("clean_text"),
+        (F.length("text") - F.length(scrubbed)).alias("chars_removed"),
+        (scrubbed != F.col("text")).alias("was_redacted"),
+    )
+
+
+ORACLE_LLM_PII_SCRUB = """
+WITH s AS (
+  SELECT
+    doc_id,
+    text,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+      '\\b(?:\\d[ -]?){13,16}\\b', '<CARD>', 'g') AS clean_text
+  FROM documents
+)
+SELECT
+  doc_id,
+  clean_text,
+  LENGTH(text) - LENGTH(clean_text) AS chars_removed,
+  clean_text <> text AS was_redacted
+FROM s
+"""
+
+
+N_BENCHMARK_DOCS = 20  # stand-in eval set: the first N docs by id
+
+
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop training docs that overlap the
+    eval set.
+
+    The stage every serious pre-training pipeline runs AFTER dedup:
+    remove corpus documents sharing content with held-out benchmarks so
+    eval scores measure generalization, not memorization. Overlap =
+    shared 4-gram shingle (the n-gram-collision criterion); the eval
+    set's shingles are tiny, so contamination detection is a broadcast
+    LEFT ANTI join against them — the corpus side streams through with
+    no shuffle at 100 TB. The eval set here is the first N docs by id
+    (deterministic stand-in for an external benchmark file).
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = with_shingles(docs).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    bench_shingles = (
+        sh.filter(F.col("doc_id") < N_BENCHMARK_DOCS).select("s").distinct()
+    )
+    contaminated = sh.filter(F.col("doc_id") >= N_BENCHMARK_DOCS).join(
+        F.broadcast(bench_shingles), "s", "left_semi"
+    ).select("doc_id").distinct()
+    return (
+        docs.filter(F.col("doc_id") >= N_BENCHMARK_DOCS)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+ORACLE_LLM_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+sh AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN LEN(ws) >= 4
+         THEN [array_to_string(ws[i:i+3], ' ')
+               for i in generate_series(1, LEN(ws) - 3)]
+         ELSE [text] END) AS s
+  FROM w
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+contaminated AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+  WHERE sh.doc_id >= 20
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id >= 20
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
 BM25_TERMS = ("query", "table", "spark")  # fixed retrieval query
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -490,5 +612,13 @@ QUERIES = {
     "llm_bm25": spec(
         llm_bm25, ORACLE_LLM_BM25, "llm",
         doc="BM25 retrieval scoring (linear-idf, hash-exact oracle)",
+    ),
+    "llm_pii_scrub": spec(
+        llm_pii_scrub, ORACLE_LLM_PII_SCRUB, "llm",
+        doc="PII redaction: chained regexp masking + per-doc audit columns",
+    ),
+    "llm_decontaminate": spec(
+        llm_decontaminate, ORACLE_LLM_DECONTAMINATE, "llm",
+        doc="benchmark decontamination via broadcast shingle anti-join",
     ),
 }

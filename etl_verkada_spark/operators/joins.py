@@ -179,18 +179,26 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .aggregates import scaled_long, unscale
 
+    import shutil
+
     token = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     li_t, o_t = f"li_bkt_{token}", f"o_bkt_{token}"
+    # external-path tables + explicit cleanup: a managed table's
+    # location can outlive the (per-session, in-memory) metastore entry,
+    # and saveAsTable refuses to adopt an orphaned managed location
+    for t in (li_t, o_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/spark_graft_bkt/{t}", ignore_errors=True)
     table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
-    ).write.bucketBy(16, "l_orderkey").sortBy("l_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(li_t)
+    ).write.bucketBy(16, "l_orderkey").sortBy("l_orderkey").option(
+        "path", f"/tmp/spark_graft_bkt/{li_t}"
+    ).mode("overwrite").saveAsTable(li_t)
     table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
-    ).write.bucketBy(16, "o_orderkey").sortBy("o_orderkey").mode(
-        "overwrite"
-    ).saveAsTable(o_t)
+    ).write.bucketBy(16, "o_orderkey").sortBy("o_orderkey").option(
+        "path", f"/tmp/spark_graft_bkt/{o_t}"
+    ).mode("overwrite").saveAsTable(o_t)
     joined = (
         spark.table(li_t)
         .hint("merge")

@@ -147,6 +147,50 @@ SELECT o_orderkey, o_orderstatus FROM orders
 """
 
 
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 extended: declarative data-quality expectations as ONE aggregate.
+
+    The reference validates shape (typebox schema, task.ts:104-106);
+    production ingest also validates CONTENT. Each expectation is a
+    conditional count folded into a single pass — null rate, key
+    uniqueness (count vs count distinct), domain membership, range —
+    so the full quality report costs one scan + one 1-row aggregate
+    regardless of how many rules run (the mergeable-partial shape that
+    scales; per-rule passes would be N scans). The report is data, so
+    a pipeline can gate on it (fail if n_bad_* > threshold) exactly
+    like validate_json's FAILFAST gates on shape.
+    """
+    o = table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    return o.agg(
+        n.alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_cust"),
+        (n - F.count_distinct(F.col("o_orderkey"))).alias("n_dup_orderkey"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("n_bad_status"),
+        F.sum(
+            ((F.col("o_totalprice") <= 0.0)
+             | (F.col("o_totalprice") > 1_000_000.0)).cast("long")
+        ).alias("n_price_out_of_range"),
+        F.max("o_orderdate").cast("date").cast("string").alias("max_date"),
+    )
+
+
+ORACLE_VALIDATE_EXPECTATIONS = """
+SELECT
+  COUNT(*) AS n_rows,
+  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_cust,
+  COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_orderkey,
+  SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+    AS n_bad_status,
+  SUM(CASE WHEN o_totalprice <= 0.0 OR o_totalprice > 1000000.0
+           THEN 1 ELSE 0 END) AS n_price_out_of_range,
+  CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS max_date
+FROM orders
+"""
+
+
 LAND_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
 LAND_DDL = (
     "o_orderkey long, o_custkey long, o_orderstatus string, "
@@ -216,6 +260,11 @@ QUERIES = {
     "validate_failfast": spec(
         validate_failfast, ORACLE_VALIDATE_FAILFAST, "reference:S3",
         doc="declared-schema strict read, task.ts:104-106",
+    ),
+    "validate_expectations": spec(
+        validate_expectations, ORACLE_VALIDATE_EXPECTATIONS, "reference:S3",
+        "beyond",
+        doc="declarative data-quality expectations in one aggregate pass",
     ),
     "scan_csv_land": spec(
         scan_csv_land, ORACLE_SCAN_LAND, "reference:S2", "beyond",

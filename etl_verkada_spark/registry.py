@@ -69,8 +69,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_dedup_embed",
     "llm_sim_search",
     "llm_sim_pairs",
-    "llm_sim_ann_lsh",
-    "llm_sim_ann_ivf",
     "llm_text_stats",
     "llm_lang_id",
     "llm_quality",
@@ -78,9 +76,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_fingerprint",
     "llm_tfidf",
     "llm_bm25",
+    "llm_pii_scrub",
+    "llm_decontaminate",
     "llm_clean_pipeline",
     "mm_binary_stats",
-    "mm_decode_stub",
     "mm_resize_stub",
     "mm_feature_extract",
     # streaming family (real structured-streaming runs, batch oracles)
@@ -113,6 +112,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # covered by local parity)
     "win_sessionize",
     "scan_csv_land",
+    "validate_expectations",
     "join_large",
     "dedup_lastwins",
     "agg_stats",

