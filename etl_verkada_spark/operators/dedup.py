@@ -36,12 +36,23 @@ def last_wins(df: DataFrame, key: list[str], order: list) -> DataFrame:
     """Keep the last row per key, 'last' defined by ``order`` ascending.
 
     Hash-aggregate argmax (see module docstring): max_by on the order
-    tuple, whole row carried as a struct and unpacked after. Library
+    tuple, whole row carried as a struct and unpacked after. When every
+    non-key column is part of the ordering tuple, argmax degenerates to
+    plain ``max(struct(order))`` — one buffered struct instead of
+    max_by's separate (value, ordering) pair, measured ~40% faster on
+    dedup_lastwins — so that fast path is taken automatically. Library
     form used by the flagship pipeline and the upsert sink. Requires
     the order tuple to be unique per key for a deterministic winner
     (same precondition the window form has for a deterministic rn=1).
     """
     cols = df.columns
+    if set(cols) == set(key) | set(order):
+        agg = df.groupBy(*key).agg(
+            F.max(F.struct(*[F.col(c) for c in order])).alias("__row")
+        )
+        return agg.select(
+            *key, *[F.col(f"__row.{c}").alias(c) for c in order]
+        ).select(*cols)
     row = F.struct(*[F.col(c) for c in cols])
     ord_t = F.struct(*[F.col(c) for c in order])
     agg = df.groupBy(*key).agg(F.max_by(row, ord_t).alias("__row"))
@@ -70,24 +81,21 @@ def dedup_lastwins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (l_orderkey, l_linenumber) is NOT unique in this data — the full
     # 4-column ordering below is total (verified unique at every sf),
     # which is exactly the SURVEY §7.4 point: "last" needs a
-    # deterministic order. Every output column is PART of the ordering
-    # tuple, so argmax degenerates to max(struct(order...)): the
-    # aggregate buffers one struct instead of max_by's separate
-    # (value, ordering) pair — ~40% off the whole query at sf0.1
-    # (0.93 s -> 0.57 s), and at scale the shuffle carries exactly the
-    # ordering tuple, nothing else. The generic whole-row form stays
-    # `last_wins` (used when payload columns aren't in the ordering).
-    w = li.groupBy("l_orderkey").agg(
-        F.max(
-            F.struct(
-                "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"
-            )
-        ).alias("__w")
-    )
-    return w.select(
+    # deterministic order. Every non-key column is PART of the ordering
+    # tuple, so last_wins takes its max(struct) fast path — ~40% off
+    # the whole query at sf0.1 (0.93 s -> 0.57 s), and at scale the
+    # shuffle carries exactly the ordering tuple, nothing else.
+    return last_wins(
+        li.select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_partkey",
+        ),
+        ["l_orderkey"],
+        ["l_linenumber", "l_quantity", "l_extendedprice", "l_partkey"],
+    ).select(
         "l_orderkey",
-        F.col("__w.l_linenumber").alias("last_line"),
-        F.col("__w.l_quantity").alias("l_quantity"),
+        F.col("l_linenumber").alias("last_line"),
+        "l_quantity",
     )
 
 
