@@ -57,9 +57,10 @@ def spec(
 # hard driver row; redundant relational variants (already driver-green
 # in round 1) sit past position 50 and keep local-parity coverage only.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # flagship: the whole reference control() pipeline
+    # flagship: the whole reference control() pipeline (the rows-only
+    # nested-Feature twin flagship_features sits past 50; its scalar
+    # surface is what flagship_flat hash-checks)
     "flagship_flat",
-    "flagship_features",
     # LLM-pipeline family (dedup / similarity / text / multimodal)
     "llm_dedup_exact",
     "llm_dedup_minhash",
@@ -88,6 +89,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_session",
     "stream_stateful",
     "stream_stream_join",
+    "stream_static_join",
     "stream_dedup",
     "upsert_merge",
     # scalar-function / UDF / UDTF surface

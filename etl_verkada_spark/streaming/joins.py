@@ -104,7 +104,55 @@ WHERE p.event_type = 'purchase'
 """
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + stateful aggregate (real run).
+
+    The OTHER streaming join shape: one side unbounded (events), one
+    side a bounded dimension (nation) re-read per micro-batch. No state
+    is kept for the join itself — the static side behaves like a
+    broadcast build refreshed each batch (which is also how slowly-
+    changing dims get picked up mid-stream) — so unlike the
+    stream-stream form no watermark is needed to bound join state; only
+    the downstream count aggregate is stateful. This is the streaming
+    twin of the flagship's camera->ACL enrichment.
+    """
+    from ..catalog import table
+
+    ev = events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    enriched = ev.withColumn("nk", F.col("user_id") % 25).join(
+        F.broadcast(dim), "nk"
+    )
+    counts = enriched.groupBy("n_name", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    qname = f"ss_join_{uuid.uuid4().hex[:12]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname)
+
+
+ORACLE_STREAM_STATIC_JOIN = """
+SELECT n.n_name, e.event_type, COUNT(*) AS n_events
+FROM events e
+JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name, e.event_type
+"""
+
+
 QUERIES = {
+    "stream_static_join": spec(
+        stream_static_join, ORACLE_STREAM_STATIC_JOIN, "streaming",
+        doc="stream-static broadcast enrichment + stateful agg (real run)",
+    ),
     "stream_stream_join": spec(
         stream_stream_join, ORACLE_STREAM_STREAM_JOIN, "beyond",
         doc="stream-stream interval join (watermarked state, real run)",

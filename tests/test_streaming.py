@@ -327,3 +327,83 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     want = base.select("user_id", "event_type").distinct().count()
     assert len(got) == want  # batch-2 duplicates were dropped, not re-emitted
     assert len({(r["user_id"], r["event_type"]) for r in got}) == len(got)
+
+
+def test_sessionize_matches_session_window(spark):
+    """The batch gaps-and-islands sessionizer and Spark's native
+    session_window must produce the SAME sessions (start, user,
+    n_events) — the docstring's semantic claim, checked both ways."""
+    from etl_verkada_spark.operators.windows import win_sessionize
+    from etl_verkada_spark.streaming.windows import session
+
+    sf = "/root/testdata/sf0.001"
+    gi = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in win_sessionize(spark, sf).collect()
+    }
+    sw = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in session(table(spark, sf, "events")).collect()
+    }
+    assert gi == sw
+
+
+def test_stateful_stream_recovers_from_checkpoint(spark, tmp_path):
+    """Kill-and-restart semantics (the reference's scheduled Lambda
+    re-invocation, task.ts:76): a second availableNow run over the SAME
+    checkpoint must resume from committed offsets — new data processed
+    ON TOP of carried state, old data not reprocessed."""
+    from etl_verkada_spark.streaming.stateful import running_user_totals
+
+    ev = table(spark, SF_SMALL, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    half1 = ev.filter(F.col("user_id") % 2 == 0)
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    # memory sink can't recover from a checkpoint; foreachBatch can —
+    # each batch's update-mode emissions are appended to a parquet log
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    def run():
+        q = (
+            running_user_totals(
+                spark.readStream.schema(ev.schema).parquet(src)
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    n_first = spark.read.parquet(out).count()
+    assert n_first > 0
+
+    # "crash": the query object is gone; land MORE data (every user),
+    # restart on the SAME checkpoint
+    ev.coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    # the resumed run processed ONLY the new file (committed offsets
+    # respected) with state carried: the latest emission per user equals
+    # the grand total over half1 + full, never a double count
+    emitted = spark.read.parquet(out)
+    latest = {
+        r["user_id"]: r["mx"]
+        for r in emitted.groupBy("user_id")
+        .agg(F.max("n_events").alias("mx"))
+        .collect()
+    }
+    total = {
+        r["user_id"]: r["n"]
+        for r in half1.unionByName(ev)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert latest == total
