@@ -55,6 +55,7 @@ HEADLINE = [
     "win_sessionize",
     "llm_bm25",
     "mm_feature_extract",
+    "mm_feature_extract_arrow",
 ]
 
 

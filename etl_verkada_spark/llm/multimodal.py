@@ -238,6 +238,41 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(with_binary_payload(docs))
 
 
+def extract_features_arrow(payloads: DataFrame) -> DataFrame:
+    """The same kernel via ``mapInArrow`` — Arrow-NATIVE, zero pandas.
+
+    Each batch stays a ``pyarrow.RecordBatch``; the regex counting runs
+    in Arrow's C++ compute kernels (``count_substring_regex``, RE2 — the
+    same regex engine DuckDB uses, which is why the one oracle covers
+    both implementations). Against the pandas form this skips the
+    Arrow<->pandas conversion and Python-object string handling on both
+    edges — the preferred shape when the kernel is expressible in Arrow
+    compute; pandas remains for kernels that need numpy/scipy algebra
+    (the ANN matmuls).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def featurize(batches):
+        for batch in batches:
+            text = pc.cast(batch.column("payload"), pa.string())
+            cols = {"doc_id": batch.column("doc_id")}
+            for i, cls in enumerate(FEATURE_CLASSES):
+                cols[f"f{i}"] = pc.cast(
+                    pc.count_substring_regex(text, cls), pa.int64()
+                )
+            yield pa.RecordBatch.from_pydict(cols)
+
+    return payloads.mapInArrow(featurize, FEATURE_SCHEMA)
+
+
+def mm_feature_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native decode+featurize twin (same oracle as the pandas
+    form — identical results, different Python boundary)."""
+    docs = table(spark, sf_dir, "documents")
+    return extract_features_arrow(with_binary_payload(docs))
+
+
 ORACLE_MM_FEATURE_EXTRACT = """
 SELECT
   doc_id,
@@ -279,5 +314,9 @@ QUERIES = {
     "mm_feature_extract": spec(
         mm_feature_extract, ORACLE_MM_FEATURE_EXTRACT, "llm",
         doc="fused decode+featurize mapInPandas kernel (oracle-checked)",
+    ),
+    "mm_feature_extract_arrow": spec(
+        mm_feature_extract_arrow, ORACLE_MM_FEATURE_EXTRACT, "llm",
+        doc="Arrow-native mapInArrow twin of the featurize kernel",
     ),
 }
