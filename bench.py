@@ -53,6 +53,7 @@ HEADLINE = [
     "llm_sim_ann_ivf",
     "agg_salted",
     "win_sessionize",
+    "ts_gapfill",
     "llm_bm25",
     "mm_feature_extract",
     "mm_feature_extract_arrow",

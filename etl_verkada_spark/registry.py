@@ -64,7 +64,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # LLM-pipeline family (dedup / similarity / text / multimodal)
     "llm_dedup_exact",
     "llm_dedup_minhash",
-    "llm_dedup_simhash",
+    # llm_dedup_simhash sits past 50: rows-only either way, design
+    # unchanged since its round-1 green local parity
     "llm_dedup_ngram",
     "llm_dedup_cc",
     "llm_dedup_embed",
@@ -113,6 +114,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # (scan_json_land and the round-1-green relational rows sit past 50,
     # covered by local parity)
     "win_sessionize",
+    "ts_gapfill",
     "scan_csv_land",
     "validate_expectations",
     "join_large",
@@ -126,7 +128,8 @@ def build_registry() -> dict[str, QuerySpec]:
     failure in one family (e.g. optional deps) surfaces per-query, not at
     module import of the driver entry point."""
     from .operators import aggregates, dedup, filters, joins, projections
-    from .operators import reshape, scans, setops, sorts, subqueries, windows
+    from .operators import reshape, scans, setops, sorts, subqueries
+    from .operators import timeseries, windows
     from .functions import scalars, udtfs
     from .pipeline import features
     from .llm import dedup as llm_dedup
@@ -146,6 +149,7 @@ def build_registry() -> dict[str, QuerySpec]:
         dedup,
         aggregates,
         windows,
+        timeseries,
         sorts,
         setops,
         reshape,
