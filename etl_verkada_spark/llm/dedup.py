@@ -161,6 +161,74 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_PREFIX = 64   # edit distance on the document head, not the body
+FUZZY_MAX_DIST = 5
+FUZZY_LEN_BAND = 16
+
+
+def llm_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dedup: Levenshtein over blocked candidates.
+
+    The fuzzy-match family member (typo-level duplicates that n-gram
+    Jaccard over-penalizes and embedding cosine can't localize).
+    Levenshtein is O(m*n) per PAIR, so the operator's whole design is
+    about never running it on the cross product: candidates must share
+    a (lang, length-band) block — length differing by more than the
+    distance budget can't be within budget anyway — and the metric runs
+    on the first FUZZY_PREFIX chars (near-dups agree on their head; the
+    bounded prefix caps per-pair cost at a constant). Both engines
+    implement unit-cost Levenshtein identically, so the result is
+    oracle-exact. At 100 TB the blocks shard like every other blocked
+    dedup here; the prefix bound is what keeps a block's pair cost
+    linear in pairs, not in document bytes.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, FUZZY_PREFIX).alias("head"),
+        # integer div, not `/` + cast: Spark's double->long cast
+        # truncates but DuckDB's ROUNDS — floor-divide in integers so
+        # both engines band identically
+        F.expr(f"length(text) div {FUZZY_LEN_BAND}").alias("band"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_MAX_DIST)
+    )
+
+
+ORACLE_LLM_DEDUP_FUZZY = """
+WITH d AS (
+  SELECT
+    doc_id,
+    lang,
+    substr(text, 1, 64) AS head,
+    LENGTH(text) // 16 AS band
+  FROM documents
+)
+SELECT
+  a.doc_id AS doc_a,
+  b.doc_id AS doc_b,
+  levenshtein(a.head, b.head) AS edit_dist
+FROM d a
+JOIN d b
+  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 5
+"""
+
+
 def simhash_column(n_bits: int = 64) -> F.Column:
     """64-bit SimHash of the whitespace tokens, as a single expression.
 
@@ -441,7 +509,11 @@ QUERIES = {
     ),
     "llm_dedup_minhash": spec(
         llm_dedup_minhash, None, "llm",
-        doc="MinHash 16-perm + 4-band LSH, exact-Jaccard verified (rows-only)",
+        doc="MinHash 64-perm + 16-band LSH, exact-Jaccard verified (rows-only)",
+    ),
+    "llm_dedup_fuzzy": spec(
+        llm_dedup_fuzzy, ORACLE_LLM_DEDUP_FUZZY, "llm",
+        doc="Levenshtein near-dedup, (lang, length-band)-blocked, prefix-bounded",
     ),
     "llm_dedup_simhash": spec(
         llm_dedup_simhash, None, "llm",

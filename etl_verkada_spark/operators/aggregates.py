@@ -447,6 +447,53 @@ GROUP BY l_returnflag
 """
 
 
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: sketch-based percentile, oracle-checked on its
+    RANK-ERROR bound (the agg_approx pattern for quantiles).
+
+    approx_percentile (Spark: Greenwald-Khanna; DuckDB: t-digest) gives
+    each engine a different estimate, so the comparable contract is
+    "each engine's p50/p95 estimate sits between the exact p45/p55 and
+    p90/p99 quantiles respectively" — i.e. rank error within 5 points,
+    far looser than either sketch's default accuracy, asserted against
+    the engine's OWN exact quantiles. One pass, fixed memory, mergeable
+    partials at 100 TB; the exact companion is agg_percentile.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(*[
+        F.lit(p) for p in (0.45, 0.55, 0.90, 0.99)
+    ]))
+    apx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10_000)
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            (F.element_at(apx, 1) >= F.element_at(pct, 1))
+            & (F.element_at(apx, 1) <= F.element_at(pct, 2))
+        ).alias("p50_within_5pt"),
+        (
+            (F.element_at(apx, 2) >= F.element_at(pct, 3))
+            & (F.element_at(apx, 2) <= F.element_at(pct, 4))
+        ).alias("p95_within_rank_band"),
+    )
+
+
+ORACLE_AGG_APPROX_PERCENTILE = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n_rows,
+  approx_quantile(l_extendedprice, 0.5)
+    BETWEEN quantile_cont(l_extendedprice, 0.45)
+        AND quantile_cont(l_extendedprice, 0.55) AS p50_within_5pt,
+  approx_quantile(l_extendedprice, 0.95)
+    BETWEEN quantile_cont(l_extendedprice, 0.90)
+        AND quantile_cont(l_extendedprice, 0.99) AS p95_within_rank_band
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: set collection into a deterministic ARRAY result.
 
@@ -544,6 +591,10 @@ QUERIES = {
     "agg_percentile": spec(
         agg_percentile, ORACLE_AGG_PERCENTILE, "beyond",
         doc="exact linear-interpolated percentiles per group",
+    ),
+    "agg_approx_percentile": spec(
+        agg_approx_percentile, ORACLE_AGG_APPROX_PERCENTILE, "beyond",
+        doc="sketch percentile, oracle-checked on its rank-error bound",
     ),
     "agg_collect": spec(
         agg_collect, ORACLE_AGG_COLLECT, "beyond",
