@@ -165,6 +165,69 @@ GROUP BY o.o_orderpriority
 """
 
 
+N_JOIN_SALT = 8
+
+
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: manually salted join for skewed keys.
+
+    The join-side twin of agg_salted: when one key dominates (here the
+    3-value l_returnflag against a tiny dim), a plain shuffle join puts
+    a third of the table through one reducer. Salting appends a
+    deterministic salt to the BIG side's key and EXPLODES the small
+    side N_SALT ways (sequence+explode, no Python), so each hot key
+    spreads over N_SALT reducers; the join condition on (key, salt)
+    stays an equi-join. AQE's skew handling only splits sort-merge
+    partitions it can observe — the explicit rewrite is the portable
+    form, and the oracle (plain join, no salt) proves it changes
+    nothing but the distribution. The salt must be deterministic per
+    row (hash of stable columns, never rand()) or task retries
+    re-assign rows and double-count.
+    """
+    from .aggregates import scaled_long, unscale
+
+    li = table(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")],
+        "flag string, flag_name string",
+    )
+    salt = F.pmod(
+        F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"),
+        F.lit(N_JOIN_SALT),
+    )
+    big = li.select(
+        "l_returnflag", "l_extendedprice", salt.alias("salt")
+    )
+    dim_x = dim.select(
+        "flag",
+        "flag_name",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(N_JOIN_SALT - 1))
+        ).alias("salt"),
+    )
+    joined = big.join(
+        F.broadcast(dim_x),
+        (big["l_returnflag"] == dim_x["flag"]) & (big["salt"] == dim_x["salt"]),
+    )
+    return joined.groupBy("flag_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        unscale(F.sum(scaled_long("l_extendedprice")), 2).alias("revenue"),
+    )
+
+
+ORACLE_JOIN_SALTED = """
+SELECT
+  d.flag_name,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN (VALUES ('R', 'returned'), ('A', 'accepted'), ('N', 'none'))
+     d(flag, flag_name)
+  ON l.l_returnflag = d.flag
+GROUP BY d.flag_name
+"""
+
+
 def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: co-located (bucketed) large x large join.
 
@@ -346,6 +409,10 @@ QUERIES = {
     "join_bucketed": spec(
         join_bucketed, ORACLE_JOIN_SORTMERGE, "beyond",
         doc="co-located bucketed join: zero-shuffle SMJ via layout",
+    ),
+    "join_salted": spec(
+        join_salted, ORACLE_JOIN_SALTED, "beyond",
+        doc="salted skew join: hot keys spread over N_SALT reducers",
     ),
     "join_asof": spec(
         join_asof, ORACLE_JOIN_ASOF, "beyond",

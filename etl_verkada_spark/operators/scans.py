@@ -229,6 +229,52 @@ def _land_then_read(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     )
 
 
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: the scan that never reads the data
+    it filters out.
+
+    The testdata is single unpartitioned files, so this lands events
+    once as ``partitionBy(event_type)`` parquet, then reads it back
+    with an event_type filter: the predicate resolves against DIRECTORY
+    NAMES (PartitionFilters in the plan, asserted in
+    tests/test_relational.py), so the other partitions' files are never
+    opened. At 100 TB this is the first-order scan optimization —
+    partition layout turns a full-corpus scan into reading only the
+    selected slices — and it's the batch analogue of the IVF/bucketed
+    layouts the LLM ops use.
+    """
+    src = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = _land_dir(sf_dir, "events_by_type")
+    import os
+
+    # land once; _SUCCESS guards against adopting a partial write
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        src.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    part = spark.read.parquet(path).filter(
+        F.col("event_type") == "purchase"
+    )
+    from .aggregates import scaled_long, unscale
+
+    return part.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        unscale(F.sum(scaled_long("value")), 2).alias("sum_value"),
+    )
+
+
+ORACLE_SCAN_PARTITION_PRUNED = """
+SELECT
+  user_id,
+  COUNT(*) AS n_purchases,
+  CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DECIMAL(38,0))
+       / 100 AS DOUBLE) AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
 def scan_csv_land(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 scale path: land-then-read via CSV with declared schema."""
     return _land_then_read(spark, sf_dir, "csv")
@@ -265,6 +311,10 @@ QUERIES = {
         validate_expectations, ORACLE_VALIDATE_EXPECTATIONS, "reference:S3",
         "beyond",
         doc="declarative data-quality expectations in one aggregate pass",
+    ),
+    "scan_partition_pruned": spec(
+        scan_partition_pruned, ORACLE_SCAN_PARTITION_PRUNED, "beyond",
+        doc="hive-partitioned layout + directory-level partition pruning",
     ),
     "scan_csv_land": spec(
         scan_csv_land, ORACLE_SCAN_LAND, "reference:S2", "beyond",

@@ -378,3 +378,37 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partition_pruning_reads_only_selected_partition(spark):
+    """scan_partition_pruned's contract: the event_type predicate must
+    resolve at the DIRECTORY level (PartitionFilters), leaving no
+    pushed/post-scan data filter on event_type, and the scan's input
+    files must all come from the selected partition's directory."""
+    from etl_verkada_spark.operators.scans import (
+        _land_dir,
+        scan_partition_pruned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = scan_partition_pruned(spark, sf)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the predicate is a PartitionFilter (directory-level)...
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf and "purchase" in pf, pf
+    # ...and NOT a data filter (no row ever evaluated it)
+    dfil = plan.split("DataFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" not in dfil, dfil
+    # the executed scan actually read ONLY the purchase directory:
+    # input_file_name() reflects post-pruning files
+    read_files = {
+        r["f"]
+        for r in spark.read.parquet(_land_dir(sf, "events_by_type"))
+        .filter("event_type = 'purchase'")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert read_files
+    assert all("event_type=purchase" in f for f in read_files), read_files
