@@ -343,6 +343,85 @@ GROUP BY dup_id
 """
 
 
+def embed_sim_edges(
+    spark: SparkSession, sf_dir: str, threshold: float = EMBED_DUP_THRESHOLD
+) -> DataFrame:
+    """Similarity EDGES (vec_a, vec_b) above the rounded-cosine
+    threshold, one blocked numpy Gram matmul per label block — the same
+    kernel as llm_dedup_embed but emitting the graph instead of the
+    drop-list."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    def block_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", x, x))
+        sims = (x @ x.T) / np.outer(norms, norms)
+        rounded = np.floor(np.abs(sims) * 1e4 + 0.5) / 1e4 * np.sign(sims)
+        rows, cols = np.nonzero(np.triu(rounded >= threshold, k=1))
+        return pd.DataFrame(
+            {"doc_a": ids[rows], "doc_b": ids[cols]}, dtype="int64"
+        )
+
+    return e.groupBy("label").applyInPandas(
+        block_edges, schema="doc_a long, doc_b long"
+    )
+
+
+def llm_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering: transitive closure over embedding-cosine
+    edges.
+
+    The semantic twin of llm_dedup_cc (which clusters the lexical
+    n-gram graph): paraphrase chains A~B~C merge into one cluster even
+    when cosine(A, C) falls under the threshold. Edges come from the
+    blocked Gram-matmul kernel; the fixpoint is the same min-label
+    propagation, checked against a DuckDB WITH RECURSIVE oracle. This
+    is the cluster-then-keep-one endgame of embedding dedup at corpus
+    scale — pairwise drop-lists under-merge chains.
+    """
+    from .dedup import connected_components
+
+    labels = connected_components(embed_sim_edges(spark, sf_dir))
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_root").cast("long").alias("cluster_root"),
+    )
+
+
+ORACLE_LLM_DEDUP_SEMANTIC = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+edges AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(
+    list_dot_product(a.emb, b.emb)
+    / (SQRT(list_dot_product(a.emb, a.emb))
+       * SQRT(list_dot_product(b.emb, b.emb))),
+    4) >= 0.4
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS id FROM sym),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+)
+SELECT a AS vec_id, MIN(b) AS cluster_root
+FROM reach
+GROUP BY a
+"""
+
+
 N_CELLS = 16  # IVF cells; centroids = the first N_CELLS vectors by id
 N_PROBE = 2
 
@@ -418,5 +497,9 @@ QUERIES = {
     "llm_dedup_embed": spec(
         llm_dedup_embed, ORACLE_LLM_DEDUP_EMBED, "llm",
         doc="embedding-cosine near-dedup with keeper assignment",
+    ),
+    "llm_dedup_semantic": spec(
+        llm_dedup_semantic, ORACLE_LLM_DEDUP_SEMANTIC, "llm",
+        doc="semantic clustering: CC over embedding-cosine edges",
     ),
 }
