@@ -494,6 +494,57 @@ GROUP BY l_returnflag
 """
 
 
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: MODE (most frequent value) with a DETERMINISTIC
+    tie-break.
+
+    Native mode() is unusable cross-engine (ties resolve arbitrarily,
+    differently per engine and per partitioning), so the operator is
+    spelled as what mode actually is: count per (group, value), then
+    rank by (count desc, value) and keep rank 1. Two hash aggregates +
+    a window over the tiny count table — the raw data is reduced before
+    any sort, so at 100 TB the window sees |groups x values| rows, not
+    the corpus.
+    """
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("o_orderstatus").orderBy(
+            F.col("cnt").desc(), F.col("o_orderpriority")
+        )
+    )
+    return (
+        counts.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("n_rows"),
+        )
+    )
+
+
+ORACLE_AGG_MODE = """
+SELECT o_orderstatus, mode_priority, n_rows FROM (
+  SELECT
+    o_orderstatus,
+    o_orderpriority AS mode_priority,
+    COUNT(*) AS n_rows,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_orderstatus
+      ORDER BY COUNT(*) DESC, o_orderpriority
+    ) AS rn
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+)
+WHERE rn = 1
+"""
+
+
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: set collection into a deterministic ARRAY result.
 
@@ -595,6 +646,10 @@ QUERIES = {
     "agg_approx_percentile": spec(
         agg_approx_percentile, ORACLE_AGG_APPROX_PERCENTILE, "beyond",
         doc="sketch percentile, oracle-checked on its rank-error bound",
+    ),
+    "agg_mode": spec(
+        agg_mode, ORACLE_AGG_MODE, "beyond",
+        doc="MODE with deterministic tie-break (count rank over groups)",
     ),
     "agg_collect": spec(
         agg_collect, ORACLE_AGG_COLLECT, "beyond",

@@ -98,6 +98,45 @@ WHERE o_totalprice > (SELECT MAX(o_totalprice) / 2 FROM orders)
 """
 
 
+def subquery_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 orders PER customer.
+
+    The per-row-subplan operator (Postgres LATERAL / APPLY): for each
+    outer row, the inner SELECT sees that row's columns. Catalyst
+    DECORRELATES it — the plan is a window rank over the join, not an
+    inner query per customer — which is the entire reason the construct
+    survives at 100 TB: the naive per-row execution is O(customers)
+    subplans; the decorrelated form is one join + one window. Total
+    ordering (price desc, orderkey) makes the top-2 deterministic.
+    """
+    from ..catalog import table
+
+    table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+    """)
+
+
+ORACLE_SUBQUERY_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+"""
+
+
 QUERIES = {
     "subquery_exists": spec(
         subquery_exists, ORACLE_SUBQUERY_EXISTS, "beyond",
@@ -110,5 +149,9 @@ QUERIES = {
     "subquery_scalar": spec(
         subquery_scalar, ORACLE_SUBQUERY_SCALAR, "beyond",
         doc="scalar subquery computed once (broadcast)",
+    ),
+    "subquery_lateral": spec(
+        subquery_lateral, ORACLE_SUBQUERY_LATERAL, "beyond",
+        doc="correlated LATERAL top-N per row, decorrelated by Catalyst",
     ),
 }
