@@ -330,6 +330,61 @@ GROUP BY user_id, session_no
 """
 
 
+FUNNEL_WINDOW_US = 30 * 60 * 1_000_000
+
+
+def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: funnel / sequence detection (MATCH_RECOGNIZE's
+    common case) — count click->purchase conversions within 30 minutes.
+
+    A conversion is an adjacent-event transition in the user's
+    event-time order: previous event is a click, current is a purchase,
+    gap inside the window. One lag pass over one (user, time) sort —
+    the same single-shuffle shape as sessionization — then a count per
+    user. The general k-step funnel iterates the same lag/flag trick k
+    times over the SAME sorted pass; nothing re-shuffles.
+    """
+    e = table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    prev_type = F.lag("event_type").over(w)
+    prev_ts = F.lag(ts_us).over(w)
+    conv = (
+        (prev_type == F.lit("click"))
+        & (F.col("event_type") == F.lit("purchase"))
+        & ((ts_us - prev_ts) <= FUNNEL_WINDOW_US)
+    ).cast("long")
+    return (
+        e.select("user_id", conv.alias("conv"))
+        .groupBy("user_id")
+        .agg(F.sum("conv").alias("n_conversions"))
+        .filter(F.col("n_conversions") > 0)
+    )
+
+
+ORACLE_WIN_FUNNEL = """
+WITH lagged AS (
+  SELECT
+    user_id,
+    event_type,
+    epoch_us(ts) AS ts_us,
+    LAG(event_type) OVER w AS prev_type,
+    LAG(epoch_us(ts)) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT user_id, SUM(conv) AS n_conversions FROM (
+  SELECT
+    user_id,
+    CAST(prev_type = 'click' AND event_type = 'purchase'
+         AND ts_us - prev_ts <= 30 * 60 * 1000000 AS BIGINT) AS conv
+  FROM lagged
+)
+GROUP BY user_id
+HAVING SUM(conv) > 0
+"""
+
+
 QUERIES = {
     "win_rownum": spec(
         win_rownum, ORACLE_WIN_ROWNUM, "beyond", "reference:J2",
@@ -362,5 +417,9 @@ QUERIES = {
     "win_sessionize": spec(
         win_sessionize, ORACLE_WIN_SESSIONIZE, "beyond",
         doc="batch gaps-and-islands sessionization (one sort, two windows)",
+    ),
+    "win_funnel": spec(
+        win_funnel, ORACLE_WIN_FUNNEL, "beyond",
+        doc="funnel conversion detection (lag transition flags, one sort)",
     ),
 }
