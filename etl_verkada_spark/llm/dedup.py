@@ -2,7 +2,7 @@
 
 * exact      — normalize -> MD5 -> min-doc-id per hash. One hash-agg
                shuffle on the 16-byte digest, never on the text.
-* minhash    — shingle -> 16-perm MinHash -> 4-band LSH -> candidate
+* minhash    — shingle -> 64-perm MinHash -> 16-band LSH -> candidate
                pairs -> exact-Jaccard verification. Pure DataFrame ops;
                at 100 TB the band join shuffles only (band, hash) pairs
                (a few dozen bytes/doc), candidate verification touches
