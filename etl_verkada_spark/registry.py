@@ -133,7 +133,7 @@ def build_registry() -> dict[str, QuerySpec]:
     from .functions import scalars, udtfs
     from .pipeline import features
     from .llm import dedup as llm_dedup
-    from .llm import multimodal, similarity, text
+    from .llm import multimodal, sampling, similarity, text
     from .streaming import dedup as stream_dedup_ops
     from .streaming import joins as stream_joins
     from .streaming import stateful as stream_stateful
@@ -160,6 +160,7 @@ def build_registry() -> dict[str, QuerySpec]:
         llm_dedup,
         similarity,
         text,
+        sampling,
         multimodal,
         stream_windows,
         stream_stateful,
