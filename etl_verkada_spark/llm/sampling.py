@@ -97,7 +97,8 @@ ORACLE_LLM_SHARD = f"""
 SELECT
   {_ORACLE_HASH_U8} % 8 AS shard,
   COUNT(*) AS n_docs,
-  SUM(n_chars) AS n_chars
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT -> pandas float64 vs Spark int64
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM documents
 GROUP BY 1
 """
@@ -139,7 +140,8 @@ def llm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LLM_MIX_WEIGHTS = """
 WITH per_lang AS (
-  SELECT lang, SUM(LEN(string_split(text, ' '))) AS lang_toks
+  SELECT lang,
+         CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS lang_toks
   FROM documents
   GROUP BY lang
 ),

@@ -41,8 +41,10 @@ SELECT
   lang,
   source,
   COUNT(*) AS n_docs,
-  SUM(LENGTH(text)) AS sum_chars,
-  SUM(LEN(string_split(text, ' '))) AS sum_toks,
+  -- CAST: DuckDB SUM(BIGINT) is HUGEINT -> pandas float64; Spark emits
+  -- int64, and the driver's hash is dtype-sensitive (round-2 hash FAIL)
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+  CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS sum_toks,
   CAST(SUM(LEN(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_toks
 FROM documents
 GROUP BY lang, source

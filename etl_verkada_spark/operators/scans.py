@@ -180,12 +180,15 @@ def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VALIDATE_EXPECTATIONS = """
 SELECT
   COUNT(*) AS n_rows,
-  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_cust,
+  -- CAST: DuckDB SUM over integers is HUGEINT -> pandas float64; Spark
+  -- emits int64 and the driver's hash is dtype-sensitive (r2 hash FAIL)
+  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_cust,
   COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_orderkey,
-  SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
-    AS n_bad_status,
-  SUM(CASE WHEN o_totalprice <= 0.0 OR o_totalprice > 1000000.0
-           THEN 1 ELSE 0 END) AS n_price_out_of_range,
+  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_bad_status,
+  CAST(SUM(CASE WHEN o_totalprice <= 0.0 OR o_totalprice > 1000000.0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_price_out_of_range,
   CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS max_date
 FROM orders
 """

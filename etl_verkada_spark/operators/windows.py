@@ -313,10 +313,12 @@ numbered AS (
   SELECT
     user_id,
     ts_us,
-    SUM(is_new) OVER (
+    -- CAST: DuckDB SUM(int) is HUGEINT -> pandas float64 vs Spark int64
+    -- under the driver's dtype-sensitive hash (round-2 hash FAIL)
+    CAST(SUM(is_new) OVER (
       PARTITION BY user_id ORDER BY ts_us, event_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS session_no
+    ) AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT
@@ -373,7 +375,7 @@ WITH lagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 )
-SELECT user_id, SUM(conv) AS n_conversions FROM (
+SELECT user_id, CAST(SUM(conv) AS BIGINT) AS n_conversions FROM (
   SELECT
     user_id,
     CAST(prev_type = 'click' AND event_type = 'purchase'

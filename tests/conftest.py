@@ -4,12 +4,8 @@ tools/parity_check.py)."""
 
 from __future__ import annotations
 
-import datetime
-import decimal
-import math
 import os
 import sys
-from collections import Counter
 
 import duckdb
 import pytest
@@ -38,40 +34,18 @@ def oracle():
     con.close()
 
 
-def canon(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "T" if v else "F"
-    if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(v)
-    if isinstance(v, decimal.Decimal):
-        return repr(float(v))
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+from etl_verkada_spark.compare import canon_cell as canon  # noqa: E402,F401
+from etl_verkada_spark.compare import compare_frames  # noqa: E402
 
 
 def assert_matches_oracle(sdf, con, sql: str) -> None:
-    """Replicates the driver's compare: row count + column names +
-    order-insensitive canonicalized value multiset."""
-    scols = sdf.columns
-    srows = sdf.collect()
-    res = con.execute(sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    assert sorted(scols) == sorted(ocols), (sorted(scols), sorted(ocols))
-    assert len(srows) == len(orows), (len(srows), len(orows))
-    s_idx = [scols.index(c) for c in sorted(scols)]
-    o_idx = [ocols.index(c) for c in sorted(ocols)]
-    sm = Counter(tuple(canon(r[i]) for i in s_idx) for r in srows)
-    om = Counter(tuple(canon(r[i]) for i in o_idx) for r in orows)
-    if sm != om:
-        raise AssertionError(
-            f"value mismatch; spark-only={list((sm - om).items())[:3]} "
-            f"oracle-only={list((om - sm).items())[:3]}"
-        )
+    """Replicates the driver's compare: both engines' results go through
+    pandas (Spark ``toPandas()``, DuckDB ``.df()``) exactly like the
+    driver's canonicalizer, then column names + row count + per-column
+    dtype kind + order-insensitive canonical value multiset
+    (etl_verkada_spark/compare.py)."""
+    spdf = sdf.toPandas()
+    opdf = con.execute(sql).df()
+    problems = compare_frames(spdf, opdf)
+    if problems:
+        raise AssertionError(" | ".join(problems))
