@@ -217,10 +217,16 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptable: one pass, fixed memory, mergeable partials, no distinct
     shuffle. The raw estimate is engine-specific (Spark HLL++ != DuckDB
     HLL), so the comparable contract is "each engine's sketch lands
-    within 8% (4 sigma at rsd=0.02) of the exact count" — both sides
+    within 10% (5 sigma at rsd=0.02) of the exact count" — both sides
     emit that boolean next to the exact count, and the exact count also
     pins the data itself. The exact COUNT(DISTINCT) here exists only to
     judge the sketch; production use is the sketch alone.
+
+    Band calibration (ADVICE r2): measured max relative error across
+    sf0.001/0.01/0.1 is <=0.5% for DuckDB's HLL and ~2% (one rsd) for
+    Spark's HLL++, so the 10% band carries a >=5x margin on the worse
+    engine; a sketch drifting anywhere near the boundary indicates a
+    real regression, not noise.
     """
     li = table(spark, sf_dir, "lineitem")
     exact = F.count_distinct(F.col("l_partkey"))
@@ -229,8 +235,8 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_parts"),
         (
             F.abs(approx.cast("double") - exact.cast("double"))
-            <= 0.08 * exact.cast("double")
-        ).alias("sketch_within_4sigma"),
+            <= 0.10 * exact.cast("double")
+        ).alias("sketch_within_5sigma"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -241,8 +247,8 @@ SELECT
   COUNT(DISTINCT l_partkey) AS exact_parts,
   abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
       - CAST(COUNT(DISTINCT l_partkey) AS DOUBLE))
-    <= 0.08 * CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
-    AS sketch_within_4sigma,
+    <= 0.10 * CAST(COUNT(DISTINCT l_partkey) AS DOUBLE)
+    AS sketch_within_5sigma,
   COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY l_returnflag

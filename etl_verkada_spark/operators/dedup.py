@@ -46,7 +46,9 @@ def last_wins(df: DataFrame, key: list[str], order: list) -> DataFrame:
     (same precondition the window form has for a deterministic rn=1).
     """
     cols = df.columns
-    if set(cols) == set(key) | set(order):
+    # fast path requires key/order disjoint, else the projection below
+    # would emit duplicate column names (ADVICE r2)
+    if set(cols) == set(key) | set(order) and not set(key) & set(order):
         agg = df.groupBy(*key).agg(
             F.max(F.struct(*[F.col(c) for c in order])).alias("__row")
         )

@@ -242,25 +242,31 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .aggregates import scaled_long, unscale
 
+    import re
     import shutil
 
-    token = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    # whitelist-sanitize the identifier token (an sf_dir basename with
+    # '-' or other punctuation must not produce invalid/injectable SQL)
+    # and scope the external paths per Spark application so concurrent
+    # sessions can't clobber each other's layouts (ADVICE r2)
+    token = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     li_t, o_t = f"li_bkt_{token}", f"o_bkt_{token}"
+    base = f"/tmp/spark_graft_bkt/{spark.sparkContext.applicationId}"
     # external-path tables + explicit cleanup: a managed table's
     # location can outlive the (per-session, in-memory) metastore entry,
     # and saveAsTable refuses to adopt an orphaned managed location
     for t in (li_t, o_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"/tmp/spark_graft_bkt/{t}", ignore_errors=True)
+        shutil.rmtree(f"{base}/{t}", ignore_errors=True)
     table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice"
     ).write.bucketBy(16, "l_orderkey").sortBy("l_orderkey").option(
-        "path", f"/tmp/spark_graft_bkt/{li_t}"
+        "path", f"{base}/{li_t}"
     ).mode("overwrite").saveAsTable(li_t)
     table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     ).write.bucketBy(16, "o_orderkey").sortBy("o_orderkey").option(
-        "path", f"/tmp/spark_graft_bkt/{o_t}"
+        "path", f"{base}/{o_t}"
     ).mode("overwrite").saveAsTable(o_t)
     joined = (
         spark.table(li_t)

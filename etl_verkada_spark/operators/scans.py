@@ -249,10 +249,15 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    path = _land_dir(sf_dir, "events_by_type")
+    import hashlib
     import os
 
-    # land once; _SUCCESS guards against adopting a partial write
+    # key the landed copy on a content fingerprint of the source file
+    # (mtime+size), so regenerated testdata can never be shadowed by a
+    # stale landing (ADVICE r2); _SUCCESS still guards partial writes
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    path = _land_dir(sf_dir, f"events_by_type_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src.write.mode("overwrite").partitionBy("event_type").parquet(path)
     part = spark.read.parquet(path).filter(
