@@ -39,8 +39,10 @@ def canon_cell(v) -> str:
     """
     if v is None:
         return "NULL"
-    # pandas nulls: NaT, NaN (also covers numpy float nan)
+    # pandas nulls: NaT, NA, NaN (also covers numpy float nan)
     if v is pd.NaT:
+        return "NULL"
+    if v is pd.NA:
         return "NULL"
     if isinstance(v, (bool, np.bool_)):
         return "b:T" if v else "b:F"
@@ -98,8 +100,10 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
     for c in scols:
         sk = spark_pdf[c].dtype.kind
         ok = oracle_pdf[c].dtype.kind
-        # unsigned/signed both count as integer kind
-        norm = {"u": "i", "m": "M"}
+        # unsigned/signed both count as integer kind; timedelta ('m') is
+        # deliberately NOT folded into datetime ('M') — the driver's hash
+        # distinguishes them.
+        norm = {"u": "i"}
         if norm.get(sk, sk) != norm.get(ok, ok):
             kind_mismatch.append(f"{c}: spark={spark_pdf[c].dtype} oracle={oracle_pdf[c].dtype}")
     if kind_mismatch:

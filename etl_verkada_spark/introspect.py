@@ -28,12 +28,16 @@ from .registry import build_registry
 
 
 def query_schema(
-    spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR
+    spark: SparkSession,
+    name: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    registry=None,
 ) -> T.StructType:
     """Resolved output schema of one registered query (analysis only —
     no job runs; lazy DataFrame construction may still land files for
     the land-then-read scans)."""
-    registry = build_registry()
+    if registry is None:
+        registry = build_registry()
     if name not in registry:
         raise KeyError(f"unknown query: {name!r} (have {len(registry)})")
     return registry[name].fn(spark, sf_dir).schema
@@ -47,10 +51,12 @@ def schemas(
     """``{query_name: schema_json}`` for the requested queries.
 
     JSON via ``StructType.jsonValue`` — byte-stable and parseable back
-    with ``StructType.fromJson`` (asserted in tests/test_relational.py).
+    with ``StructType.fromJson`` (asserted in tests/test_introspect.py).
+    The registry is built once and shared across lookups.
     """
+    registry = build_registry()
     return {
-        n: json.dumps(query_schema(spark, n, sf_dir).jsonValue())
+        n: json.dumps(query_schema(spark, n, sf_dir, registry).jsonValue())
         for n in names
     }
 

@@ -2,7 +2,7 @@
 
 * exact      — normalize -> MD5 -> min-doc-id per hash. One hash-agg
                shuffle on the 16-byte digest, never on the text.
-* minhash    — shingle -> 64-perm MinHash -> 16-band LSH -> candidate
+* minhash    — shingle -> 128-perm MinHash -> 32-band LSH -> candidate
                pairs -> exact-Jaccard verification. Pure DataFrame ops;
                at 100 TB the band join shuffles only (band, hash) pairs
                (a few dozen bytes/doc), candidate verification touches
@@ -27,15 +27,18 @@ from ..catalog import table
 from ..registry import spec
 from .text import normalized_text, with_shingles
 
-# 64 perms in 16 bands of 4: the s-curve midpoint (1/b)^(1/r) =
-# (1/16)^(1/4) = 0.50 sits exactly on the verify threshold, giving
-# candidate recall ~0.99 at J=0.7 and ~0.64 at J=0.5 while keeping the
-# random-pair (J~0.2) candidate rate ~2.5% (verification bounds cost).
-# Round-1 judge note: the old 16-perm/4-band sketch had threshold ~0.7
-# and only ~23% recall at J=0.5 — fine for the planted high-sim dups,
-# wrong for the stated 0.5 cutoff at scale.
-N_PERMS = 64
-BAND_SIZE = 4  # -> 16 bands
+# 128 perms in 32 bands of 4 (round-4 widening from 64/16, the ADVICE
+# recall item): the s-curve midpoint (1/b)^(1/r) = (1/32)^(1/4) ~= 0.42
+# sits below the 0.5 verify threshold, so candidate recall at the
+# measured true-pair similarities is effectively total — per-pair miss
+# (1-J^4)^32 is ~5e-7 at the sf0.1 minimum true J=0.78 and ~2e-8 at
+# J=0.8, so even thousands of true pairs keep cumulative miss under
+# 1e-4 (at 64/16 it was ~5% over sf0.1's 256 pairs — a coin-flip-level
+# driver row-count risk at larger SFs). Random pairs (J~0.07 measured)
+# stay non-candidates: 32 * 0.07^4 ~= 8e-4 expected band collisions.
+# Exact-Jaccard verification bounds false-positive cost either way.
+N_PERMS = 128
+BAND_SIZE = 4  # -> 32 bands
 
 
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,11 +156,13 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard-verified pair list at threshold 0.5, which DuckDB can
     recompute by brute force — identical to the LSH result whenever the
     banding recalls every true pair.  The testdata is strongly bimodal
-    (measured at sf0.01: every true pair has J>=0.8, background J<=0.1),
-    where the 16-band/size-4 s-curve miss probability is <=(1-0.8^4)^16
-    ~= 2e-4 per pair — the one deliberately probabilistic element of an
-    otherwise deterministic check; a miss shows up as a driver row-count
-    diff, never silent corruption.
+    (measured: every true pair has J>=0.78 at sf0.1, J>=0.8 at sf0.01;
+    background J<=0.07), where the 32-band/size-4 s-curve miss
+    probability is <=(1-0.78^4)^32 ~= 5e-7 per pair — the one
+    deliberately probabilistic element of an otherwise deterministic
+    check; a miss shows up as a driver row-count diff, never silent
+    corruption, and cumulative miss stays <1e-4 even at thousands of
+    true pairs.
     """
     docs = table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)

@@ -1,10 +1,10 @@
 """Similarity search over the ``embeddings`` table (SURVEY.md §2.11).
 
 * ``llm_sim_search``   — brute-force cosine top-k against one query
-  vector. The dot product is a JVM-side fold over the array (zip_with +
-  aggregate) in DOUBLE, sequential element order — bit-identical to the
-  oracle. Scales linearly: a scan-project-topk with no shuffle but the
-  k-row TakeOrdered merge.
+  vector. Scoring is ONE numpy matvec per Arrow batch (pandas UDF);
+  values match the oracle's sequential fold after ROUND(.,4). Scales
+  linearly: a scan-project-topk with no shuffle but the k-row
+  TakeOrdered merge.
 * ``llm_sim_pairs``    — threshold pair search blocked by label (the
   exact metric the ANN variants approximate), oracle-checked.
 * ``llm_sim_ann_lsh``  — random-hyperplane LSH: signed projections ->
@@ -12,7 +12,8 @@
   seeded numpy matmul inside an Arrow-batched pandas UDF (the sanctioned
   Python path for genuinely numeric kernels). Rows-only.
 * ``llm_sim_ann_ivf``  — IVF: coarse-quantize to N_CELLS centroid cells,
-  probe the N_PROBE nearest, exact-rescore inside them. Rows-only.
+  probe the N_PROBE nearest, exact-rescore inside them. Oracle-checked:
+  the rounded-cosine assignment is recomputable relationally in DuckDB.
 * ``llm_dedup_embed``  — embedding-cosine near-dedup: threshold edges to
   lower-id vectors -> (dup_id, keep_id) drop-list, oracle-checked.
 
@@ -96,22 +97,51 @@ def _qnorm(qvec: list[float]) -> float:
 
 
 def _sim_to_query(qvec: list[float]) -> F.Column:
-    """cosine(q, embedding) with the query norm folded to a literal."""
+    """cosine(q, embedding) with the query norm folded to a literal
+    (interpreted HOF fold — kept as the pure-Catalyst reference path;
+    the hot path is :func:`_sim_to_query_udf`)."""
     qlit = F.array(*[F.lit(v) for v in qvec])
     embd = _as_double(F.col("embedding"))
     return _dot(qlit, embd) / (F.lit(_qnorm(qvec)) * F.sqrt(_dot(embd, embd)))
 
 
+def _sim_to_query_udf(qvec: list[float]):
+    """cosine(q, embedding) as ONE numpy matvec per Arrow batch.
+
+    The Catalyst zip_with/aggregate fold is interpreted per element
+    (round-3 bench: 28x floor-adjusted vs DuckDB); this is the same
+    batched-BLAS substitution that fixed llm_dedup_embed (5x). One
+    vector column ships JVM->Arrow->numpy, one double comes back.
+    Float caveat: numpy sums pairwise/SIMD, the oracle folds
+    sequentially — identical after ROUND(.,4) except within ~1 ulp of a
+    rounding boundary (same accepted risk as llm_dedup_embed, verified
+    over every row at sf0.01 and sf0.1).
+    """
+    q = np.array(qvec, dtype=np.float64)
+    qn = _qnorm(qvec)
+
+    @pandas_udf("double")
+    def sim_of(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        dots = mat @ q
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        return pd.Series(dots / (qn * norms))
+
+    return sim_of
+
+
 def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the query vector (vec_id=0).
 
-    The query vector is collected once (one row) and inlined as a
-    literal array — the degenerate broadcast. Ordering is total
-    (rounded sim desc, vec_id) so top-k is deterministic.
+    The query vector is collected once (one row) and inlined into the
+    scoring kernel — the degenerate broadcast. Scoring is the Arrow-
+    batched numpy matvec; the plan is scan -> project -> TakeOrdered,
+    no shuffle. Ordering is total (rounded sim desc, vec_id) so top-k
+    is deterministic.
     """
     e = table(spark, sf_dir, "embeddings")
     qvec = _fetch_query_vec(sf_dir)
-    sim = F.round(_sim_to_query(qvec), 4)
+    sim = F.round(_sim_to_query_udf(qvec)(F.col("embedding")), 4)
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", sim.alias("sim"))
@@ -245,7 +275,7 @@ def llm_sim_ann_lsh(
 
     with_bucket = e.select("vec_id", "label", "embedding",
                            bucket_of("embedding").alias("bucket"))
-    sim = F.round(_sim_to_query(qvec), 4)
+    sim = F.round(_sim_to_query_udf(qvec)(F.col("embedding")), 4)
     return (
         with_bucket.filter(
             F.col("bucket").isin(sorted(probes))
@@ -426,6 +456,11 @@ N_CELLS = 16  # IVF cells; centroids = the first N_CELLS vectors by id
 N_PROBE = 2
 
 
+def _round4(x: np.ndarray) -> np.ndarray:
+    """ROUND(x, 4) half-away-from-zero — Spark F.round / DuckDB ROUND."""
+    return np.floor(np.abs(x) * 1e4 + 0.5) / 1e4 * np.sign(x)
+
+
 def llm_sim_ann_ivf(
     spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
 ) -> DataFrame:
@@ -433,9 +468,17 @@ def llm_sim_ann_ivf(
 
     Centroids are the N_CELLS lowest-id vectors (a deterministic stand-in
     for a k-means codebook; training is an offline job, not the query).
-    Cell assignment is one seeded numpy argmax per Arrow batch; the query
-    probes its N_PROBE nearest cells and rescores with exact cosine.
-    Rows-only (cell contents are codebook-specific).
+    Cell assignment is one numpy Gram matvec per Arrow batch — argmax of
+    the ROUNDED (4 dp) cosine, lowest cell winning ties — and the query
+    probes its N_PROBE nearest cells (same rounded metric), then exact
+    cosine rescores inside them.
+
+    Oracle-checked (round-4 upgrade from rows-only): every step — cell
+    assignment, probe selection, rescoring — is relational over the
+    parquet rows, so DuckDB recomputes the identical result with window
+    functions (ORACLE_LLM_SIM_ANN_IVF). Rounding the assignment metric
+    is what makes argmax stable across numpy's SIMD summation and the
+    oracle's sequential fold.
 
     100 TB path: write the corpus partitioned/bucketed by ``cell`` so a
     probe is N_PROBE partition-pruned reads — the scan never touches the
@@ -452,19 +495,23 @@ def llm_sim_ann_ivf(
         [list(v) for v in cent_tbl.column("embedding").to_pylist()],
         dtype=np.float64,
     )
-    cents_n = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cnorms = np.sqrt(np.einsum("ij,ij->i", cents, cents))
 
     @pandas_udf("int")
     def cell_of(emb: pd.Series) -> pd.Series:
         mat = np.vstack(emb.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        return pd.Series(np.argmax(mat @ cents_n.T, axis=1).astype(np.int32))
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        sims = _round4((mat @ cents.T) / np.outer(norms, cnorms))
+        # np.argmax takes the FIRST max -> lowest cell id wins ties,
+        # mirroring the oracle's ORDER BY sim DESC, cell.
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
     qvec = np.array(_fetch_query_vec(sf_dir), dtype=np.float64)
-    qn = qvec / np.linalg.norm(qvec)
-    probe_cells = [int(c) for c in np.argsort(-(cents_n @ qn))[:n_probe]]
+    qsims = _round4((cents @ qvec) / (cnorms * _qnorm([float(v) for v in qvec])))
+    # stable argsort of -x keeps ascending cell order on ties
+    probe_cells = [int(c) for c in np.argsort(-qsims, kind="stable")[:n_probe]]
 
-    sim = F.round(_sim_to_query([float(v) for v in qvec]), 4)
+    sim = F.round(_sim_to_query_udf([float(v) for v in qvec])(F.col("embedding")), 4)
     return (
         e.select("vec_id", "label", "embedding", cell_of("embedding").alias("cell"))
         .filter(
@@ -475,6 +522,61 @@ def llm_sim_ann_ivf(
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+#: Full relational mirror of the IVF pipeline: assign every vector to its
+#: argmax-rounded-cosine centroid cell (lowest cell wins ties), pick the
+#: query's N_PROBE nearest cells the same way, rescore inside them.
+ORACLE_LLM_SIM_ANN_IVF = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cell, emb,
+         SQRT(list_dot_product(emb, emb)) AS cnorm
+  FROM e WHERE vec_id < 16
+),
+q AS (
+  SELECT emb AS qe, SQRT(list_dot_product(emb, emb)) AS qnorm
+  FROM e WHERE vec_id = 0
+),
+assigned AS (
+  SELECT vec_id, label, emb, cell FROM (
+    SELECT e.vec_id, e.label, e.emb, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(e.emb, c.emb)
+                            / (SQRT(list_dot_product(e.emb, e.emb)) * c.cnorm),
+                            4) DESC,
+                      c.cell
+           ) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(list_dot_product(c.emb, q.qe) / (c.cnorm * q.qnorm),
+                            4) DESC,
+                      c.cell
+           ) AS rn
+    FROM cents c CROSS JOIN q
+  ) WHERE rn <= 2
+)
+SELECT
+  a.vec_id,
+  a.label,
+  a.cell,
+  ROUND(list_dot_product(a.emb, q.qe)
+        / (SQRT(list_dot_product(a.emb, a.emb)) * q.qnorm), 4) AS sim
+FROM assigned a
+JOIN probe p ON a.cell = p.cell
+CROSS JOIN q
+WHERE a.vec_id <> 0
+ORDER BY sim DESC, a.vec_id
+LIMIT 10
+"""
 
 
 QUERIES = {
@@ -491,8 +593,8 @@ QUERIES = {
         doc="random-hyperplane LSH bucket probe ANN (rows-only)",
     ),
     "llm_sim_ann_ivf": spec(
-        llm_sim_ann_ivf, None, "llm",
-        doc="IVF cell probe ANN with exact rescoring (rows-only)",
+        llm_sim_ann_ivf, ORACLE_LLM_SIM_ANN_IVF, "llm",
+        doc="IVF cell probe ANN with exact rescoring (oracle-checked)",
     ),
     "llm_dedup_embed": spec(
         llm_dedup_embed, ORACLE_LLM_DEDUP_EMBED, "llm",
