@@ -242,6 +242,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .aggregates import scaled_long, unscale
 
+    import glob as glob_mod
     import re
     import shutil
 
@@ -252,6 +253,18 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     token = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     li_t, o_t = f"li_bkt_{token}", f"o_bkt_{token}"
     base = f"/tmp/spark_graft_bkt/{spark.sparkContext.applicationId}"
+    # GC other applications' layout dirs once they're an hour stale —
+    # dead sessions never clean up after themselves (ADVICE r3); the age
+    # guard keeps a concurrently-running session's layout safe.
+    import os
+    import time
+
+    for app_dir in glob_mod.glob("/tmp/spark_graft_bkt/*"):
+        try:
+            if app_dir != base and time.time() - os.path.getmtime(app_dir) > 3600:
+                shutil.rmtree(app_dir, ignore_errors=True)
+        except OSError:
+            pass
     # external-path tables + explicit cleanup: a managed table's
     # location can outlive the (per-session, in-memory) metastore entry,
     # and saveAsTable refuses to adopt an orphaned managed location

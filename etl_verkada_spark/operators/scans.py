@@ -206,6 +206,19 @@ def _land_dir(sf_dir: str, fmt: str) -> str:
     return f"/tmp/spark_graft_land/{fmt}_{token}"
 
 
+def pruned_land_path(sf_dir: str) -> str:
+    """The partitioned-events landing dir, keyed on a content fingerprint
+    of the source file (mtime+size) so regenerated testdata can never be
+    shadowed by a stale landing (ADVICE r2). Shared with the plan-shape
+    test so query and test always resolve the same directory."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    return _land_dir(sf_dir, f"events_by_type_{fp}")
+
+
 def _land_then_read(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Write the orders projection out as CSV/JSON lines, then read it
     back with a DECLARED schema in FAILFAST mode — the land-then-read
@@ -249,15 +262,21 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    import hashlib
     import os
 
-    # key the landed copy on a content fingerprint of the source file
-    # (mtime+size), so regenerated testdata can never be shadowed by a
-    # stale landing (ADVICE r2); _SUCCESS still guards partial writes
-    st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    fp = hashlib.md5(f"{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
-    path = _land_dir(sf_dir, f"events_by_type_{fp}")
+    path = pruned_land_path(sf_dir)
+    # GC siblings keyed on a STALE fingerprint of the same sf_dir token,
+    # plus the pre-fingerprint legacy dir (regenerated testdata would
+    # otherwise accumulate /tmp copies unboundedly, ADVICE r3)
+    import glob
+    import shutil
+
+    token = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    for old in glob.glob(f"/tmp/spark_graft_land/events_by_type_*_{token}"):
+        if old != path:
+            shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(f"/tmp/spark_graft_land/events_by_type_{token}",
+                  ignore_errors=True)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         src.write.mode("overwrite").partitionBy("event_type").parquet(path)
     part = spark.read.parquet(path).filter(

@@ -386,7 +386,7 @@ def test_partition_pruning_reads_only_selected_partition(spark):
     pushed/post-scan data filter on event_type, and the scan's input
     files must all come from the selected partition's directory."""
     from etl_verkada_spark.operators.scans import (
-        _land_dir,
+        pruned_land_path,
         scan_partition_pruned,
     )
 
@@ -404,7 +404,7 @@ def test_partition_pruning_reads_only_selected_partition(spark):
     # input_file_name() reflects post-pruning files
     read_files = {
         r["f"]
-        for r in spark.read.parquet(_land_dir(sf, "events_by_type"))
+        for r in spark.read.parquet(pruned_land_path(sf))
         .filter("event_type = 'purchase'")
         .select(F.input_file_name().alias("f"))
         .distinct()
@@ -412,3 +412,81 @@ def test_partition_pruning_reads_only_selected_partition(spark):
     }
     assert read_files
     assert all("event_type=purchase" in f for f in read_files), read_files
+
+def test_salted_join_spreads_hot_keys(spark):
+    """join_salted's scale contract, in two parts. (1) The deterministic
+    salt actually spreads each hot key: no (flag, salt) cell holds more
+    than ~2/N_SALT of its flag's rows. (2) With broadcast disabled (the
+    100 TB case where the dim outgrows the threshold), the shuffle key
+    is (flag, salt) — the hot key's rows land on N_SALT reducers, not
+    one."""
+    from etl_verkada_spark.operators.joins import N_JOIN_SALT, join_salted
+    from etl_verkada_spark.catalog import table
+
+    li = table(spark, SF_SMALL, "lineitem")
+    salt = F.pmod(
+        F.xxhash64("l_orderkey", "l_linenumber", "l_partkey"),
+        F.lit(N_JOIN_SALT),
+    )
+    cells = (
+        li.select("l_returnflag", salt.alias("salt"))
+        .groupBy("l_returnflag", "salt")
+        .count()
+        .collect()
+    )
+    per_flag: dict[str, list[int]] = {}
+    for r in cells:
+        per_flag.setdefault(r["l_returnflag"], []).append(r["count"])
+    for flag, counts in per_flag.items():
+        assert len(counts) == N_JOIN_SALT, (flag, counts)
+        assert max(counts) <= 2 * sum(counts) / N_JOIN_SALT, (flag, counts)
+
+    # the registered query broadcasts the exploded dim (correct at this
+    # dim size); the scale claim is about the SHUFFLE form, so build the
+    # same salted join unhinted with broadcast disabled and assert the
+    # exchange hash-partitions on BOTH the natural key and the salt —
+    # the hot key's rows spread over N_SALT reducers.
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "none")],
+        "flag string, flag_name string",
+    )
+    dim_x = dim.select(
+        "flag", "flag_name",
+        F.explode(F.sequence(F.lit(0), F.lit(N_JOIN_SALT - 1))).alias("salt"),
+    )
+    big = li.select("l_returnflag", "l_extendedprice", salt.alias("salt"))
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = big.join(
+            dim_x,
+            (big["l_returnflag"] == dim_x["flag"])
+            & (big["salt"] == dim_x["salt"]),
+        )
+        plan = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "BroadcastHashJoin" not in plan, plan
+    import re
+
+    m = re.search(r"hashpartitioning\(l_returnflag[^)]*\)", plan)
+    assert m and "salt" in m.group(0), plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """join_bucketed's whole point: matching bucket layouts on both
+    sides mean the sort-merge join runs with ZERO Exchange before it —
+    the shuffle a plain large x large join would pay is gone. (The
+    post-join aggregation exchange on the 5 group rows remains.)"""
+    from etl_verkada_spark.operators.joins import join_bucketed
+
+    df = join_bucketed(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    join_part = plan.split("SortMergeJoin", 1)
+    assert len(join_part) == 2, plan
+    # physical-plan tree text: operators ABOVE the join print before it;
+    # the join's inputs print after. No Exchange may feed the join.
+    below = join_part[1].split("\n\n", 1)[0]
+    inputs_section = below
+    assert "Exchange" not in inputs_section, plan
+    assert "SelectedBucketsCount" in plan, plan
