@@ -63,9 +63,9 @@ HEADLINE = [
 N_RUNS = 3  # min-of-N: sub-second timings carry ~20% scheduler noise
 
 
-def run_spark(fn, spark, sf_dir: str) -> float:
+def run_spark(fn, spark, sf_dir: str, n_runs: int = N_RUNS) -> float:
     """Steady-state timing: one warmup run (JIT + page cache), then the
-    MINIMUM of N_RUNS timed runs — min, not mean, because local noise is
+    MINIMUM of n_runs timed runs — min, not mean, because local noise is
     strictly additive (GC, scheduler); the minimum is the plan's cost.
 
     DuckDB gets the same treatment in run_duckdb for a fair comparison.
@@ -73,7 +73,7 @@ def run_spark(fn, spark, sf_dir: str) -> float:
     df = fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
     best = float("inf")
-    for _ in range(N_RUNS):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -81,14 +81,168 @@ def run_spark(fn, spark, sf_dir: str) -> float:
     return best
 
 
-def run_duckdb(con, sql: str) -> float:
+def run_duckdb(con, sql: str, n_runs: int = N_RUNS) -> float:
     con.execute(sql).fetchall()  # warmup (page cache)
     best = float("inf")
-    for _ in range(N_RUNS):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+# ---------------------------------------------------------------------------
+# sf1 crossover: the "ratios are constants, not asymptotics" claim, measured.
+#
+# The driver ships sf0.1 at most; sf1 is synthesized once (cached in /tmp)
+# by replicating sf0.1 SF1_REPLICAS x with consistent key shifts — every
+# foreign key moves by the same per-domain offset, so join cardinalities
+# scale linearly and group counts grow with the data. Unlike the driver's
+# single-row-group files, the copy is written as multi-file parquet, so
+# Spark scans parallelize the way they would on a real cluster.
+# ---------------------------------------------------------------------------
+
+SF1_REPLICAS = 10
+SF1_GEN_VERSION = 2  # bump to invalidate cached copies
+
+#: the round-3 worst floor-adjusted ratios — the queries whose 2x verdict
+#: hinges on whether the gap shrinks with data size.
+SF1_QUERIES = [
+    "llm_sim_search",
+    "join_range",
+    "upsert_merge",
+    "flagship_flat",
+    "llm_text_stats",
+    "pivot",
+    "join_large",
+]
+
+#: key columns shifted per replica, keyed by FK domain so references stay
+#: consistent across tables (orders.o_custkey moves exactly like
+#: customer.c_custkey). nation/region are unreplicated dims: their keys
+#: appear as FKs in replicated tables and must keep their values.
+SF1_KEY_DOMAINS: dict[str, dict[str, str]] = {
+    "customer": {"c_custkey": "cust"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part",
+                 "l_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+    "nation": {},
+    "region": {},
+}
+SF1_DOMAIN_SOURCE = {
+    "cust": ("customer", "c_custkey"),
+    "order": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+SF1_WIDE_TABLES = {"lineitem", "orders", "events"}  # 32 output files
+SF1_BASE = "/tmp/spark_graft_sf1"
+
+
+def ensure_sf1(spark, src_dir: str) -> str:
+    """Build (or reuse) the synthesized sf1 copy; returns its directory.
+
+    Cached on a fingerprint of the source files + generator params;
+    stale fingerprint dirs are pruned so /tmp holds at most one copy.
+    """
+    import hashlib
+    import shutil
+
+    h = hashlib.md5(f"v{SF1_GEN_VERSION}:r{SF1_REPLICAS}".encode())
+    for t in TABLES:
+        st = os.stat(os.path.join(src_dir, f"{t}.parquet"))
+        h.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
+    dest = f"{SF1_BASE}/{h.hexdigest()[:12]}"
+    done = os.path.join(dest, "_DONE")
+    if os.path.exists(done):
+        return dest
+    for old in os.listdir(SF1_BASE) if os.path.isdir(SF1_BASE) else []:
+        shutil.rmtree(os.path.join(SF1_BASE, old), ignore_errors=True)
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_verkada_spark.catalog import table as load_table
+
+    con = duckdb.connect()
+    base: dict[str, int] = {}
+    for dom, (t, col) in SF1_DOMAIN_SOURCE.items():
+        base[dom] = (
+            con.execute(
+                f"SELECT MAX({col}) + 1 FROM '{src_dir}/{t}.parquet'"
+            ).fetchone()[0]
+        )
+    con.close()
+
+    for t in TABLES:
+        df = load_table(spark, src_dir, t)
+        shifts = SF1_KEY_DOMAINS[t]
+        if shifts:
+            replicas = []
+            for i in range(SF1_REPLICAS):
+                r = df
+                for col, dom in shifts.items():
+                    r = r.withColumn(col, F.col(col) + F.lit(i * base[dom]))
+                replicas.append(r)
+            out = replicas[0]
+            for r in replicas[1:]:
+                out = out.unionByName(r)
+            out = out.repartition(32 if t in SF1_WIDE_TABLES else 8)
+        else:
+            out = df.coalesce(1)
+        out.write.mode("overwrite").parquet(os.path.join(dest, f"{t}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return dest
+
+
+def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
+    """Spark-vs-DuckDB timings for the worst-ratio set at the synthesized
+    sf1 (min-of-2; the queries are multi-second here, noise matters less
+    than wall-clock budget)."""
+    sf1_dir = ensure_sf1(spark, src_dir)
+    timings: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        timings[name] = round(
+            run_spark(registry[name].fn, spark, sf1_dir, n_runs=2), 3
+        )
+    duck: dict[str, float] = {}
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            "CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')".format(
+                t=t, p=f"{sf1_dir}/{t}.parquet/*.parquet"
+            )
+        )
+    for name in SF1_QUERIES:
+        sql = registry[name].oracle
+        if sql:
+            duck[name] = round(run_duckdb(con, sql, n_runs=2), 3)
+    con.close()
+    return {
+        "replicas_of_sf0.1": SF1_REPLICAS,
+        "queries": timings,
+        "duckdb": duck,
+        "ratio": {
+            n: round(timings[n] / duck[n], 2) for n in duck if duck[n] > 0
+        },
+        "ratio_floor_adjusted": {
+            n: round(max(timings[n] - floor_s, 0.0) / duck[n], 2)
+            for n in duck
+            if duck[n] > 0
+        },
+    }
 
 
 def main() -> None:
@@ -139,6 +293,16 @@ def main() -> None:
         for n in duck
         if duck[n] > 0
     }
+
+    # sf1 crossover section (disable with SPARK_GRAFT_SF1=0); never let
+    # it break the headline JSON line.
+    sf1: dict | None = None
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        try:
+            sf1 = bench_sf1(spark, registry, sf_dir, floor_s)
+        except Exception as e:  # noqa: BLE001
+            sf1 = {"error": f"{type(e).__name__}: {e}"}
+
     print(
         json.dumps(
             {
@@ -150,6 +314,7 @@ def main() -> None:
                 "duckdb": duck,
                 "spark_fixed_overhead_sec": floor_s,
                 "ratio_floor_adjusted": ratios,
+                "sf1": sf1,
             }
         )
     )
