@@ -60,7 +60,7 @@ HEADLINE = [
 ]
 
 
-N_RUNS = 3  # min-of-N: sub-second timings carry ~20% scheduler noise
+N_RUNS = 5  # min-of-N: sub-second timings carry ~20% scheduler noise
 
 
 def run_spark(fn, spark, sf_dir: str, n_runs: int = N_RUNS) -> float:
@@ -251,22 +251,39 @@ def main() -> None:
     registry = build_registry()
     spark = get_spark("etl-verkada-spark-bench")
 
-    # JVM/codegen warmup on an off-headline query
+    # JVM/codegen warmup on an off-headline query, then several noop
+    # jobs: a single warmup under-trains the JIT, and the first headline
+    # query (plus the floor itself) absorbs the remainder — measured
+    # r3->r4 as a 3x floor swing and a 2.7x phantom agg_groupby
+    # regression that vanished in isolation.
     registry["agg_count"].fn(spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
+    for _ in range(4):
+        spark.range(1).write.mode("overwrite").format("noop").save()
 
-    # fixed per-query floor: plan + schedule + noop-commit a 1-row job.
-    # Sub-100ms DuckDB queries can never be within 2x of DuckDB at this
-    # sf because of it; the ratio signal is in the large-absolute queries.
-    spark.range(1).write.mode("overwrite").format("noop").save()
-    t0 = time.perf_counter()
-    spark.range(1).write.mode("overwrite").format("noop").save()
-    floor_s = round(time.perf_counter() - t0, 3)
+    # fixed per-query floor: plan + schedule + noop-commit a 1-row job,
+    # min-of-5 (same estimator as the queries). Sub-100ms DuckDB queries
+    # can never be within 2x of DuckDB at this sf because of it; the
+    # ratio signal is in the large-absolute queries.
+    def measure_floor(n: int = 5) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            spark.range(1).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    floor_s = measure_floor()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_spark(registry[name].fn, spark, sf_dir), 3)
+
+    # floor re-measured at full steady state; keep the smaller — the
+    # floor is a LOWER bound on fixed overhead, so the min is the
+    # honest estimate (an inflated floor flatters every ratio).
+    floor_s = round(min(floor_s, measure_floor()), 3)
 
     duck: dict[str, float] = {}
     try:
@@ -306,7 +323,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline query wall-clock, noop sink, min-of-3",
+                "metric": (
+                    f"headline query wall-clock, noop sink, min-of-{N_RUNS}"
+                ),
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
