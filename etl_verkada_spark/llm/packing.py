@@ -1,0 +1,148 @@
+"""Sequence packing and stratified sampling — the training-batch
+assembly stages after cleaning/dedup/sharding (SURVEY.md §2.11; the
+reference has no analogue, tags are "llm"/beyond).
+
+* ``llm_pack_sequences``    — concat-stream packing: per (lang) stream
+  in deterministic doc order, documents are laid head-to-tail and the
+  stream is cut every ``PACK_BUDGET`` tokens; a document belongs to the
+  sequence where it STARTS (the standard attribute-to-start convention
+  for packed pretraining batches). One window cumsum, no shuffle beyond
+  the partition-by — at 100 TB this runs per shard/partition with
+  bounded state, and the assignment is a pure function of (order key,
+  token counts), so re-runs and task retries reproduce it bit-for-bit.
+* ``llm_sample_stratified`` — exact-size per-stratum sample: every
+  language contributes exactly ``CEIL(frac * n_stratum)`` documents,
+  chosen by content-stable md5 rank (same selector discipline as
+  llm_sample_hash — never rand(), which is neither re-run- nor
+  repartition-stable). Two window functions over one shuffle.
+
+Both are window-expressible, hence DuckDB-oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import spec
+
+#: tokens per packed training sequence. 512 keeps dozens of sequences
+#: per language stratum at sf0.01 (avg doc ~54 ws tokens); production
+#: would use the model context length (2k/4k/8k) — the plan is the same.
+PACK_BUDGET = 512
+
+#: stratified sample fraction (exact per-stratum, not expected-value)
+STRAT_FRAC = 0.25
+
+
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a (sequence id, offset) in its language's
+    packed token stream.
+
+    ``cum_before`` = tokens of all preceding docs in the stream (window
+    SUM over rows unbounded-preceding..1-preceding — runs as one pass
+    per partition, map-side size O(1)); then
+
+    * ``seq_id``     = cum_before // PACK_BUDGET  (the cut the doc starts in)
+    * ``seq_offset`` = cum_before %  PACK_BUDGET  (position inside the cut)
+
+    Docs longer than the remaining room straddle cuts — exactly what
+    concat-and-chunk packing does; the mapping stays 1:1 doc -> start
+    sequence. Deterministic order key: doc_id (unique per corpus).
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        (cum_before / F.lit(PACK_BUDGET)).cast("long").alias("seq_id"),
+        F.pmod(cum_before, F.lit(PACK_BUDGET)).cast("long").alias("seq_offset"),
+    )
+
+
+ORACLE_LLM_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, lang, LEN(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+cum AS (
+  SELECT *,
+         COALESCE(SUM(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM toks
+)
+SELECT
+  doc_id,
+  lang,
+  n_tok,
+  CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+  CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM cum
+"""
+
+
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size stratified sample: CEIL(frac * n) docs per language.
+
+    Rank docs inside each stratum by md5(doc_id) (content-stable, so
+    identical across engines, re-runs, and repartitions; doc_id
+    tie-break makes the order total), keep ranks up to the exact
+    per-stratum quota. Unlike the Bernoulli llm_sample_hash, the output
+    SIZE is deterministic per stratum — what curriculum / eval-split
+    builders need. One shuffle (the lang partition), two windows over
+    the same sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    sel = F.md5(F.col("doc_id").cast("string"))
+    w_rank = Window.partitionBy("lang").orderBy(sel, "doc_id")
+    w_all = Window.partitionBy("lang")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w_rank).cast("long").alias("sample_rank"),
+        F.count(F.lit(1)).over(w_all).alias("n_stratum"),
+    )
+    quota = F.ceil(F.lit(STRAT_FRAC) * F.col("n_stratum"))
+    return ranked.filter(F.col("sample_rank") <= quota).select(
+        "doc_id", "lang", "sample_rank", "n_stratum"
+    )
+
+
+ORACLE_LLM_SAMPLE_STRATIFIED = f"""
+WITH ranked AS (
+  SELECT
+    doc_id,
+    lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS sample_rank,
+    COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank, n_stratum
+FROM ranked
+WHERE sample_rank <= CEIL({STRAT_FRAC} * n_stratum)
+"""
+
+
+QUERIES = {
+    "llm_pack_sequences": spec(
+        llm_pack_sequences, ORACLE_LLM_PACK_SEQUENCES, "llm",
+        doc="concat-stream sequence packing: doc -> (seq_id, offset) per lang",
+    ),
+    "llm_sample_stratified": spec(
+        llm_sample_stratified, ORACLE_LLM_SAMPLE_STRATIFIED, "llm",
+        doc="exact-size per-stratum sample by content-stable md5 rank",
+    ),
+}

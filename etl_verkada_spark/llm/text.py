@@ -128,6 +128,95 @@ SELECT
 FROM f
 """
 
+#: Gopher-style repetition gates (Rae et al. 2021 use duplicate-n-gram
+#: fractions; thresholds here are tuned to the synthetic corpus so both
+#: verdicts occur at every SF)
+REP_WORD_MAX = 0.55
+REP_BIGRAM_MAX = 0.20
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Repetition-based quality filter: duplicate-word and
+    duplicate-bigram fractions -> repetitive flag.
+
+    The Gopher rule family's "excessive repetition" signal: a document
+    whose token stream keeps re-using the same words/bigrams is boiler-
+    plate or spam. Both fractions are pure array expressions over one
+    split projection (size vs array_distinct size) — no explode, no
+    shuffle, embarrassingly parallel at 100 TB. The bigram list reuses
+    the SHINGLES_FROM_WS slice/array_join construction (n=2).
+    """
+    base = docs.select("doc_id", _words().alias("ws")).select(
+        "doc_id",
+        "ws",
+        F.expr(
+            """
+            CASE WHEN size(ws) >= 2
+                 THEN transform(sequence(1, size(ws) - 1),
+                                i -> array_join(slice(ws, i, 2), ' '))
+                 ELSE CAST(array() AS array<string>)
+            END
+            """
+        ).alias("bg"),
+    )
+    dup_word = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct("ws")).cast("double") / F.size("ws"),
+        6,
+    )
+    dup_bigram = F.when(
+        F.size("bg") > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("bg")).cast("double") / F.size("bg"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        F.size("ws").alias("n_tok"),
+        dup_word.alias("dup_word_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+        (
+            (dup_word > F.lit(REP_WORD_MAX))
+            | (dup_bigram > F.lit(REP_BIGRAM_MAX))
+        ).alias("repetitive"),
+    )
+
+
+def llm_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_metrics(table(spark, sf_dir, "documents"))
+
+
+ORACLE_LLM_QUALITY_REPETITION = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+b AS (
+  SELECT doc_id, ws,
+         CASE WHEN LEN(ws) >= 2
+              THEN [array_to_string(ws[i:i+1], ' ')
+                    for i in generate_series(1, LEN(ws) - 1)]
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM w
+),
+fr AS (
+  SELECT doc_id,
+         LEN(ws) AS n_tok,
+         ROUND(1.0 - CAST(LEN(list_distinct(ws)) AS DOUBLE) / LEN(ws), 6)
+           AS dup_word_frac,
+         CASE WHEN LEN(bg) > 0
+              THEN ROUND(1.0 - CAST(LEN(list_distinct(bg)) AS DOUBLE)
+                               / LEN(bg), 6)
+              ELSE 0.0 END AS dup_bigram_frac
+  FROM b
+)
+SELECT *,
+       (dup_word_frac > {REP_WORD_MAX} OR dup_bigram_frac > {REP_BIGRAM_MAX})
+         AS repetitive
+FROM fr
+"""
+
 
 def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace and a BPE-ish regex tokenizer
@@ -594,6 +683,10 @@ QUERIES = {
     "llm_quality": spec(
         llm_quality, ORACLE_LLM_QUALITY, "llm",
         doc="quality scoring with keep/drop verdict",
+    ),
+    "llm_quality_repetition": spec(
+        llm_quality_repetition, ORACLE_LLM_QUALITY_REPETITION, "llm",
+        doc="duplicate-word/bigram repetition gate (Gopher rule family)",
     ),
     "llm_token_count": spec(
         llm_token_count, ORACLE_LLM_TOKEN_COUNT, "llm",

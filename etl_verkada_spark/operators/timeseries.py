@@ -37,7 +37,10 @@ from .aggregates import scaled_long, unscale
 BUCKET_US = 10 * 60 * 1_000_000  # 10-minute grid
 
 
-def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, bucket_us, n_events, sum_c) on the full 10-minute
+    grid — NULL n_events/sum_c on empty buckets. Shared spine for
+    gapfill and interpolation."""
     e = table(spark, sf_dir, "events")
     # integer `div`, not `/`: float division of ~1e15 microseconds can
     # round across a bucket edge before the cast; both engines must
@@ -64,8 +67,11 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     series = e.select("event_type").distinct()
     spine = series.crossJoin(F.broadcast(buckets))
+    return spine.join(sparse, ["event_type", "bucket_us"], "left")
 
-    dense = spine.join(sparse, ["event_type", "bucket_us"], "left")
+
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = _dense_grid(spark, sf_dir)
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_us")
@@ -115,9 +121,156 @@ LEFT JOIN sparse p USING (event_type, bucket_us)
 """
 
 
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across empty buckets (the gapfill twin that
+    estimates instead of carrying forward).
+
+    Per series, an empty bucket's value is interpolated between the
+    last and next OBSERVED bucket sums, proportional to time distance;
+    leading/trailing gaps fall back to the nearest observation. Two
+    window passes (backward-looking last + forward-looking first, both
+    IGNORE NULLS) over the same sort — one shuffle on event_type, state
+    O(1) per partition, so the plan survives any series length.
+
+    Float discipline: a ROUND(double, 4) here hits EXACT half-ties
+    (grid positions are small dyadic fractions: cents * k/16 etc.), and
+    the two engines' double-round implementations disagree on ties
+    (measured: 8742.875 cents -> 87.4288 Spark, 87.4287 DuckDB). So the
+    interpolation itself is exact int64 arithmetic at scale 4 with an
+    explicit integer half-up, and the ONLY float op is the final
+    /10000.0 of an integer both engines already agree on. Gap offsets
+    are divided down to grid steps first so the widest plausible gap
+    stays far from int64 overflow.
+    """
+    dense = _dense_grid(spark, sf_dir)
+    order = Window.partitionBy("event_type").orderBy("bucket_us")
+    w_prev = order.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = order.rowsBetween(0, Window.unboundedFollowing)
+    known_bucket = F.when(
+        F.col("sum_c").isNotNull(), F.col("bucket_us")
+    )
+    prev_c = F.last("sum_c", ignorenulls=True).over(w_prev)
+    prev_b = F.last(known_bucket, ignorenulls=True).over(w_prev)
+    next_c = F.first("sum_c", ignorenulls=True).over(w_next)
+    next_b = F.first(known_bucket, ignorenulls=True).over(w_next)
+    ctx = dense.select(
+        "event_type",
+        "bucket_us",
+        "n_events",
+        "sum_c",
+        prev_c.alias("prev_c"),
+        prev_b.alias("prev_b"),
+        next_c.alias("next_c"),
+        next_b.alias("next_b"),
+    )
+    # exact interpolation at scale 4 (cents * 100): value_e4 =
+    # round_half_up((prev*den + diff*num) * 100 / den) over positive
+    # int64 — (2x + den) div (2 den) is floor==truncate on positives,
+    # so Spark `div` and DuckDB `//` agree.
+    ctx = ctx.withColumns(
+        {
+            "num": F.expr(f"(bucket_us - prev_b) div {BUCKET_US}"),
+            "den": F.expr(f"(next_b - prev_b) div {BUCKET_US}"),
+        }
+    ).withColumn(
+        "total",
+        (
+            F.col("prev_c") * F.col("den")
+            + (F.col("next_c") - F.col("prev_c")) * F.col("num")
+        )
+        * F.lit(100),
+    )
+    interp_e4 = F.expr("(2 * total + den) div (2 * den)")
+    e4 = (
+        F.when(F.col("sum_c").isNotNull(), F.col("sum_c") * F.lit(100))
+        .when(F.col("prev_b").isNull(), F.col("next_c") * F.lit(100))
+        .when(F.col("next_b").isNull(), F.col("prev_c") * F.lit(100))
+        .otherwise(interp_e4)
+    )
+    return ctx.select(
+        "event_type",
+        "bucket_us",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        (e4 / F.lit(10000.0)).alias("interp_sum"),
+    )
+
+
+ORACLE_TS_INTERPOLATE = """
+WITH sparse AS (
+  SELECT
+    event_type,
+    (epoch_us(ts) // 600000000) * 600000000 AS bucket_us,
+    COUNT(*) AS n_events,
+    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_c
+  FROM events
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT MIN(bucket_us) AS lo, MAX(bucket_us) AS hi FROM sparse
+),
+spine AS (
+  SELECT t.event_type, g.bucket_us
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT UNNEST(generate_series(lo, hi, 600000000)) AS bucket_us
+    FROM bounds
+  ) g
+),
+dense AS (
+  SELECT s.event_type, s.bucket_us, p.n_events,
+         CAST(p.sum_c AS BIGINT) AS sum_c
+  FROM spine s
+  LEFT JOIN sparse p USING (event_type, bucket_us)
+),
+ctx AS (
+  SELECT *,
+    LAST_VALUE(sum_c IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY bucket_us
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+    LAST_VALUE(CASE WHEN sum_c IS NOT NULL THEN bucket_us END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY bucket_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+    FIRST_VALUE(sum_c IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY bucket_us
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+    FIRST_VALUE(CASE WHEN sum_c IS NOT NULL THEN bucket_us END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY bucket_us
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+  FROM dense
+),
+scaled AS (
+  SELECT *,
+    (bucket_us - prev_b) // 600000000 AS num,
+    (next_b - prev_b) // 600000000 AS den
+  FROM ctx
+),
+tot AS (
+  SELECT *,
+    (prev_c * den + (next_c - prev_c) * num) * 100 AS total
+  FROM scaled
+)
+SELECT
+  event_type,
+  bucket_us,
+  COALESCE(n_events, 0) AS n_events,
+  CAST(
+    CASE
+      WHEN sum_c IS NOT NULL THEN sum_c * 100
+      WHEN prev_b IS NULL THEN next_c * 100
+      WHEN next_b IS NULL THEN prev_c * 100
+      ELSE (2 * total + den) // (2 * den)
+    END AS BIGINT) / 10000.0 AS interp_sum
+FROM tot
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
         doc="dense time-grid rollup: zero-filled counts + LOCF values",
+    ),
+    "ts_interpolate": spec(
+        ts_interpolate, ORACLE_TS_INTERPOLATE, "beyond",
+        doc="linear interpolation across empty buckets (gapfill twin)",
     ),
 }

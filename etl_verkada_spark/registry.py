@@ -114,17 +114,17 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "fx_hash",
     "udf_pandas",
     "udtf_bigrams",
+    # NEW this round (never driver-checked, oracle-paired)
+    "llm_pack_sequences",
+    "llm_sample_stratified",
+    "llm_quality_repetition",
+    "ts_interpolate",
     # round-3 oracle/implementation fixes: keep one more green round
     "llm_text_stats",
     "win_sessionize",
     "validate_expectations",
     "agg_approx",
     "dedup_lastwins",
-    "agg_stats",
-    # core LLM dedup regression anchors
-    "llm_dedup_exact",
-    "llm_dedup_cc",
-    "llm_dedup_embed",
 )
 
 
@@ -138,7 +138,7 @@ def build_registry() -> dict[str, QuerySpec]:
     from .functions import scalars, udtfs
     from .pipeline import features
     from .llm import dedup as llm_dedup
-    from .llm import multimodal, sampling, similarity, text
+    from .llm import multimodal, packing, sampling, similarity, text
     from .streaming import dedup as stream_dedup_ops
     from .streaming import joins as stream_joins
     from .streaming import stateful as stream_stateful
@@ -166,6 +166,7 @@ def build_registry() -> dict[str, QuerySpec]:
         similarity,
         text,
         sampling,
+        packing,
         multimodal,
         stream_windows,
         stream_stateful,

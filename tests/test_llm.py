@@ -228,3 +228,76 @@ def test_pii_scrub_masks_planted_pii(spark):
     assert got[2] == "ssn is <SSN> ok"
     assert got[3] == "card <CARD>expires soon" or "<CARD>" in got[3]
     assert got[4] == rows[4][1]  # untouched
+
+
+def test_repetition_metrics_planted_values(spark):
+    """Exact fractions on planted docs, incl. the bigram-only case:
+    'x y z x y z' passes the word gate (0.5 <= 0.55) but trips the
+    bigram gate (0.4 > 0.2)."""
+    from etl_verkada_spark.llm.text import repetition_metrics
+
+    rows = [
+        (0, "a a a a"),                 # word 0.75, bigram 2/3
+        (1, "one two three four five"), # clean
+        (2, "x y z x y z"),             # word 0.5, bigram 0.4
+        (3, "solo"),                    # 1 token: no bigrams, frac 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert got[0]["dup_word_frac"] == 0.75
+    assert got[0]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert got[0]["repetitive"] is True
+    assert got[1]["dup_word_frac"] == 0.0
+    assert got[1]["repetitive"] is False
+    assert got[2]["dup_word_frac"] == 0.5
+    assert got[2]["dup_bigram_frac"] == 0.4
+    assert got[2]["repetitive"] is True        # bigram gate only
+    assert got[3]["dup_bigram_frac"] == 0.0
+    assert got[3]["repetitive"] is False
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is a pure function of (order key, token counts): offsets
+    stay inside the budget, sequence ids advance monotonically within a
+    language, and the cumulative layout reproduces an independent
+    pandas recomputation."""
+    from etl_verkada_spark.llm.packing import PACK_BUDGET, llm_pack_sequences
+
+    rows = llm_pack_sequences(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["seq_offset"] < PACK_BUDGET
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        prev_seq = 0
+        for r in docs:
+            assert r["seq_id"] == cum // PACK_BUDGET, (lang, r)
+            assert r["seq_offset"] == cum % PACK_BUDGET, (lang, r)
+            assert r["seq_id"] >= prev_seq
+            prev_seq = r["seq_id"]
+            cum += r["n_tok"]
+
+
+def test_stratified_sample_exact_quota(spark):
+    """Every language contributes exactly CEIL(frac * n) docs with
+    dense ranks 1..k, and the selection is stable across reruns."""
+    import math
+
+    from etl_verkada_spark.llm.packing import STRAT_FRAC, llm_sample_stratified
+
+    sf = "/root/testdata/sf0.001"
+    rows = llm_sample_stratified(spark, sf).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, docs in by_lang.items():
+        quota = math.ceil(STRAT_FRAC * docs[0]["n_stratum"])
+        assert len(docs) == quota, (lang, len(docs), quota)
+        assert sorted(d["sample_rank"] for d in docs) == list(
+            range(1, quota + 1)
+        )
+    again = llm_sample_stratified(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

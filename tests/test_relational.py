@@ -490,3 +490,42 @@ def test_bucketed_join_has_no_exchange(spark):
     inputs_section = below
     assert "Exchange" not in inputs_section, plan
     assert "SelectedBucketsCount" in plan, plan
+
+
+def test_interpolation_bounded_by_neighbors(spark):
+    """Gap buckets (n_events == 0) interpolate BETWEEN the surrounding
+    observations; observed buckets reproduce their own sums; leading /
+    trailing gaps clamp to the nearest observation."""
+    from etl_verkada_spark.operators.timeseries import ts_interpolate
+
+    rows = ts_interpolate(spark, SF_SMALL).collect()
+    by_series: dict[str, list] = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    checked_gaps = 0
+    for series in by_series.values():
+        series.sort(key=lambda r: r["bucket_us"])
+        observed = [
+            (i, r["interp_sum"])
+            for i, r in enumerate(series)
+            if r["n_events"] > 0
+        ]
+        assert observed
+        first_i, last_i = observed[0][0], observed[-1][0]
+        for i, r in enumerate(series):
+            if r["n_events"] > 0:
+                continue
+            if i < first_i:
+                assert r["interp_sum"] == observed[0][1]
+            elif i > last_i:
+                assert r["interp_sum"] == observed[-1][1]
+            else:
+                prev_v = max(v for j, v in observed if j < i)
+                lo_j = max(j for j, v in observed if j < i)
+                prev_v = dict(observed)[lo_j]
+                next_j = min(j for j, v in observed if j > i)
+                next_v = dict(observed)[next_j]
+                lo, hi = sorted((prev_v, next_v))
+                assert lo - 1e-4 <= r["interp_sum"] <= hi + 1e-4, (r, lo, hi)
+                checked_gaps += 1
+    assert checked_gaps > 0  # the grid must actually have interior gaps
