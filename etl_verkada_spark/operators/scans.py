@@ -239,10 +239,17 @@ def _land_then_read(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             .option("mode", "FAILFAST")
             .csv(path)
         )
-    writer.json(path)
-    return (
-        spark.read.schema(LAND_DDL).option("mode", "FAILFAST").json(path)
-    )
+    if fmt == "json":
+        writer.json(path)
+        return (
+            spark.read.schema(LAND_DDL).option("mode", "FAILFAST").json(path)
+        )
+    # ORC: binary columnar with embedded schema — no schema-on-read
+    # validation mode applies; the declared schema instead asserts the
+    # file schema matches (mismatch -> analysis error, the strict
+    # contract the text formats get from FAILFAST).
+    writer.orc(path)
+    return spark.read.schema(LAND_DDL).orc(path)
 
 
 def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +319,12 @@ def scan_json_land(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _land_then_read(spark, sf_dir, "json")
 
 
+def scan_orc_land(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 scale path: land-then-read via ORC (second columnar format —
+    predicate pushdown + column pruning work the same as parquet)."""
+    return _land_then_read(spark, sf_dir, "orc")
+
+
 ORACLE_SCAN_LAND = """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
 """
@@ -350,5 +363,9 @@ QUERIES = {
     "scan_json_land": spec(
         scan_json_land, ORACLE_SCAN_LAND, "reference:S2", "beyond",
         doc="land-then-read JSON lines with declared schema (FAILFAST)",
+    ),
+    "scan_orc_land": spec(
+        scan_orc_land, ORACLE_SCAN_LAND, "reference:S2", "beyond",
+        doc="land-then-read ORC (columnar twin: pushdown + pruning)",
     ),
 }

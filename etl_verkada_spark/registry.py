@@ -119,11 +119,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_sample_stratified",
     "llm_quality_repetition",
     "ts_interpolate",
+    "scan_orc_land",
     # round-3 oracle/implementation fixes: keep one more green round
     "llm_text_stats",
     "win_sessionize",
     "validate_expectations",
-    "agg_approx",
     "dedup_lastwins",
 )
 
