@@ -103,7 +103,16 @@ def run_duckdb(con, sql: str, n_runs: int = N_RUNS) -> float:
 # ---------------------------------------------------------------------------
 
 SF1_REPLICAS = 10
-SF1_GEN_VERSION = 2  # bump to invalidate cached copies
+SF1_GEN_VERSION = 3  # bump to invalidate cached copies
+
+#: per-table replica overrides. documents/embeddings/events are tiny
+#: even at sf1 (5k docs / 5k vectors / 1M events), so their queries
+#: stay fixed-overhead-dominated and the crossover never shows; 100x
+#: makes them big enough that both engines do real work. They carry no
+#: FKs into the TPC-H tables (events.user_id joins only within the
+#: events-derived queries), so mixed factors keep every join's
+#: cardinality model intact.
+SF1_TABLE_REPLICAS = {"documents": 100, "embeddings": 100, "events": 100}
 
 #: the round-3 worst floor-adjusted ratios — the queries whose 2x verdict
 #: hinges on whether the gap shrinks with data size.
@@ -115,6 +124,10 @@ SF1_QUERIES = [
     "llm_text_stats",
     "pivot",
     "join_large",
+    # round-4 additions: the remaining >2x floor-adjusted sf0.1 rows
+    "agg_groupby",
+    "llm_bm25",
+    "dedup_lastwins",
 ]
 
 #: key columns shifted per replica, keyed by FK domain so references stay
@@ -144,7 +157,9 @@ SF1_DOMAIN_SOURCE = {
     "doc": ("documents", "doc_id"),
     "vec": ("embeddings", "vec_id"),
 }
-SF1_WIDE_TABLES = {"lineitem", "orders", "events"}  # 32 output files
+SF1_WIDE_TABLES = {  # 32 output files
+    "lineitem", "orders", "events", "documents", "embeddings",
+}
 SF1_BASE = "/tmp/spark_graft_sf1"
 
 
@@ -157,7 +172,9 @@ def ensure_sf1(spark, src_dir: str) -> str:
     import hashlib
     import shutil
 
-    h = hashlib.md5(f"v{SF1_GEN_VERSION}:r{SF1_REPLICAS}".encode())
+    h = hashlib.md5(
+        f"v{SF1_GEN_VERSION}:r{SF1_REPLICAS}:{sorted(SF1_TABLE_REPLICAS.items())}".encode()
+    )
     for t in TABLES:
         st = os.stat(os.path.join(src_dir, f"{t}.parquet"))
         h.update(f"{t}:{st.st_mtime_ns}:{st.st_size};".encode())
@@ -187,8 +204,9 @@ def ensure_sf1(spark, src_dir: str) -> str:
         df = load_table(spark, src_dir, t)
         shifts = SF1_KEY_DOMAINS[t]
         if shifts:
+            n_rep = SF1_TABLE_REPLICAS.get(t, SF1_REPLICAS)
             replicas = []
-            for i in range(SF1_REPLICAS):
+            for i in range(n_rep):
                 r = df
                 for col, dom in shifts.items():
                     r = r.withColumn(col, F.col(col) + F.lit(i * base[dom]))
@@ -233,6 +251,7 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     con.close()
     return {
         "replicas_of_sf0.1": SF1_REPLICAS,
+        "table_replica_overrides": SF1_TABLE_REPLICAS,
         "queries": timings,
         "duckdb": duck,
         "ratio": {

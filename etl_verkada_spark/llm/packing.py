@@ -59,13 +59,23 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     toks = d.select("doc_id", "lang", n_tok.alias("n_tok"))
-    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-    return toks.select(
-        "doc_id",
-        "lang",
-        "n_tok",
-        (cum_before / F.lit(PACK_BUDGET)).cast("long").alias("seq_id"),
-        F.pmod(cum_before, F.lit(PACK_BUDGET)).cast("long").alias("seq_offset"),
+    # integer `div`, never float `/`: exact for ANY budget (a double
+    # division is only floor-safe when the divisor is a power of two),
+    # and computing cum_before once keeps the Window to a single
+    # aggregate expression.
+    return (
+        toks.withColumn(
+            "__cum", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            F.expr(f"__cum div {PACK_BUDGET}").alias("seq_id"),
+            F.pmod(F.col("__cum"), F.lit(PACK_BUDGET))
+            .cast("long")
+            .alias("seq_offset"),
+        )
     )
 
 

@@ -248,8 +248,13 @@ def flagship_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     acl = _tpch_acl(spark, sf_dir)
-    # kind is part of the equi-key, so both joins probe the same
-    # broadcast subtree -> ONE build job (ReusedExchange), see acl_flag.
+    # kind is part of the equi-key; Catalyst pushes each join's kind
+    # literal through the union and prunes the other branch, so the two
+    # probes build two SMALL single-branch broadcasts (site dim from
+    # nation x region, camera dim from the %7 customer filter) instead
+    # of one shared two-branch build — strictly less build memory, same
+    # single probe stage (r4 plan audit; earlier rounds saw a shared
+    # ReusedExchange before the union became prunable).
     a_site, a_cam = acl.alias("__acl_site"), acl.alias("__acl_cam")
     gated = cams.join(
         F.broadcast(a_site),

@@ -529,3 +529,49 @@ def test_interpolation_bounded_by_neighbors(spark):
                 assert lo - 1e-4 <= r["interp_sum"] <= hi + 1e-4, (r, lo, hi)
                 checked_gaps += 1
     assert checked_gaps > 0  # the grid must actually have interior gaps
+
+
+def plan_tree(df) -> str:
+    """Just the operator-tree section of the formatted plan (the detail
+    sections repeat every operator name, which breaks count asserts)."""
+    return formatted_plan(df).split("\n\n", 1)[0]
+
+
+def test_interpolate_windows_share_one_sort(spark):
+    """ts_interpolate's window passes (backward last + forward first)
+    partition and order on the same key, so they pipeline on ONE
+    exchange+sort of the dense grid — a second sort/shuffle between the
+    Window operators would double the operator's scale cost."""
+    from etl_verkada_spark.operators.timeseries import ts_interpolate
+
+    tree = plan_tree(ts_interpolate(spark, SF_SMALL))
+    assert "Window" in tree, tree
+    first = tree.index("Window")
+    last = tree.rindex("Window")
+    between = tree[first:last]
+    assert "Exchange" not in between, tree
+    assert "Sort" not in between, tree
+
+
+def test_pack_sequences_is_one_shuffle(spark):
+    """The packing assignment is one window cumsum: exactly one
+    exchange (hash on lang) and one sort feed the Window; no join, no
+    second aggregation pass."""
+    from etl_verkada_spark.llm.packing import llm_pack_sequences
+
+    tree = plan_tree(llm_pack_sequences(spark, SF_SMALL))
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_stratified_sample_windows_share_one_sort(spark):
+    """rank + stratum-count windows both partition by lang: one
+    exchange total, and no re-sort between the two Window operators."""
+    from etl_verkada_spark.llm.packing import llm_sample_stratified
+
+    tree = plan_tree(llm_sample_stratified(spark, SF_SMALL))
+    assert tree.count("Exchange") == 1, tree
+    first = tree.index("Window")
+    last = tree.rindex("Window")
+    assert "Exchange" not in tree[first:last], tree
