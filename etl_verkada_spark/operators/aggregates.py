@@ -604,6 +604,64 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
+HIST_BIN_CENTS = 2_500_000  # $25,000-wide price bins
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (the width_bucket shape).
+
+    Bin assignment is pure integer arithmetic on the cents form —
+    ``cents div bin_width`` — so bucket edges are exact in both engines
+    (a float ``floor(x / 25000.0)`` can land edge values in the wrong
+    bin). One mergeable hash aggregate; output cardinality is the bin
+    count, independent of row count, so the reduction is total at any
+    scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    bin_id = F.expr(
+        f"cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+        f" div {HIST_BIN_CENTS}"
+    )
+    return (
+        o.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            unscale(F.sum(scaled_long("o_totalprice")), 2).alias(
+                "sum_price"
+            ),
+        )
+        .select(
+            "bin_id",
+            (F.col("bin_id") * F.lit(HIST_BIN_CENTS / 100.0)).alias(
+                "bin_lo"
+            ),
+            ((F.col("bin_id") + 1) * F.lit(HIST_BIN_CENTS / 100.0)).alias(
+                "bin_hi"
+            ),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+ORACLE_AGG_HISTOGRAM = """
+WITH binned AS (
+  SELECT
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 2500000 AS bin_id,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT
+  bin_id,
+  bin_id * 25000.0 AS bin_lo,
+  (bin_id + 1) * 25000.0 AS bin_hi,
+  COUNT(*) AS n_orders,
+  CAST(CAST(SUM(cents) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sum_price
+FROM binned
+GROUP BY bin_id
+"""
+
+
 QUERIES = {
     "agg_count": spec(
         agg_count, ORACLE_AGG_COUNT, "reference:A1",
@@ -660,5 +718,9 @@ QUERIES = {
     "agg_collect": spec(
         agg_collect, ORACLE_AGG_COLLECT, "beyond",
         doc="sorted collect_set joined to a deterministic scalar string",
+    ),
+    "agg_histogram": spec(
+        agg_histogram, ORACLE_AGG_HISTOGRAM, "beyond",
+        doc="fixed-width value histogram, integer-exact bin edges",
     ),
 }

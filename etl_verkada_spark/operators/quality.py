@@ -1,0 +1,177 @@
+"""Data-quality audits over the relational surface (SURVEY.md §2 S3
+adjacent — the dataset-level complement of the row-level validators in
+operators/scans.py; reference validates per-record at ingest,
+task.ts:104-106/155-158).
+
+Two batch audits a warehouse runs before trusting a drop:
+
+* referential integrity — orphan counts per declared FK relationship
+  (anti-join cardinality), reported even when zero so the report shape
+  is stable;
+* key uniqueness — rows vs distinct keys per declared primary key.
+
+Both reduce full tables to a handful of audit rows, so at 100 TB the
+output is O(relationships). The anti-joins are plain equi-joins —
+Catalyst broadcasts the dim side when it fits and shuffles otherwise;
+nothing here pins a strategy. The uniqueness audit is one mergeable
+(count, count distinct) pass per table; exact distinct does its usual
+two-phase expand, which is the point of an audit (approx_count_distinct
+is the scale escape hatch when a bound is acceptable — see agg_approx).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import spec
+
+#: (name, child table, child FK col, parent table, parent key col)
+FK_RELATIONSHIPS = (
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+#: (name, table, primary-key col)
+PRIMARY_KEYS = (
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("events.event_id", "events", "event_id"),
+    ("documents.doc_id", "documents", "doc_id"),
+    ("embeddings.vec_id", "embeddings", "vec_id"),
+)
+
+
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-FK audit: one row per relationship with total child rows
+    and the count whose FK has no parent (NULL FKs count as orphans —
+    an audit reports missing lineage, whatever the cause)."""
+    rows = []
+    for name, child_t, fk, parent_t, pk in FK_RELATIONSHIPS:
+        child = table(spark, sf_dir, child_t).select(F.col(fk).alias("fk"))
+        parent = table(spark, sf_dir, parent_t).select(
+            F.col(pk).alias("pk")
+        )
+        orphans = child.join(
+            parent, child["fk"] == parent["pk"], "left_anti"
+        )
+        rows.append(
+            child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(
+                F.lit(name).alias("relationship"), "n_rows", "n_orphans"
+            )
+        )
+    return reduce(DataFrame.unionByName, rows)
+
+
+ORACLE_DQ_REFERENTIAL = """
+SELECT 'orders->customer' AS relationship,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       (SELECT COUNT(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'events->customer',
+       (SELECT COUNT(*) FROM events),
+       (SELECT COUNT(*) FROM events e
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = e.user_id))
+"""
+
+
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: rows vs distinct keys per declared
+    key; ``n_dup_rows`` is the excess (rows beyond the first per key).
+    NULL keys are counted separately — COUNT(DISTINCT) drops them, and
+    an audit must not."""
+    rows = []
+    for name, t, key in PRIMARY_KEYS:
+        df = table(spark, sf_dir, t)
+        rows.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+                F.count(F.when(F.col(key).isNull(), 1)).alias("n_nulls"),
+            ).select(
+                F.lit(name).alias("key"),
+                "n_rows",
+                "n_keys",
+                (
+                    F.col("n_rows") - F.col("n_keys") - F.col("n_nulls")
+                ).alias("n_dup_rows"),
+                "n_nulls",
+            )
+        )
+    return reduce(DataFrame.unionByName, rows)
+
+
+ORACLE_DQ_UNIQUENESS = """
+SELECT 'customer.c_custkey' AS key, COUNT(*) AS n_rows,
+       COUNT(DISTINCT c_custkey) AS n_keys,
+       COUNT(*) - COUNT(DISTINCT c_custkey)
+         - COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_dup_rows,
+       COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_nulls
+FROM customer
+UNION ALL
+SELECT 'orders.o_orderkey', COUNT(*), COUNT(DISTINCT o_orderkey),
+       COUNT(*) - COUNT(DISTINCT o_orderkey)
+         - COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END),
+       COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)
+FROM orders
+UNION ALL
+SELECT 'events.event_id', COUNT(*), COUNT(DISTINCT event_id),
+       COUNT(*) - COUNT(DISTINCT event_id)
+         - COUNT(CASE WHEN event_id IS NULL THEN 1 END),
+       COUNT(CASE WHEN event_id IS NULL THEN 1 END)
+FROM events
+UNION ALL
+SELECT 'documents.doc_id', COUNT(*), COUNT(DISTINCT doc_id),
+       COUNT(*) - COUNT(DISTINCT doc_id)
+         - COUNT(CASE WHEN doc_id IS NULL THEN 1 END),
+       COUNT(CASE WHEN doc_id IS NULL THEN 1 END)
+FROM documents
+UNION ALL
+SELECT 'embeddings.vec_id', COUNT(*), COUNT(DISTINCT vec_id),
+       COUNT(*) - COUNT(DISTINCT vec_id)
+         - COUNT(CASE WHEN vec_id IS NULL THEN 1 END),
+       COUNT(CASE WHEN vec_id IS NULL THEN 1 END)
+FROM embeddings
+"""
+
+
+QUERIES = {
+    "dq_referential": spec(
+        dq_referential, ORACLE_DQ_REFERENTIAL, "beyond",
+        doc="orphan-FK audit: anti-join cardinality per relationship",
+    ),
+    "dq_uniqueness": spec(
+        dq_uniqueness, ORACLE_DQ_UNIQUENESS, "beyond",
+        doc="primary-key uniqueness audit (rows vs distinct vs nulls)",
+    ),
+}

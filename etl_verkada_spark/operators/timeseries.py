@@ -264,6 +264,110 @@ FROM tot
 """
 
 
+HOUR_US = 3600 * 1_000_000
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC downsample per series — the classic hypertable /
+    financial-rollup shape (open/high/low/close of ``value`` per
+    (event_type, hour)).
+
+    One hash aggregate, no window: open/close are ``min_by``/``max_by``
+    with a (ts, event_id) struct ordering key — the full total order, so
+    ties on ts are deterministic (events has no uniqueness guarantee on
+    ts alone). Partial aggregation applies (min_by/max_by are
+    mergeable), so at 100 TB this is a map-side-combined single shuffle
+    on (series, bucket) — grid cardinality out, event count in.
+
+    Values are picks (never float accumulation), so doubles are exact.
+    """
+    e = table(spark, sf_dir, "events")
+    bucket = (
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+        * F.lit(HOUR_US)
+    )
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.groupBy(F.col("event_type"), bucket.alias("hour_us"))
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_TS_OHLC = """
+SELECT
+  event_type,
+  (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+  FIRST(value ORDER BY ts, event_id) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  LAST(value ORDER BY ts, event_id) AS close,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week
+    (cohort) x week of activity, with distinct-user and event counts.
+
+    Week index is a timezone-free integer (``unix_micros div week``) so
+    both engines bucket identically with no week-start convention.
+
+    One shuffle fewer than the join formulation: the per-user cohort is
+    ``min(week) OVER (PARTITION BY user_id)`` — the same hash exchange a
+    groupBy(user)+join-back would need, but used once — then a single
+    mergeable aggregate on (cohort_week, active_week). The exact
+    count_distinct adds its usual expand pass; cardinality after the
+    window is (users x active weeks), already far below raw events at
+    scale.
+    """
+    e = table(spark, sf_dir, "events")
+    week = F.expr(f"unix_micros(cast(ts as timestamp)) div {WEEK_US}")
+    w = Window.partitionBy("user_id")
+    cohorted = e.select(
+        "user_id", week.alias("active_week")
+    ).withColumn("cohort_week", F.min("active_week").over(w))
+    return (
+        cohorted.groupBy("cohort_week", "active_week")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_TS_COHORT_RETENTION = """
+WITH weeks AS (
+  SELECT
+    user_id,
+    epoch_us(ts) // 604800000000 AS active_week
+  FROM events
+),
+cohorted AS (
+  SELECT
+    user_id,
+    active_week,
+    MIN(active_week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM weeks
+)
+SELECT
+  cohort_week,
+  active_week,
+  COUNT(DISTINCT user_id) AS n_users,
+  COUNT(*) AS n_events
+FROM cohorted
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
@@ -272,5 +376,13 @@ QUERIES = {
     "ts_interpolate": spec(
         ts_interpolate, ORACLE_TS_INTERPOLATE, "beyond",
         doc="linear interpolation across empty buckets (gapfill twin)",
+    ),
+    "ts_ohlc": spec(
+        ts_ohlc, ORACLE_TS_OHLC, "beyond",
+        doc="hourly OHLC downsample (min_by/max_by picks, one aggregate)",
+    ),
+    "ts_cohort_retention": spec(
+        ts_cohort_retention, ORACLE_TS_COHORT_RETENTION, "beyond",
+        doc="cohort x active-week retention triangle (window + one agg)",
     ),
 }

@@ -248,26 +248,29 @@ def flagship_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     acl = _tpch_acl(spark, sf_dir)
-    # kind is part of the equi-key; Catalyst pushes each join's kind
-    # literal through the union and prunes the other branch, so the two
-    # probes build two SMALL single-branch broadcasts (site dim from
-    # nation x region, camera dim from the %7 customer filter) instead
-    # of one shared two-branch build — strictly less build memory, same
-    # single probe stage (r4 plan audit; earlier rounds saw a shared
-    # ReusedExchange before the union became prunable).
-    a_site, a_cam = acl.alias("__acl_site"), acl.alias("__acl_cam")
+    # Site ACL: a genuine dim join — 25 nations gated by region, always
+    # broadcastable. kind is part of the equi-key, so Catalyst pushes
+    # the 'site' literal through the union and prunes the camera branch
+    # from this build.
+    a_site = acl.alias("__acl_site")
     gated = cams.join(
         F.broadcast(a_site),
         (F.col("__acl_site.kind") == F.lit("site"))
         & (cams["site_id"] == F.col("__acl_site.acl_id")),
         "left",
     ).select(*cams.columns, F.col("__acl_site.acl_id").alias("site_acl"))
-    gated = gated.join(
-        F.broadcast(a_cam),
-        (F.col("__acl_cam.kind") == F.lit("camera"))
-        & (gated["camera_id"] == F.col("__acl_cam.acl_id")),
-        "left",
-    ).select(*gated.columns, F.col("__acl_cam.acl_id").alias("cam_acl"))
+    # Camera ACL: the list is derived from the SAME customer table on
+    # the SAME unique key (custkey % 7 == 0), so the self-join is a
+    # row-local predicate. Inlining it deletes a broadcast build job and
+    # a second full customer scan — and at 100 TB it is a correctness-
+    # of-scale fix, not just a constant: 1/7 of all cameras stops being
+    # broadcastable long before the 25-row site dim does.
+    gated = gated.withColumn(
+        "cam_acl",
+        F.when(
+            F.col("camera_id").cast("long") % 7 == 0, F.col("camera_id")
+        ),
+    )
     joined = gated.join(
         F.broadcast(build), gated["camera_id"] == build["source_id"], "left"
     )

@@ -133,8 +133,8 @@ def build_registry() -> dict[str, QuerySpec]:
     failure in one family (e.g. optional deps) surfaces per-query, not at
     module import of the driver entry point."""
     from .operators import aggregates, dedup, filters, joins, projections
-    from .operators import reshape, scans, setops, sorts, subqueries
-    from .operators import timeseries, windows
+    from .operators import quality, reshape, scans, setops, sorts
+    from .operators import subqueries, timeseries, windows
     from .functions import scalars, udtfs
     from .pipeline import features
     from .llm import dedup as llm_dedup
@@ -159,6 +159,7 @@ def build_registry() -> dict[str, QuerySpec]:
         setops,
         reshape,
         subqueries,
+        quality,
         scalars,
         udtfs,
         features,

@@ -575,3 +575,87 @@ def test_stratified_sample_windows_share_one_sort(spark):
     first = tree.index("Window")
     last = tree.rindex("Window")
     assert "Exchange" not in tree[first:last], tree
+
+
+# --- round-4 additions: OHLC / cohort / histogram / dq audits ----------------
+
+def test_ohlc_bounds_and_counts(spark):
+    """low <= open, close <= high on every bucket, and bucket counts sum
+    to the table row count (no events dropped at bin edges)."""
+    from etl_verkada_spark.operators.timeseries import ts_ohlc
+    from etl_verkada_spark.catalog import table
+
+    rows = ts_ohlc(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"], r
+        assert r["low"] <= r["close"] <= r["high"], r
+        assert r["n_events"] >= 1
+    total = table(spark, SF_SMALL, "events").count()
+    assert sum(r["n_events"] for r in rows) == total
+
+
+def test_cohort_retention_triangle(spark):
+    """Activity can never precede the cohort week, and the cohort's own
+    week-0 row must contain every user of that cohort (n_users of any
+    later week <= week-0 n_users)."""
+    from etl_verkada_spark.operators.timeseries import ts_cohort_retention
+
+    rows = ts_cohort_retention(spark, SF_SMALL).collect()
+    assert rows
+    week0 = {}
+    for r in rows:
+        assert r["active_week"] >= r["cohort_week"], r
+        if r["active_week"] == r["cohort_week"]:
+            week0[r["cohort_week"]] = r["n_users"]
+    for r in rows:
+        # every member was active in week 0 by definition of cohort
+        assert r["cohort_week"] in week0, r
+        assert r["n_users"] <= week0[r["cohort_week"]], r
+
+
+def test_histogram_partitions_the_table(spark):
+    """Bins are disjoint [lo, hi) cells: counts sum to the row count and
+    every bin's sum_price lies within n * [bin_lo, bin_hi)."""
+    from etl_verkada_spark.operators.aggregates import agg_histogram
+    from etl_verkada_spark.catalog import table
+
+    rows = agg_histogram(spark, SF_SMALL).collect()
+    total = table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_orders"] for r in rows) == total
+    assert len({r["bin_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["bin_lo"] * r["n_orders"] <= r["sum_price"] < (
+            r["bin_hi"] * r["n_orders"]
+        ), r
+
+
+def test_dq_audits_clean_on_testdata(spark):
+    """The generated testdata is referentially clean with unique keys —
+    the audits must report exactly that (zero false positives)."""
+    from etl_verkada_spark.operators.quality import (
+        dq_referential,
+        dq_uniqueness,
+    )
+
+    for r in dq_referential(spark, SF_SMALL).collect():
+        assert r["n_orphans"] == 0, r
+        assert r["n_rows"] > 0, r
+    for r in dq_uniqueness(spark, SF_SMALL).collect():
+        assert r["n_dup_rows"] == 0 and r["n_nulls"] == 0, r
+        assert r["n_rows"] == r["n_keys"], r
+
+
+def test_dq_referential_catches_planted_orphan(spark):
+    """Plant an orphan FK and make sure the anti-join actually counts it
+    (guards against a join that silently inner-joins)."""
+    from etl_verkada_spark.catalog import table
+
+    child = table(spark, SF_SMALL, "orders").select(
+        F.col("o_custkey").alias("fk")
+    ).limit(10).withColumn("fk", F.lit(-1))
+    parent = table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("pk")
+    )
+    n = child.join(parent, child["fk"] == parent["pk"], "left_anti").count()
+    assert n == 10
