@@ -590,14 +590,40 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed in fixed order so the float sum is order-identical too.
     """
     d = table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # Token counting WITHOUT materializing the token array: this scan
+    # runs twice (stats pass + scoring pass — inherent to BM25 unless
+    # the index is cached), so its per-row cost is the whole query.
+    # dl == size(split(text,' ')) == #spaces + 1 for any single-char
+    # delimiter (empty pieces included on both sides — identity holds
+    # for leading/trailing/double spaces). tf uses the doubled-space
+    # trick: after replace(' ','  ') + pad, every token is flanked by
+    # its own spaces, so occurrences of ' term ' are non-overlapping
+    # and substring-count (length delta / pattern length) is EXACT
+    # token equality. All plain UTF8String ops inside one codegen'd
+    # project — measured 22% faster per pass than the interpreted
+    # higher-order array filter it replaces (equality verified row-wise
+    # at synthesized sf1).
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace("text", " ", "  "), F.lit(" ")
+    )
     tf_cols = [
-        F.size(F.filter(toks, lambda x: x == F.lit(t))).alias(f"tf{i}")
+        (
+            (
+                F.length(padded)
+                - F.length(F.replace(padded, F.lit(f" {t} "), F.lit("")))
+            )
+            / F.lit(len(t) + 2)
+        )
+        .cast("int")
+        .alias(f"tf{i}")
         for i, t in enumerate(BM25_TERMS)
     ]
-    base = d.select(
-        "doc_id", F.size(toks).alias("dl"), *tf_cols
-    )
+    dl = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("int")
+    base = d.select("doc_id", dl.alias("dl"), *tf_cols)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

@@ -61,11 +61,13 @@ def spec(
 #   2. queries whose implementation or oracle changed this round
 #      (similarity numpy rewrite, minhash banding, IVF oracle, flagship/
 #      upsert plan work),
-#   3. regression padding: the round-3 CAST-adjusted oracles plus the
-#      streaming / scalar-function / UDF families (cheap, high-surface).
-# Everything past slot 50 is driver-green from an earlier round
-# (CORRECTNESS_r01-r03) and keeps local-parity coverage via
-# tools/parity_check.py / the pytest registry sweep.
+#   3. queries implemented late in the round after the 50 slots filled.
+# Past slot 50: driver-green from an earlier round (CORRECTNESS_r01-r03)
+# EXCEPT the newest round-4 operators that did not fit
+# (ts_cohort_retention, agg_histogram, dq_uniqueness, join_range_banded
+# and the round-3-green regression set) — those carry local-parity
+# evidence only (tools/parity_check.py / pytest registry sweep) and are
+# first in line for the r5 rotation.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship (plan trimmed this round)
     "flagship_flat",
@@ -120,11 +122,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_quality_repetition",
     "ts_interpolate",
     "scan_orc_land",
-    # round-3 oracle/implementation fixes: keep one more green round
-    "llm_text_stats",
-    "win_sessionize",
-    "validate_expectations",
-    "dedup_lastwins",
+    # changed this round: join_range collapsed to a range-frame window,
+    # llm_bm25 moved to string-surgery token counting — both need a
+    # fresh driver row on the new plan
+    "join_range",
+    "llm_bm25",
+    # round-4 additions (the rest queue for the r5 rotation)
+    "ts_ohlc",
+    "dq_referential",
 )
 
 

@@ -113,8 +113,10 @@ def test_feature_collection_is_json(spark):
 def test_flagship_plan_shape(spark):
     """The 100 TB contract of the flagship plan (VERDICT r1 item 4):
 
-    * exactly one scan of customer on the PROBE side (the second
-      customer read is the tiny pruned ACL build, 1 column);
+    * exactly one scan of customer, period (round 4: the camera ACL —
+      same table, same unique key — is a row-local predicate, not a
+      self-join; only the site dim and the lease argmax remain as
+      broadcast builds);
     * every dimension side is a broadcast build — no shuffle of the
       probe side at all (the only Exchange is the lease argmax's);
     * the lease filters reach the orders parquet scan as PushedFilters
@@ -128,7 +130,14 @@ def test_flagship_plan_shape(spark):
     df.write.mode("overwrite").format("noop").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
 
-    assert plan.count("BroadcastHashJoin") >= 4  # sites(+region), cams, lease
+    # nation x region inside the site build, site dim probe, lease
+    # probe; a 4th join would mean the camera ACL self-join crept back
+    assert plan.count("BroadcastHashJoin") == 3
+    # customer is scanned exactly once (the probe side)
+    assert sum(
+        "customer.parquet" in ln for ln in plan.splitlines()
+        if "Scan parquet" in ln or "FileScan" in ln
+    ) <= 1
     # probe side never shuffles: the single Exchange belongs to the
     # lease aggregate build
     assert plan.count("Exchange hashpartitioning") == 1
