@@ -1,0 +1,150 @@
+"""Iterative graph analytics on DataFrames (SURVEY.md §2 beyond —
+the message-passing family; the transitive-closure sibling lives in
+llm/dedup.py::llm_dedup_cc).
+
+PageRank over the bipartite part<->supplier graph derived from
+lineitem (who supplies what — the partsupp projection). The
+implementation is the Pregel-on-DataFrame pattern: a Python loop
+building one join + one aggregate per superstep, with an eager
+localCheckpoint per iteration so the lineage (and the physical plan)
+stays O(1) in the iteration count instead of O(2^iters).
+
+Exactness discipline: ranks are INTEGERS at scale 1e12. Float PageRank
+is order-sensitive (the per-node SUM of contributions adds doubles in
+shuffle order — engines disagree in the last ulp), but integer
+contributions ``rank div out_deg`` and the damped update
+``teleport + (85 * sum) div 100`` are exact and associative, so Spark
+and DuckDB produce bit-identical BIGINT ranks regardless of
+aggregation order. The per-edge floor loses < out_deg units of mass
+per node per step — deterministic, and irrelevant at scale 1e12.
+
+At 100 TB: edges are the deduplicated (part, supplier) pairs — the
+distinct is the big collapse, one shuffle of lineitem's two key
+columns. Each superstep is a shuffle join of ranks (O(nodes)) against
+edges (O(edges)) plus a mergeable sum — the same cost model as every
+distributed PageRank; co-partitioning ranks and edges on the join key
+(bucketing, see join_bucketed) removes the per-step rank shuffle on a
+real cluster. Convergence detection (rank delta < eps) would add a
+per-step action; the fixed-step form matches the oracle exactly.
+
+Reference scope note: the reference engine (task.ts) has no iterative
+operators at all; this family is part of the beyond-reference
+training-data surface, like llm_dedup_cc (its docstring cites the
+same gap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import spec
+
+PR_SCALE = 1_000_000_000_000  # integer rank scale (1e12)
+PR_ITERS = 3
+PR_DAMP_PCT = 85  # damping factor d = 0.85, as an integer percentage
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct bipartite edges, both directions. Node encoding packs
+    the two key spaces into one BIGINT: part p -> 2p, supplier s ->
+    2s+1 (disjoint, reversible via div/mod)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    )
+    fwd = li.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    rev = li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    # every node appears as a src (each edge has its reverse), so the
+    # src side enumerates the node set and there are no dangling nodes
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n_nodes = deg.count()  # driver-side SCALAR (a count, never data)
+    init_rank = PR_SCALE // n_nodes
+    teleport = (100 - PR_DAMP_PCT) * init_rank // 100
+
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(init_rank).alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.expr("rank div out_deg").alias("contrib"),
+            )
+        )
+        ranks = (
+            contribs.groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(teleport)
+                    + F.expr(f"{PR_DAMP_PCT} * sum(contrib) div 100")
+                ).alias("rank")
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        F.col("rank").alias("rank_s12"),
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration twin of graph_pagerank. The teleport
+    and damping arithmetic mirrors the Spark expressions token for
+    token (integer //), so ranks match exactly."""
+    S, d, n_it = PR_SCALE, PR_DAMP_PCT, PR_ITERS
+    sql = f"""
+WITH edges AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+  FROM lineitem
+),
+deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS (
+  SELECT d.src AS node, ({S} // n.n_nodes) AS rank FROM deg d, n
+)"""
+    for i in range(n_it):
+        sql += f""",
+r{i + 1} AS (
+  SELECT
+    e.dst AS node,
+    (100 - {d}) * ({S} // n.n_nodes) // 100
+      + {d} * CAST(SUM(r.rank // g.out_deg) AS BIGINT) // 100 AS rank
+  FROM edges e
+  JOIN r{i} r ON r.node = e.src
+  JOIN deg g ON g.src = e.src, n
+  GROUP BY e.dst, n.n_nodes
+)"""
+    sql += f"""
+SELECT
+  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+  node // 2 AS node_key,
+  CAST(rank AS BIGINT) AS rank_s12
+FROM r{n_it}
+"""
+    return sql
+
+
+ORACLE_GRAPH_PAGERANK = _pagerank_oracle()
+
+
+QUERIES = {
+    "graph_pagerank": spec(
+        graph_pagerank, ORACLE_GRAPH_PAGERANK, "beyond",
+        doc="integer-exact damped PageRank, 3 supersteps, localCheckpoint",
+    ),
+}

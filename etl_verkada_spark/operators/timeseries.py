@@ -368,6 +368,74 @@ GROUP BY 1, 2
 """
 
 
+DAY_US = 24 * 3600 * 1_000_000
+DAU_WINDOW_DAYS = 7
+
+
+def ts_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users per day (the WAU/MAU shape).
+
+    Exact sliding DISTINCT cannot ride a window frame (distinct state
+    is not mergeable across frame slides), so the scalable form inverts
+    it: each (user, active day) pair is exploded to the <=7 window-end
+    days it counts toward — a BOUNDED expansion (x window size) of the
+    already-deduplicated (user, day) set, not of raw events — then one
+    exact count-distinct per window-end day. At 100 TB: events reduce
+    to (user, day) first (mergeable pre-aggregation, the big win), the
+    x7 explode happens after that collapse, and the final
+    count_distinct is the standard two-phase exact plan. The sketch
+    escape hatch (approx_count_distinct / HLL union over days) trades
+    this for one pass when a ~2% bound is acceptable — see agg_approx.
+
+    Day index is timezone-free integer floor-division like the other
+    ts operators.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}")
+    user_days = e.select(
+        "user_id", day.alias("day_idx")
+    ).distinct()
+    exploded = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day_idx"),
+                F.col("day_idx") + F.lit(DAU_WINDOW_DAYS - 1),
+            )
+        ).alias("window_end_day"),
+    )
+    # only report window-end days that actually occur in the data, so
+    # the trailing ramp-out past max(day) is not emitted
+    observed = user_days.select(
+        F.col("day_idx").alias("window_end_day")
+    ).distinct()
+    return (
+        exploded.join(observed, "window_end_day")
+        .groupBy("window_end_day")
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+    )
+
+
+ORACLE_TS_ROLLING_DAU = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+  FROM events
+),
+exploded AS (
+  SELECT user_id, day_idx + g.offs AS window_end_day
+  FROM user_days,
+       (SELECT UNNEST(generate_series(0, 6)) AS offs) g
+),
+observed AS (
+  SELECT DISTINCT day_idx AS window_end_day FROM user_days
+)
+SELECT e.window_end_day, COUNT(DISTINCT e.user_id) AS dau_7d
+FROM exploded e
+JOIN observed o USING (window_end_day)
+GROUP BY e.window_end_day
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
@@ -384,5 +452,9 @@ QUERIES = {
     "ts_cohort_retention": spec(
         ts_cohort_retention, ORACLE_TS_COHORT_RETENTION, "beyond",
         doc="cohort x active-week retention triangle (window + one agg)",
+    ),
+    "ts_rolling_dau": spec(
+        ts_rolling_dau, ORACLE_TS_ROLLING_DAU, "beyond",
+        doc="exact rolling 7-day distinct users (bounded day-explode)",
     ),
 }

@@ -137,9 +137,9 @@ def build_registry() -> dict[str, QuerySpec]:
     """Merge every operator family's QUERIES dict. Import is deferred so a
     failure in one family (e.g. optional deps) surfaces per-query, not at
     module import of the driver entry point."""
-    from .operators import aggregates, dedup, filters, joins, projections
-    from .operators import quality, reshape, scans, setops, sorts
-    from .operators import subqueries, timeseries, windows
+    from .operators import aggregates, dedup, filters, graph, joins
+    from .operators import projections, quality, reshape, scans, setops
+    from .operators import sorts, subqueries, timeseries, windows
     from .functions import scalars, udtfs
     from .pipeline import features
     from .llm import dedup as llm_dedup
@@ -165,6 +165,7 @@ def build_registry() -> dict[str, QuerySpec]:
         reshape,
         subqueries,
         quality,
+        graph,
         scalars,
         udtfs,
         features,

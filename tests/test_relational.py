@@ -659,3 +659,49 @@ def test_dq_referential_catches_planted_orphan(spark):
     )
     n = child.join(parent, child["fk"] == parent["pk"], "left_anti").count()
     assert n == 10
+
+
+def test_rolling_dau_bounds(spark):
+    """7-day DAU is sandwiched between the single-day distinct count
+    and the all-time distinct count, and is monotone >= any one of its
+    member days."""
+    from etl_verkada_spark.operators.timeseries import (
+        DAY_US,
+        ts_rolling_dau,
+    )
+    from etl_verkada_spark.catalog import table
+
+    e = table(spark, SF_SMALL, "events")
+    daily = {
+        r["d"]: r["u"]
+        for r in e.groupBy(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias("d")
+        )
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    total_users = e.select("user_id").distinct().count()
+    rows = ts_rolling_dau(spark, SF_SMALL).collect()
+    assert {r["window_end_day"] for r in rows} == set(daily)
+    for r in rows:
+        assert daily[r["window_end_day"]] <= r["dau_7d"] <= total_users, r
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """Total rank mass stays within the deterministic floor-loss bound
+    of 1.0 (teleport + damped redistribution conserves mass up to
+    integer floors), and a re-run is bit-identical (retry safety)."""
+    from etl_verkada_spark.operators.graph import (
+        PR_SCALE,
+        graph_pagerank,
+    )
+
+    rows = graph_pagerank(spark, SF_SMALL).collect()
+    assert rows
+    total = sum(r["rank_s12"] for r in rows)
+    # floors only ever lose mass; bounded by (nodes+edges) units/iter
+    assert total <= PR_SCALE
+    assert total >= PR_SCALE * 0.99
+    again = graph_pagerank(spark, SF_SMALL).collect()
+    assert sorted((r["node_type"], r["node_key"], r["rank_s12"]) for r in rows) == \
+        sorted((r["node_type"], r["node_key"], r["rank_s12"]) for r in again)
