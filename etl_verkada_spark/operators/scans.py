@@ -330,6 +330,65 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
 """
 
 
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+def maintain_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operator every
+    long-lived 100 TB lake needs.
+
+    Streaming/paginated ingest (S1/S2, upsert_merge's foreachBatch)
+    lands many tiny files; each costs a task, a footer read and an open
+    per scan, so scan fan-out degrades as the file count, not the byte
+    count. Compaction rewrites a directory to ~target-sized files:
+    here a 64-file landing is coalesced to 4. ``coalesce`` (narrow, no
+    shuffle — N input files map to M output tasks) is the right
+    rewrite when only the file COUNT is wrong; ``repartitionByRange``
+    is the upgrade when min/max clustering for data skipping should be
+    restored at the same time. The returned DataFrame reads the
+    compacted copy — content must be byte-identical to the source
+    (the oracle is the same SELECT as the other landings), and the
+    file-count contract is asserted in tests/test_relational.py.
+
+    Both layouts are fingerprint-keyed on the source (stale copies
+    GC'd like scan_partition_pruned's) and idempotent: a _DONE marker
+    skips the rewrite on re-run, so the bench measures the READ-side
+    win, not the rewrite.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    src = table(spark, sf_dir, "orders").select(*LAND_COLS)
+    st = os.stat(os.path.join(sf_dir, "orders.parquet"))
+    fp = hashlib.md5(
+        f"{st.st_mtime_ns}:{st.st_size}:{COMPACT_SMALL_FILES}".encode()
+    ).hexdigest()[:12]
+    base = _land_dir(sf_dir, "compact")
+    if os.path.isdir(base):
+        for old in os.listdir(base):
+            if old != fp:
+                shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+    frag_dir = os.path.join(base, fp, "fragmented")
+    compact_dir = os.path.join(base, fp, "compacted")
+    done = os.path.join(base, fp, "_DONE")
+    if not os.path.exists(done):
+        src.repartition(COMPACT_SMALL_FILES).write.mode(
+            "overwrite"
+        ).parquet(frag_dir)
+        (
+            spark.read.schema(LAND_DDL)
+            .parquet(frag_dir)
+            .coalesce(COMPACT_TARGET_FILES)
+            .write.mode("overwrite")
+            .parquet(compact_dir)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    return spark.read.schema(LAND_DDL).parquet(compact_dir)
+
+
 QUERIES = {
     "scan_page": spec(
         scan_page, ORACLE_SCAN_PAGE, "reference:S1", "reference:L1",
@@ -367,5 +426,9 @@ QUERIES = {
     "scan_orc_land": spec(
         scan_orc_land, ORACLE_SCAN_LAND, "reference:S2", "beyond",
         doc="land-then-read ORC (columnar twin: pushdown + pruning)",
+    ),
+    "maintain_compact": spec(
+        maintain_compact, ORACLE_SCAN_LAND, "beyond",
+        doc="small-file compaction (64 -> 4 files, narrow coalesce)",
     ),
 }

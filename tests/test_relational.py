@@ -705,3 +705,29 @@ def test_pagerank_mass_and_determinism(spark):
     again = graph_pagerank(spark, SF_SMALL).collect()
     assert sorted((r["node_type"], r["node_key"], r["rank_s12"]) for r in rows) == \
         sorted((r["node_type"], r["node_key"], r["rank_s12"]) for r in again)
+
+
+def test_compaction_shrinks_file_count_and_preserves_content(spark):
+    """The compacted layout must hold identical rows in <= target
+    parquet files; the fragmented source must actually be fragmented
+    (else the operator tests nothing)."""
+    import glob
+    import os
+
+    from etl_verkada_spark.operators.scans import (
+        COMPACT_SMALL_FILES,
+        COMPACT_TARGET_FILES,
+        maintain_compact,
+    )
+    from etl_verkada_spark.catalog import table
+
+    out = maintain_compact(spark, SF_SMALL)
+    compact_dir = out.inputFiles()[0].rsplit("/", 1)[0].replace("file:", "")
+    frag_dir = os.path.join(os.path.dirname(compact_dir), "fragmented")
+    n_frag = len(glob.glob(os.path.join(frag_dir, "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(compact_dir, "*.parquet")))
+    assert n_frag == COMPACT_SMALL_FILES
+    assert n_comp <= COMPACT_TARGET_FILES
+    src = table(spark, SF_SMALL, "orders").select(*out.columns)
+    assert out.exceptAll(src).count() == 0
+    assert src.exceptAll(out).count() == 0
