@@ -1,0 +1,225 @@
+"""Change-data-capture and slowly-changing-dimension operators
+(SURVEY.md §2 S9-adjacent — the batch complements of the streaming
+foreachBatch MERGE in streaming/upsert.py; the reference's scheduled
+re-sync, task.ts:228-271, is the degenerate 'latest snapshot wins'
+case of both).
+
+* ``scd2_build`` — collapse an event stream into type-2 validity
+  intervals: one row per (entity, state-run) with [valid_from,
+  valid_to) bounds. The warehouse-side history table every
+  point-in-time join needs.
+* ``cdc_snapshot_diff`` — diff two table snapshots into an
+  insert/update/delete changeset keyed by primary key.
+
+Both are single-shuffle plans: SCD2 is two window passes over one
+(user, time) sort; the snapshot diff is one full-outer join on the
+key. At 100 TB the diff's scan cost is the two snapshots and nothing
+else — no sort, no window — and the output is only the churn, which
+is what makes log-shipping cheaper than re-copying snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import spec
+
+
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 intervals of each user's event_type state.
+
+    Gaps-and-islands over one sort: a run starts where the state
+    differs from the previous event's (lag), run ids are the running
+    count of starts, and each run aggregates to [first ts, next run's
+    first ts). The NULL valid_to of the open (current) interval is the
+    SCD2 convention. Both windows share the (user_id, us, event_id)
+    sort — one exchange, one sort, asserted in tests. The total order
+    includes event_id because ts alone is not unique.
+    """
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_id",
+    )
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("event_type").over(order).isNull()
+            | (F.lag("event_type").over(order) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("is_start").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    intervals = run.groupBy("user_id", "run_id").agg(
+        # all rows in a run share one state by construction; MIN (not
+        # first()) keeps the aggregate deterministic and oracle-equal
+        F.min("event_type").alias("state"),
+        F.min("us").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    nxt = Window.partitionBy("user_id").orderBy("run_id")
+    return intervals.select(
+        "user_id",
+        "run_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        "n_events",
+    )
+
+
+ORACLE_SCD2_BUILD = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+  FROM events
+),
+runs AS (
+  SELECT *,
+    CASE WHEN LAG(event_type) OVER w IS NULL
+           OR LAG(event_type) OVER w <> event_type
+         THEN 1 ELSE 0 END AS is_start
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+numbered AS (
+  SELECT *,
+    CAST(SUM(is_start) OVER (
+      PARTITION BY user_id ORDER BY us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+  FROM runs
+),
+intervals AS (
+  SELECT
+    user_id,
+    run_id,
+    MIN(event_type) AS state,
+    MIN(us) AS valid_from,
+    COUNT(*) AS n_events
+  FROM numbered
+  GROUP BY user_id, run_id
+)
+SELECT
+  user_id,
+  run_id,
+  state,
+  valid_from,
+  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+  n_events
+FROM intervals
+"""
+
+
+#: deterministic synthetic "old snapshot" perturbation: rows dropped
+#: from the old snapshot (-> inserts in the diff), rows changed in the
+#: new one (-> updates), rows present only in the old one (-> deletes).
+CDC_INS_MOD = 97
+CDC_UPD_MOD = 89
+CDC_DEL_MOD = 101
+
+
+def _snapshots(spark: SparkSession, sf_dir: str):
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % CDC_INS_MOD != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % CDC_UPD_MOD == 0,
+            F.col("o_totalprice") + 1.0,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = o.filter(F.col("o_orderkey") % CDC_DEL_MOD != 0)
+    return old, new
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff of two snapshots -> (op, key, new values).
+
+    One full-outer join on the primary key; the op is decided by key
+    presence and column comparison. Comparison on +1.0-perturbed
+    doubles is exact (integer-valued deltas). Unchanged rows are
+    dropped — the changeset is the output, so its size is the churn,
+    not the table. At 100 TB both snapshots shuffle once on the key;
+    with both stored bucketed on the key (join_bucketed's layout) the
+    diff is exchange-free.
+    """
+    old, new = _snapshots(spark, sf_dir)
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(
+        n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    op = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .when(
+            (F.col("o.o_orderstatus") != F.col("n.o_orderstatus"))
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice")),
+            F.lit("update"),
+        )
+    )
+    return (
+        joined.select(
+            op.alias("op"),
+            F.coalesce(F.col("n.o_orderkey"), F.col("o.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.col("n.o_orderstatus").alias("new_status"),
+            F.col("n.o_totalprice").alias("new_totalprice"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+
+
+ORACLE_CDC_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+old AS (
+  SELECT
+    o_orderkey,
+    o_orderstatus,
+    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS o_totalprice
+  FROM base WHERE o_orderkey % 97 <> 0
+),
+new AS (
+  SELECT * FROM base WHERE o_orderkey % 101 <> 0
+)
+SELECT op, o_orderkey, new_status, new_totalprice FROM (
+  SELECT
+    CASE
+      WHEN o.o_orderkey IS NULL THEN 'insert'
+      WHEN n.o_orderkey IS NULL THEN 'delete'
+      WHEN o.o_orderstatus <> n.o_orderstatus
+        OR o.o_totalprice <> n.o_totalprice THEN 'update'
+    END AS op,
+    COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+    n.o_orderstatus AS new_status,
+    n.o_totalprice AS new_totalprice
+  FROM old o
+  FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+WHERE op IS NOT NULL
+"""
+
+
+QUERIES = {
+    "scd2_build": spec(
+        scd2_build, ORACLE_SCD2_BUILD, "beyond",
+        doc="SCD type-2 validity intervals (gaps-and-islands, one sort)",
+    ),
+    "cdc_snapshot_diff": spec(
+        cdc_snapshot_diff, ORACLE_CDC_SNAPSHOT_DIFF, "beyond",
+        doc="keyed snapshot diff -> insert/update/delete changeset",
+    ),
+}

@@ -731,3 +731,63 @@ def test_compaction_shrinks_file_count_and_preserves_content(spark):
     src = table(spark, SF_SMALL, "orders").select(*out.columns)
     assert out.exceptAll(src).count() == 0
     assert src.exceptAll(out).count() == 0
+
+
+def test_scd2_intervals_partition_time(spark):
+    """Per user: intervals are disjoint, cover every event, and
+    valid_to of run k equals valid_from of run k+1 (the half-open
+    chain); exactly one open interval (valid_to IS NULL) per user."""
+    from etl_verkada_spark.operators.cdc import scd2_build
+    from etl_verkada_spark.catalog import table
+
+    rows = scd2_build(spark, SF_SMALL).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_events_total = sum(r["n_events"] for r in rows)
+    assert n_events_total == table(spark, SF_SMALL, "events").count()
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["run_id"])
+        assert sum(1 for r in ivs if r["valid_to"] is None) == 1
+        assert ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], (user, a, b)
+            assert a["state"] != b["state"], (user, a, b)
+
+
+def test_scd2_single_sort(spark):
+    """lag + running-sum + interval agg + lead all ride ONE exchange
+    on user_id (the lead's run_id order is a sub-order of the agg's
+    grouping, so no re-shuffle)."""
+    from etl_verkada_spark.operators.cdc import scd2_build
+
+    tree = plan_tree(scd2_build(spark, SF_SMALL))
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_cdc_diff_classifies_exactly(spark):
+    """Every op class appears, keys are disjoint across classes, and
+    the counts match the modulus construction."""
+    from etl_verkada_spark.operators.cdc import (
+        CDC_DEL_MOD,
+        CDC_INS_MOD,
+        CDC_UPD_MOD,
+        cdc_snapshot_diff,
+    )
+    from etl_verkada_spark.catalog import table
+
+    rows = cdc_snapshot_diff(spark, SF_SMALL).collect()
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r["op"], set()).add(r["o_orderkey"])
+    keys = table(spark, SF_SMALL, "orders").select("o_orderkey").collect()
+    keys = [r[0] for r in keys]
+    want_ins = {k for k in keys if k % CDC_INS_MOD == 0 and k % CDC_DEL_MOD != 0}
+    want_del = {k for k in keys if k % CDC_DEL_MOD == 0 and k % CDC_INS_MOD != 0}
+    want_upd = {
+        k for k in keys
+        if k % CDC_UPD_MOD == 0 and k % CDC_INS_MOD != 0 and k % CDC_DEL_MOD != 0
+    }
+    assert by_op.get("insert", set()) == want_ins
+    assert by_op.get("delete", set()) == want_del
+    assert by_op.get("update", set()) == want_upd
