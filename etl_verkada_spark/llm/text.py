@@ -24,9 +24,18 @@ def _words():
 
 
 def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus stats per (lang, source): docs, chars, tokens, avg tokens."""
+    """Corpus stats per (lang, source): docs, chars, tokens, avg tokens.
+
+    Token count = #spaces + 1 (exact identity with size(split(text,' '))
+    for any single-char delimiter, empty pieces included) — counting
+    never materializes the token array, same discipline as llm_bm25.
+    """
     d = table(spark, sf_dir, "documents")
-    toks = F.size(_words())
+    toks = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
     per_doc = d.select("lang", "source", F.length("text").alias("chars"), toks.alias("toks"))
     return per_doc.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
