@@ -548,6 +548,68 @@ GROUP BY a
 """
 
 
+INCR_NEW_MOD = 10  # doc_id % 10 >= 8 -> the "new crawl" batch
+
+
+def llm_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag NEW-batch docs already present in the
+    existing corpus (exact normalized-content match).
+
+    The production dedup shape: a crawl lands a new batch and only that
+    batch is checked against the corpus — never corpus-vs-corpus. Both
+    sides reduce to (content_hash[, doc_id]) BEFORE the join, so the
+    shuffle carries digests, not text, and the corpus side ships one
+    hash column (in production: a pre-computed hash index, making the
+    per-batch cost O(batch) + a hash-index probe). Left join against
+    the min-doc_id hash dictionary (not semi) so the output also names
+    WHICH corpus doc each duplicate collides with — the lineage a
+    keep/drop audit needs. Batch split is doc_id mod, deterministic.
+    """
+    from .text import normalized_text
+
+    d = table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.md5(normalized_text()).alias("content_hash")
+    )
+    is_new = F.col("doc_id") % INCR_NEW_MOD >= INCR_NEW_MOD - 2
+    corpus_index = (
+        hashed.filter(~is_new)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    return (
+        hashed.filter(is_new)
+        .join(corpus_index, "content_hash", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+        )
+    )
+
+
+ORACLE_LLM_DEDUP_INCREMENTAL = """
+WITH hashed AS (
+  SELECT
+    doc_id,
+    md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash
+  FROM documents
+),
+corpus_index AS (
+  SELECT content_hash, MIN(doc_id) AS dup_of
+  FROM hashed WHERE doc_id % 10 < 8
+  GROUP BY content_hash
+)
+SELECT
+  n.doc_id,
+  c.dup_of IS NOT NULL AS is_dup,
+  c.dup_of
+FROM hashed n
+LEFT JOIN corpus_index c USING (content_hash)
+WHERE n.doc_id % 10 >= 8
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": spec(
         llm_dedup_exact, ORACLE_LLM_DEDUP_EXACT, "llm",
@@ -573,5 +635,9 @@ QUERIES = {
     "llm_dedup_cc": spec(
         llm_dedup_cc, ORACLE_LLM_DEDUP_CC, "llm",
         doc="transitive near-dup clustering (iterative CC vs recursive CTE)",
+    ),
+    "llm_dedup_incremental": spec(
+        llm_dedup_incremental, ORACLE_LLM_DEDUP_INCREMENTAL, "llm",
+        doc="new-batch dedup against the corpus hash index (with lineage)",
     ),
 }

@@ -706,10 +706,83 @@ LIMIT 15
 """
 
 
+BIGRAM_TOP_N = 100
+
+
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model table: P(w2 | w1) for the corpus's most
+    frequent bigrams — the count statistics a perplexity-based quality
+    filter or contamination scorer trains on.
+
+    Bigram extraction is array surgery, not a window: zip each token
+    list against its own tail (slice + arrays_zip) and explode — the
+    pair stream never needs cross-row context, so there is NO
+    (doc, position) sort; the only shuffles are the two count
+    aggregates. The conditional probability divides two exact BIGINT
+    counts in double precision — one IEEE op, bit-identical in both
+    engines. Top-N by (pair count desc, w1, w2) is a deterministic
+    total order, and compiles to TakeOrderedAndProject. At 100 TB the
+    bigram count table is vocabulary-sized (quadratic in vocab, not
+    corpus) and the unigram join is a broadcast of the observed-w1
+    dictionary.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+            )
+        ).alias("z")
+    ).select(F.col("z")["0"].alias("w1"), F.col("z")["1"].alias("w2"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = bi.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    return (
+        bi.join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            (F.col("n_pair").cast("double") / F.col("n_w1")).alias("p_cond"),
+        )
+        .orderBy(F.col("n_pair").desc(), "w1", "w2")
+        .limit(BIGRAM_TOP_N)
+    )
+
+
+ORACLE_LLM_BIGRAM_LM = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS l FROM documents
+),
+pairs AS (
+  SELECT z[1] AS w1, z[2] AS w2
+  FROM toks, UNNEST(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(z)
+),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+),
+uni AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM bi GROUP BY w1
+)
+SELECT
+  b.w1, b.w2, b.n_pair, u.n_w1,
+  CAST(b.n_pair AS DOUBLE) / u.n_w1 AS p_cond
+FROM bi b JOIN uni u USING (w1)
+ORDER BY b.n_pair DESC, b.w1, b.w2
+LIMIT 100
+"""
+
+
 QUERIES = {
     "llm_text_stats": spec(
         llm_text_stats, ORACLE_LLM_TEXT_STATS, "llm",
         doc="corpus stats per (lang, source)",
+    ),
+    "llm_bigram_lm": spec(
+        llm_bigram_lm, ORACLE_LLM_BIGRAM_LM, "llm",
+        doc="bigram LM table: P(w2|w1) top-100, exact count ratios",
     ),
     "llm_lang_id": spec(
         llm_lang_id, ORACLE_LLM_LANG_ID, "llm",

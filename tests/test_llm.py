@@ -301,3 +301,52 @@ def test_stratified_sample_exact_quota(spark):
         )
     again = llm_sample_stratified(spark, sf).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_incremental_dedup_flags_known_dups(spark):
+    """Every flagged duplicate's dup_of must be an old-batch doc with
+    identical normalized text; non-flagged new docs must have no
+    normalized twin in the old batch."""
+    from etl_verkada_spark.llm.dedup import INCR_NEW_MOD, llm_dedup_incremental
+    from etl_verkada_spark.llm.text import normalized_text
+    from etl_verkada_spark.catalog import table
+
+    from .conftest import SF_SMALL
+
+    d = table(spark, SF_SMALL, "documents").select(
+        "doc_id", normalized_text().alias("norm")
+    )
+    norms = {r["doc_id"]: r["norm"] for r in d.collect()}
+    old_norms = {
+        n for i, n in norms.items() if i % INCR_NEW_MOD < INCR_NEW_MOD - 2
+    }
+    rows = llm_dedup_incremental(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % INCR_NEW_MOD >= INCR_NEW_MOD - 2
+        if r["is_dup"]:
+            assert norms[r["dup_of"]] == norms[r["doc_id"]]
+            assert r["dup_of"] % INCR_NEW_MOD < INCR_NEW_MOD - 2
+        else:
+            assert norms[r["doc_id"]] not in old_norms
+
+
+def test_bigram_lm_probabilities_normalize(spark):
+    """p_cond = n_pair / n_w1 exactly, and for any w1 fully contained
+    in the top-N, its conditional probabilities sum to ~1."""
+    from etl_verkada_spark.llm.text import llm_bigram_lm
+
+    from .conftest import SF_SMALL
+
+    rows = llm_bigram_lm(spark, SF_SMALL).collect()
+    assert rows
+    by_w1 = {}
+    for r in rows:
+        assert r["p_cond"] == r["n_pair"] / r["n_w1"]
+        by_w1.setdefault(r["w1"], []).append(r)
+    # counts are descending in the emitted order
+    pair_counts = [r["n_pair"] for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    full = [g for g in by_w1.values() if sum(x["n_pair"] for x in g) == g[0]["n_w1"]]
+    for g in full:
+        assert abs(sum(x["p_cond"] for x in g) - 1.0) < 1e-9
