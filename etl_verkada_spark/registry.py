@@ -137,7 +137,8 @@ def build_registry() -> dict[str, QuerySpec]:
     """Merge every operator family's QUERIES dict. Import is deferred so a
     failure in one family (e.g. optional deps) surfaces per-query, not at
     module import of the driver entry point."""
-    from .operators import aggregates, cdc, dedup, filters, graph, joins
+    from .operators import aggregates, cdc, dedup, filters, geo, graph
+    from .operators import joins
     from .operators import projections, quality, reshape, scans, setops
     from .operators import sorts, subqueries, timeseries, windows
     from .functions import scalars, udtfs
@@ -167,6 +168,7 @@ def build_registry() -> dict[str, QuerySpec]:
         quality,
         graph,
         cdc,
+        geo,
         scalars,
         udtfs,
         features,
