@@ -63,11 +63,13 @@ def spec(
 #      upsert plan work),
 #   3. queries implemented late in the round after the 50 slots filled.
 # Past slot 50: driver-green from an earlier round (CORRECTNESS_r01-r03)
-# EXCEPT the newest round-4 operators that did not fit
-# (ts_cohort_retention, agg_histogram, dq_uniqueness, join_range_banded
-# and the round-3-green regression set) — those carry local-parity
-# evidence only (tools/parity_check.py / pytest registry sweep) and are
-# first in line for the r5 rotation.
+# EXCEPT operators added late in round 4 after the 50 slots filled
+# (every query tagged with a round-4 module: quality/graph/cdc/geo,
+# ts_cohort_retention/ts_rolling_dau/ts_ohlc siblings, agg_histogram,
+# join_range_banded, maintain_compact, llm_dedup_incremental,
+# llm_bigram_lm) — those carry local-parity evidence only
+# (tools/parity_check.py / pytest registry sweep) and are first in
+# line for the r5 rotation.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship (plan trimmed this round)
     "flagship_flat",
