@@ -225,14 +225,16 @@ def ensure_sf1(spark, src_dir: str) -> str:
 
 def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     """Spark-vs-DuckDB timings for the worst-ratio set at the synthesized
-    sf1 (min-of-3: host steal-time spikes of 5-20x were measured on this
-    box, and the min over three runs is the cheapest robust estimator;
-    the queries are multi-second here so the extra run is ~15s total)."""
+    sf1 (min-of-5: host steal-time spikes of 5-20x were measured on this
+    box and can span a whole min-of-3 window — one round-4 run recorded
+    join_range at 11s across all three runs vs 1.2s re-measured minutes
+    later; five runs make a clean window far more likely for ~30s extra
+    total)."""
     sf1_dir = ensure_sf1(spark, src_dir)
     timings: dict[str, float] = {}
     for name in SF1_QUERIES:
         timings[name] = round(
-            run_spark(registry[name].fn, spark, sf1_dir, n_runs=3), 3
+            run_spark(registry[name].fn, spark, sf1_dir, n_runs=5), 3
         )
     duck: dict[str, float] = {}
     import duckdb
@@ -247,7 +249,7 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     for name in SF1_QUERIES:
         sql = registry[name].oracle
         if sql:
-            duck[name] = round(run_duckdb(con, sql, n_runs=3), 3)
+            duck[name] = round(run_duckdb(con, sql, n_runs=5), 3)
     con.close()
     return {
         "replicas_of_sf0.1": SF1_REPLICAS,
