@@ -128,6 +128,10 @@ SF1_QUERIES = [
     "agg_groupby",
     "llm_bm25",
     "dedup_lastwins",
+    # NOT here: graph_pagerank (its localCheckpoint makes warm re-runs
+    # read cached ranks — a min-of-N would record the cache hit, not
+    # the computation) and scd2_build (~8s/run x 10 runs would double
+    # the section); their sf1 behavior is documented in SCALE.md.
 ]
 
 #: key columns shifted per replica, keyed by FK domain so references stay

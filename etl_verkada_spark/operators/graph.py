@@ -60,25 +60,43 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Build the graph ONCE, shaped for iteration (measured 43s -> ~15s
+    # at synthesized sf1, 11.8M directed edges):
+    # * degrees folded into the edge list up front — one join total
+    #   instead of one per superstep;
+    # * eager localCheckpoint — without it every superstep's plan
+    #   re-runs the 2x-lineitem scan + distinct (the dominant cost);
+    # * pre-partitioned by dst, which Dataset.localCheckpoint PRESERVES
+    #   in the captured outputPartitioning — so each superstep's
+    #   groupBy(dst) aggregate needs NO exchange at all.
+    # Per superstep the rank vector is vocabulary-sized (nodes, 16 B
+    # each), so it broadcasts; the only repeated work is one pass over
+    # the cached edge partitions + a map-side-combined, exchange-free
+    # aggregate. If ranks ever outgrew broadcast, drop the hint and
+    # partition the graph by src instead (shuffle join on src, one
+    # exchange per superstep for the agg) — the classic trade.
     edges = _edges(spark, sf_dir)
     # every node appears as a src (each edge has its reverse), so the
     # src side enumerates the node set and there are no dangling nodes
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    graph = (
+        edges.join(deg, "src")
+        .repartition(64, "dst")
+        .localCheckpoint(eager=True)
+    )
     n_nodes = deg.count()  # driver-side SCALAR (a count, never data)
     init_rank = PR_SCALE // n_nodes
     teleport = (100 - PR_DAMP_PCT) * init_rank // 100
 
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(init_rank).alias("rank")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(PR_ITERS):
-        contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
-            .select(
-                F.col("dst"),
-                F.expr("rank div out_deg").alias("contrib"),
-            )
+        contribs = graph.join(
+            F.broadcast(ranks), graph["src"] == ranks["node"]
+        ).select(
+            F.col("dst"),
+            F.expr("rank div out_deg").alias("contrib"),
         )
         ranks = (
             contribs.groupBy(F.col("dst").alias("node"))
@@ -88,8 +106,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr(f"{PR_DAMP_PCT} * sum(contrib) div 100")
                 ).alias("rank")
             )
+            .localCheckpoint(eager=True)
         )
-        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("part"))
         .otherwise(F.lit("supplier"))
