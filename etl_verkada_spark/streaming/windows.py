@@ -154,6 +154,62 @@ def with_watermark_tumbling(events: DataFrame, watermark: str = "1 hour",
     return tumbling(events.withWatermark("ts", watermark), width)
 
 
+def ohlc_windowed(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Event-time OHLC rollup (streaming twin of operators/timeseries
+    .ts_ohlc): open/close are min_by/max_by picks over the full
+    (ts, event_id) total order — declarative aggregates, so the SAME
+    expression runs as a mergeable streaming state update or a batch
+    hash aggregate. Values are picks, never float accumulation."""
+    win = F.window(F.col("ts"), width)
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias(
+                "window_start_us"
+            ),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC per event type (batch-mode check; streaming mode
+    with watermark exercised in tests/test_streaming.py)."""
+    return ohlc_windowed(table(spark, sf_dir, "events"))
+
+
+def with_watermark_ohlc(events: DataFrame,
+                        watermark: str = "1 hour") -> DataFrame:
+    return ohlc_windowed(events.withWatermark("ts", watermark))
+
+
+ORACLE_STREAM_OHLC = """
+SELECT
+  epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+  event_type,
+  FIRST(value ORDER BY ts, event_id) AS open,
+  MAX(value) AS high,
+  MIN(value) AS low,
+  LAST(value ORDER BY ts, event_id) AS close,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_tumble": spec(
         stream_tumble, ORACLE_STREAM_TUMBLE, "streaming",
@@ -166,5 +222,9 @@ QUERIES = {
     "stream_session": spec(
         stream_session, ORACLE_STREAM_SESSION, "streaming",
         doc="session windows (30 min gap) per user",
+    ),
+    "stream_ohlc": spec(
+        stream_ohlc, ORACLE_STREAM_OHLC, "streaming",
+        doc="hourly event-time OHLC (min_by/max_by streaming state)",
     ),
 }

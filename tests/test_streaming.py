@@ -407,3 +407,22 @@ def test_stateful_stream_recovers_from_checkpoint(spark, tmp_path):
         .collect()
     }
     assert latest == total
+
+
+def test_streaming_ohlc_equals_batch(spark, events_dir):
+    """min_by/max_by run as streaming state updates and must produce
+    the exact batch result (picks, not accumulations, so equality is
+    bitwise)."""
+    from etl_verkada_spark.streaming.windows import (
+        ohlc_windowed,
+        with_watermark_ohlc,
+    )
+
+    batch = table(spark, SF_SMALL, "events")
+    schema = spark.read.parquet(events_dir).schema  # LTZ ts for watermark
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(spark, with_watermark_ohlc(stream), "t_ohlc")
+    want = ohlc_windowed(batch)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
