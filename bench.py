@@ -57,6 +57,9 @@ HEADLINE = [
     "llm_bm25",
     "mm_feature_extract",
     "mm_feature_extract_arrow",
+    # round-4 operators with bench-stable plans (no checkpoint caching)
+    "ts_ohlc",
+    "cdc_snapshot_diff",
 ]
 
 
