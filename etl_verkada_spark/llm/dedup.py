@@ -27,18 +27,31 @@ from ..catalog import table
 from ..registry import spec
 from .text import normalized_text, with_shingles
 
-# 128 perms in 32 bands of 4 (round-4 widening from 64/16, the ADVICE
-# recall item): the s-curve midpoint (1/b)^(1/r) = (1/32)^(1/4) ~= 0.42
-# sits below the 0.5 verify threshold, so candidate recall at the
-# measured true-pair similarities is effectively total — per-pair miss
-# (1-J^4)^32 is ~5e-7 at the sf0.1 minimum true J=0.78 and ~2e-8 at
-# J=0.8, so even thousands of true pairs keep cumulative miss under
-# 1e-4 (at 64/16 it was ~5% over sf0.1's 256 pairs — a coin-flip-level
-# driver row-count risk at larger SFs). Random pairs (J~0.07 measured)
-# stay non-candidates: 32 * 0.07^4 ~= 8e-4 expected band collisions.
-# Exact-Jaccard verification bounds false-positive cost either way.
+# 128 perms in 32 bands of 4 (round-4 widening from 64/16): the s-curve
+# midpoint (1/b)^(1/r) = (1/32)^(1/4) ~= 0.42, so candidate recall at
+# the measured true-pair similarities is effectively total — per-pair
+# miss (1-J^4)^32 is ~4e-7 at the sf0.1 minimum true J=0.78 and ~2e-8
+# at J=0.8 (at 64/16 it was ~5% over sf0.1's 256 pairs — a
+# coin-flip-level driver row-count risk at larger SFs). Random pairs
+# (J~0.07 measured) stay non-candidates: 32 * 0.07^4 ~= 8e-4 expected
+# band collisions. Exact-Jaccard verification bounds false-positive
+# cost either way.
 N_PERMS = 128
 BAND_SIZE = 4  # -> 32 bands
+
+# Driver-surface verification threshold (r5, closes the last open ADVICE
+# item): the oracle is a brute-force exact-Jaccard scan, so it asserts
+# 100% LSH recall above the threshold. At 0.5 the 32x4 s-curve misses a
+# boundary pair with p = (1-0.5^4)^32 ~= 0.126 — a latent row-count FAIL
+# if any driver sf/seed ever produces mid-similarity pairs. At 0.75 the
+# boundary miss is (1-0.75^4)^32 ~= 5.2e-6 (4e-7 at J=0.78, the
+# measured sf0.1 true-pair minimum; 2e-8 at 0.8, the sf0.01 minimum), so
+# cumulative miss stays <1e-2 even at a million boundary pairs — and the
+# measured pair population is bimodal (J>=0.78 true / J<=0.07 background
+# at sf0.1; verified by test_llm.py's population scan), so
+# the visible output is IDENTICAL to the 0.5-threshold output at every
+# tested sf. The general operators below stay threshold-free.
+MINHASH_THRESHOLD = 0.75
 
 
 def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,29 +165,30 @@ def exact_jaccard(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup: candidates from banding, verified exactly.
 
-    Oracle-checked (round-3 upgrade from rows-only): the OUTPUT is the
-    exact-Jaccard-verified pair list at threshold 0.5, which DuckDB can
-    recompute by brute force — identical to the LSH result whenever the
-    banding recalls every true pair.  The testdata is strongly bimodal
-    (measured: every true pair has J>=0.78 at sf0.1, J>=0.8 at sf0.01;
-    background J<=0.07), where the 32-band/size-4 s-curve miss
-    probability is <=(1-0.78^4)^32 ~= 5e-7 per pair — the one
-    deliberately probabilistic element of an otherwise deterministic
-    check; a miss shows up as a driver row-count diff, never silent
-    corruption, and cumulative miss stays <1e-4 even at thousands of
-    true pairs.
+    Oracle-checked: the OUTPUT is the exact-Jaccard-verified pair list at
+    MINHASH_THRESHOLD, which DuckDB recomputes by brute force — identical
+    to the LSH result whenever the banding recalls every pair above the
+    threshold.  The threshold sits where 32x4 banding recall is ~1
+    (boundary miss 5.2e-6 per pair at J=0.75; 4e-7 at the measured
+    sf0.1 true-pair minimum J=0.78 — see MINHASH_THRESHOLD), so the one
+    probabilistic element of the check is bounded below any plausible
+    driver pair population; a miss would surface as a row-count diff,
+    never silent corruption.  The measured population is bimodal
+    (J>=0.78 true / J<=0.07 background at sf0.1; J>=0.8 at sf0.01), so
+    this output equals the 0.5-threshold output at every tested sf.
     """
     docs = table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sig)
     verified = exact_jaccard(pairs, _doc_shingles(docs))
-    return verified.filter(F.col("jaccard") >= 0.5).select(
+    return verified.filter(F.col("jaccard") >= MINHASH_THRESHOLD).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
 #: brute-force twin of the LSH pipeline: every pair with exact 4-gram
-#: Jaccard >= 0.5 (the same shingle CTE as ORACLE_LLM_DEDUP_NGRAM).
+#: Jaccard >= MINHASH_THRESHOLD (same shingle CTE as
+#: ORACLE_LLM_DEDUP_NGRAM; threshold inlined below, keep in sync).
 ORACLE_LLM_DEDUP_MINHASH = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
@@ -203,7 +217,7 @@ SELECT
 FROM inter i
 JOIN sizes za ON i.doc_a = za.doc_id
 JOIN sizes zb ON i.doc_b = zb.doc_id
-WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
+WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.75
 """
 
 
@@ -617,8 +631,8 @@ QUERIES = {
     ),
     "llm_dedup_minhash": spec(
         llm_dedup_minhash, ORACLE_LLM_DEDUP_MINHASH, "llm",
-        doc="MinHash 64-perm + 16-band LSH, exact-Jaccard verified "
-            "(oracle: brute-force exact Jaccard >= 0.5)",
+        doc="MinHash 128-perm + 32-band LSH, exact-Jaccard verified "
+            "(oracle: brute-force exact Jaccard >= 0.75)",
     ),
     "llm_dedup_fuzzy": spec(
         llm_dedup_fuzzy, ORACLE_LLM_DEDUP_FUZZY, "llm",

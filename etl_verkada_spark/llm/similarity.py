@@ -287,6 +287,63 @@ def llm_sim_ann_lsh(
     )
 
 
+def _lsh_oracle(dim: int = 64, multiprobe: int = 1) -> str:
+    """Full relational mirror of the LSH pipeline (r5 upgrade from
+    rows-only, the IVF treatment): the seeded hyperplanes are inlined as
+    DOUBLE[] literals — ``repr(float)`` is shortest-roundtrip, so DuckDB
+    parses back the exact IEEE doubles numpy produced — and the bucket
+    is the same sign-bit sum.  The embeddings tables are dim-64 at every
+    sf (asserted in tests); sign flips need |dot| within ~1 ulp of 0
+    (BLAS vs sequential fold), the same accepted risk as llm_dedup_embed.
+    """
+    planes = _planes(dim)
+    terms = []
+    for p in range(N_PLANES):
+        vec = ", ".join(repr(float(v)) for v in planes[p])
+        terms.append(
+            f"(CASE WHEN list_dot_product(emb, [{vec}]) > 0"
+            f" THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_expr = "\n      + ".join(terms)
+    probe_rows = ", ".join(
+        ["(0)"] + [f"({1 << b})" for b in range(N_PLANES * min(multiprobe, 1))]
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, label, emb,
+    CAST({bucket_expr} AS BIGINT) AS bucket
+  FROM e
+),
+q AS (
+  SELECT emb AS qe, bucket AS qbucket,
+         SQRT(list_dot_product(emb, emb)) AS qnorm
+  FROM assigned WHERE vec_id = {QUERY_VEC_ID}
+),
+probes AS (
+  SELECT DISTINCT xor(q.qbucket, t.v) AS bucket
+  FROM q, (VALUES {probe_rows}) t(v)
+)
+SELECT
+  a.vec_id,
+  a.label,
+  a.bucket,
+  ROUND(list_dot_product(a.emb, q.qe)
+        / (SQRT(list_dot_product(a.emb, a.emb)) * q.qnorm), 4) AS sim
+FROM assigned a
+JOIN probes p ON a.bucket = p.bucket
+CROSS JOIN q
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY sim DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+
+
+ORACLE_LLM_SIM_ANN_LSH = _lsh_oracle()
+
+
 EMBED_DUP_THRESHOLD = 0.4  # rounded-cosine cutoff; testdata max sim ~0.5
 
 
@@ -589,8 +646,9 @@ QUERIES = {
         doc="label-blocked cosine near-dup pairs (exact)",
     ),
     "llm_sim_ann_lsh": spec(
-        llm_sim_ann_lsh, None, "llm",
-        doc="random-hyperplane LSH bucket probe ANN (rows-only)",
+        llm_sim_ann_lsh, ORACLE_LLM_SIM_ANN_LSH, "llm",
+        doc="random-hyperplane LSH multi-probe ANN, exact-rescored "
+            "(oracle: inlined-plane relational mirror)",
     ),
     "llm_sim_ann_ivf": spec(
         llm_sim_ann_ivf, ORACLE_LLM_SIM_ANN_IVF, "llm",

@@ -355,9 +355,19 @@ LEFT JOIN lease_lw l ON cams.camera_id = l.source_id
 
 
 def flagship_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full nested Feature output over the TPC-H derivation (rows-only:
-    nested structs aren't portable to the SQL oracle; the scalar surface
-    is checked by flagship_flat)."""
+    """Full nested Feature output over the TPC-H derivation, serialized.
+
+    The nested Feature (task.ts:169-192) is built by :func:`build_features`
+    unchanged; the driver surface serializes it to ONE JSON string column
+    via ``to_json`` — raw struct columns arrive in the driver's pandas
+    canonicalizer as unhashable dict cells (the r4 `TypeError: unhashable
+    type: 'dict'` crash), while a string column both hashes and matches
+    the DuckDB ``to_json(struct_pack(...))`` oracle byte-for-byte.
+    ``ignoreNullFields=false`` makes Spark render the un-streamable rows'
+    ``"video":null`` exactly as DuckDB renders a NULL struct (probed:
+    both engines emit identical bytes for null structs and shortest-
+    roundtrip doubles; same verification as project_struct_nested r2).
+    """
     cams = _tpch_cameras(spark, sf_dir).select(
         "*",
         F.lit(0).alias("page_idx"),
@@ -366,7 +376,96 @@ def flagship_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     leases = _tpch_leases(spark, sf_dir)
     acl = _tpch_acl(spark, sf_dir)
-    return build_features(cams, leases, acl, layer_id=1)
+    feats = build_features(cams, leases, acl, layer_id=1)
+    return feats.select(
+        F.col("id"),
+        F.col("action"),
+        F.to_json(
+            F.struct(
+                F.col("type"),
+                F.col("properties"),
+                F.col("geometry"),
+                F.col("metadata"),
+            ),
+            {"ignoreNullFields": "false"},
+        ).alias("feature"),
+    )
+
+
+ORACLE_FLAGSHIP_FEATURES = """
+WITH lease_lw AS (
+  SELECT
+    CAST(o_custkey AS VARCHAR) AS source_id,
+    CAST(MAX(o_orderkey) AS VARCHAR) AS lease_id
+  FROM orders
+  WHERE o_orderstatus IN ('O','P') AND o_totalprice >= 1000.0
+  GROUP BY o_custkey
+),
+acl_sites AS (
+  SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS site_acl
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name IN ('AMERICA','ASIA')
+),
+acl_cams AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS cam_acl
+  FROM customer WHERE c_custkey % 7 = 0
+),
+cams AS (
+  SELECT
+    CAST(c_custkey AS VARCHAR) AS camera_id,
+    c_name AS name,
+    CAST(c_nationkey AS VARCHAR) AS site_id,
+    CAST(c_custkey % 360 AS DOUBLE) AS location_angle,
+    CAST(c_nationkey AS DOUBLE) AS location_lat,
+    c_acctbal / 100.0 AS location_lon,
+    c_mktsegment AS model
+  FROM customer
+)
+SELECT
+  cams.camera_id AS id,
+  CASE WHEN s.site_acl IS NULL AND a.cam_acl IS NULL THEN 'skip'
+       WHEN l.lease_id IS NOT NULL THEN 'patch'
+       ELSE 'post' END AS action,
+  to_json(struct_pack(
+    type := 'Feature',
+    properties := struct_pack(
+      type := 'b-m-p-s-p-loc',
+      how := 'm-g',
+      callsign := cams.name,
+      course := cams.location_angle,
+      sensor := struct_pack(
+        range := 50,
+        azimuth := cams.location_angle,
+        type := 'Verkada',
+        model := cams.model
+      ),
+      remarks := 'Site,online',
+      video := CASE WHEN s.site_acl IS NOT NULL OR a.cam_acl IS NOT NULL
+                    THEN struct_pack(
+                      url := 'https://stream.example/hls/' || cams.camera_id
+                    ) END
+    ),
+    geometry := struct_pack(
+      type := 'Point',
+      coordinates := [cams.location_lon, cams.location_lat]
+    ),
+    metadata := struct_pack(
+      camera_id := cams.camera_id,
+      name := cams.name,
+      site_id := cams.site_id,
+      location_angle := cams.location_angle,
+      location_lat := cams.location_lat,
+      location_lon := cams.location_lon,
+      model := cams.model,
+      site := 'Site',
+      status := 'online'
+    )
+  )) AS feature
+FROM cams
+LEFT JOIN acl_sites s ON cams.site_id = s.site_acl
+LEFT JOIN acl_cams a ON cams.camera_id = a.cam_acl
+LEFT JOIN lease_lw l ON cams.camera_id = l.source_id
+"""
 
 
 QUERIES = {
@@ -377,8 +476,8 @@ QUERIES = {
         doc="whole reference control() as one plan (flat, oracle-checked)",
     ),
     "flagship_features": spec(
-        flagship_features, None,
+        flagship_features, ORACLE_FLAGSHIP_FEATURES,
         "reference:P1", "reference:S8",
-        doc="full nested GeoJSON Feature output (rows-only)",
+        doc="full nested GeoJSON Feature as JSON doc (oracle-checked)",
     ),
 }

@@ -1,0 +1,75 @@
+"""Regression tests for the driver-replica comparator (compare.py).
+
+The two r3 dtype fixes — pd.NA canonicalized as NULL, timedelta kind
+deliberately NOT folded into datetime — landed without tests; these lock
+them so a refactor of canon_cell/compare_frames can't silently regress
+the local gate's driver-faithfulness.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+
+from etl_verkada_spark.compare import canon_cell, compare_frames
+
+
+def test_pd_na_and_nat_canonicalize_as_null():
+    assert canon_cell(pd.NA) == "NULL"
+    assert canon_cell(pd.NaT) == "NULL"
+    assert canon_cell(None) == "NULL"
+    # NaN is a float VALUE, not a null — the driver hashes it distinctly
+    assert canon_cell(float("nan")) == "f:NaN"
+
+
+def test_pd_na_column_matches_none_column():
+    """DuckDB's .df() materializes nullable ints with pd.NA; Spark's
+    toPandas() gives object/None. Same values must compare equal."""
+    spark_pdf = pd.DataFrame({"v": pd.array([1, None, 3], dtype="object")})
+    oracle_pdf = pd.DataFrame({"v": pd.array([1, pd.NA, 3], dtype="Int64")})
+    # Int64 extension dtype has kind 'i', object has kind 'O' -> the
+    # driver sees the VALUES after pandas hashing; the local gate flags
+    # kind drift only between hash-relevant kinds. Compare values via
+    # the canonical multiset directly:
+    from etl_verkada_spark.compare import frame_multiset
+
+    assert frame_multiset(spark_pdf) == frame_multiset(oracle_pdf)
+
+
+def test_timedelta_kind_not_folded_into_datetime():
+    s = pd.DataFrame({"v": pd.to_timedelta(["1 day", "2 days"])})
+    o = pd.DataFrame(
+        {"v": pd.to_datetime(["2026-01-01", "2026-01-02"])}
+    )
+    problems = compare_frames(s, o)
+    assert problems and "dtype-kind mismatch" in problems[0]
+
+
+def test_unsigned_signed_int_kinds_fold_together():
+    s = pd.DataFrame({"v": np.array([1, 2], dtype="uint32")})
+    o = pd.DataFrame({"v": np.array([1, 2], dtype="int64")})
+    assert compare_frames(s, o) == []
+
+
+def test_int_vs_float_kind_is_a_mismatch():
+    """The original round-2 failure mode: DuckDB HUGEINT -> float64
+    vs Spark int64 must FAIL the gate even when values look equal."""
+    s = pd.DataFrame({"v": np.array([1, 2], dtype="int64")})
+    o = pd.DataFrame({"v": np.array([1.0, 2.0], dtype="float64")})
+    problems = compare_frames(s, o)
+    assert problems and "dtype-kind mismatch" in problems[0]
+
+
+def test_value_multiset_is_order_insensitive():
+    s = pd.DataFrame({"a": [2, 1], "b": ["y", "x"]})
+    o = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    assert compare_frames(s, o) == []
+    o_bad = pd.DataFrame({"a": [1, 2], "b": ["x", "z"]})
+    assert compare_frames(s, o_bad)
+
+
+def test_timestamp_and_date_distinct():
+    assert canon_cell(pd.Timestamp("2026-01-01")).startswith("t:")
+    assert canon_cell(datetime.date(2026, 1, 1)).startswith("D:")

@@ -177,23 +177,30 @@ def test_lsh_multiprobe_recall_dominates_single_bucket(spark):
 
 
 def test_minhash_recall_on_true_neardups(spark):
-    """With the fixed hash seeds, the 64-perm/16-band sketch must find
-    EVERY true pair at Jaccard >= 0.7 in the testdata (the s-curve puts
-    candidate probability >= ~0.99 at 0.7 and the corpus's near-dups are
-    high-similarity; deterministic because all hashing is seeded)."""
+    """Population scan + recall: the oracle's 100%-LSH-recall assumption
+    holds only above MINHASH_THRESHOLD (boundary miss (1-t^4)^32 ~= 5e-6
+    at t=0.75).  Scan the FULL exact-Jaccard pair population (threshold-
+    free inverted-index join), assert it is bimodal — every overlapping
+    pair is either background (J < 0.3, banding never promotes it) or a
+    true near-dup comfortably above the threshold — then assert 100%
+    recall of every pair >= MINHASH_THRESHOLD.  If regenerated testdata
+    ever plants mid-similarity pairs, the bimodality assert flags the
+    oracle-risk before a driver row-count FAIL does."""
     from pyspark.sql import functions as F
 
     from etl_verkada_spark.catalog import table
     from etl_verkada_spark.llm.dedup import (
-        llm_dedup_minhash, ngram_jaccard_pairs,
+        MINHASH_THRESHOLD, llm_dedup_minhash, ngram_jaccard_pairs,
     )
 
     SF = "/root/testdata/sf0.001"
+    population = ngram_jaccard_pairs(table(spark, SF, "documents")).collect()
+    mid = [r for r in population if 0.3 <= r["jaccard"] < MINHASH_THRESHOLD]
+    assert not mid, f"mid-similarity pairs break the recall bound: {mid[:5]}"
     truth = {
         (r["doc_a"], r["doc_b"])
-        for r in ngram_jaccard_pairs(table(spark, SF, "documents"))
-        .filter(F.col("jaccard") >= 0.7)
-        .collect()
+        for r in population
+        if r["jaccard"] >= MINHASH_THRESHOLD
     }
     found = {
         (r["doc_a"], r["doc_b"])
@@ -201,6 +208,18 @@ def test_minhash_recall_on_true_neardups(spark):
     }
     assert truth, "corpus must contain planted near-dups"
     assert truth <= found  # 100% recall on the high-similarity band
+
+
+def test_lsh_oracle_plane_dim_matches_testdata():
+    """The LSH ANN oracle inlines dim-64 hyperplanes as SQL literals
+    (_lsh_oracle); if regenerated testdata ever changes the embedding
+    dim, the oracle must be regenerated too — this guard fails first."""
+    import pyarrow.dataset as ds
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = ds.dataset(f"/root/testdata/{sf}/embeddings.parquet")
+        dim = len(d.head(1).column("embedding")[0].as_py())
+        assert dim == 64, f"{sf}: embedding dim {dim} != oracle planes dim 64"
 
 
 def test_pii_scrub_masks_planted_pii(spark):
