@@ -363,7 +363,8 @@ def maintain_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = table(spark, sf_dir, "orders").select(*LAND_COLS)
     st = os.stat(os.path.join(sf_dir, "orders.parquet"))
     fp = hashlib.md5(
-        f"{st.st_mtime_ns}:{st.st_size}:{COMPACT_SMALL_FILES}".encode()
+        f"{st.st_mtime_ns}:{st.st_size}:"
+        f"{COMPACT_SMALL_FILES}:{COMPACT_TARGET_FILES}".encode()
     ).hexdigest()[:12]
     base = _land_dir(sf_dir, "compact")
     if os.path.isdir(base):

@@ -166,7 +166,12 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact interpolation at scale 4 (cents * 100): value_e4 =
     # round_half_up((prev*den + diff*num) * 100 / den) over positive
     # int64 — (2x + den) div (2 den) is floor==truncate on positives,
-    # so Spark `div` and DuckDB `//` agree.
+    # so Spark `div` and DuckDB `//` agree. POSITIVE is load-bearing:
+    # Spark div truncates toward zero, DuckDB // floors, so a negative
+    # total would silently diverge by 1 ulp-of-scale-4. total >= 0 iff
+    # events.value >= 0, which the fixture-domain guard
+    # (tests/test_properties.py::test_events_value_nonnegative) pins;
+    # a signed-value dataset needs pmod-style floor arithmetic here.
     ctx = ctx.withColumns(
         {
             "num": F.expr(f"(bucket_us - prev_b) div {BUCKET_US}"),

@@ -54,84 +54,75 @@ def spec(
 # entries of build_registry() (verified round 1: CORRECTNESS_r01.json ==
 # first 50 names exactly).  Window policy — the slots are ROTATED each
 # round, in priority order:
-#   1. queries that have never had a driver row (rounds 1-3 left 14
-#      oracle-paired + 5 rows-only-by-design never-windowed; ALL are in
-#      this round's window, so after this round every registered query
-#      has driver evidence from some round),
+#   1. queries that have never had a driver row (the 13 late round-4
+#      additions — ALL in this round's window, so after r5 every one of
+#      the 134 registered queries has driver evidence from some round),
 #   2. queries whose implementation or oracle changed this round
-#      (similarity numpy rewrite, minhash banding, IVF oracle, flagship/
-#      upsert plan work),
-#   3. queries implemented late in the round after the 50 slots filled.
-# Past slot 50: driver-green from an earlier round (CORRECTNESS_r01-r03)
-# EXCEPT operators added late in round 4 after the 50 slots filled
-# (every query tagged with a round-4 module: quality/graph/cdc/geo,
-# ts_cohort_retention/ts_rolling_dau/ts_ohlc siblings, agg_histogram,
-# join_range_banded, maintain_compact, llm_dedup_incremental,
-# llm_bigram_lm) — those carry local-parity evidence only
-# (tools/parity_check.py / pytest registry sweep) and are first in
-# line for the r5 rotation.
+#      (flagship_features to_json surface + oracle, minhash threshold,
+#      LSH ANN oracle, maintain_compact fingerprint),
+#   3. the round-5 perf-workstream targets (fresh rows on any plan work),
+#   4. oldest-evidence rows: queries last checked in round 1 (44 of
+#      them; the 31 semantically richest fill the remaining slots —
+#      left out are 13 single-op filters/setops/projections whose code
+#      is unchanged since r1: set_* x5, limit_offset, sort_orderby,
+#      filter_* x3, enrich_when, project_struct, subquery_in).
+# Past slot 50: driver-green from r3 or r4 with unchanged code.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # flagship (plan trimmed this round)
+    # flagship
     "flagship_flat",
-    # -- never driver-checked until now: 14 oracle-paired --
-    "agg_approx_percentile",
-    "agg_mode",
-    "join_bucketed",
-    "join_salted",
-    "llm_dedup_fuzzy",
-    "llm_dedup_semantic",
-    "llm_mix_weights",
-    "llm_sample_hash",
-    "llm_shard",
-    "mm_feature_extract_arrow",
-    "scan_json_land",
-    "scan_partition_pruned",
-    "subquery_lateral",
-    "win_funnel",
-    # -- changed this round: need fresh hash-green rows --
-    "llm_sim_search",
-    "llm_dedup_minhash",
-    "llm_sim_ann_ivf",
-    # -- never driver-checked: rows-only by design --
-    "llm_sim_ann_lsh",
-    "llm_dedup_simhash",
+    # -- 1. never driver-checked (late round-4 additions) --
+    "agg_histogram",
+    "cdc_snapshot_diff",
+    "dq_uniqueness",
+    "geo_density",
+    "graph_pagerank",
+    "join_range_banded",
+    "llm_bigram_lm",
+    "llm_dedup_incremental",
+    "maintain_compact",
+    "scd2_build",
+    "stream_ohlc",
+    "ts_cohort_retention",
+    "ts_rolling_dau",
+    # -- 2. changed this round: need fresh hash-green rows --
     "flagship_features",
-    "mm_decode_stub",
-    # streaming family (real structured-streaming runs, batch oracles)
-    "upsert_merge",
-    "stream_tumble",
-    "stream_slide",
-    "stream_session",
-    "stream_stateful",
-    "stream_stream_join",
-    "stream_static_join",
-    "stream_dedup",
-    # scalar-function / UDF / UDTF surface
-    "fx_string",
-    "fx_date",
-    "fx_math",
-    "fx_array",
-    "fx_json",
-    "fx_map",
-    "fx_regex",
-    "fx_cond",
-    "fx_hash",
-    "udf_pandas",
-    "udtf_bigrams",
-    # NEW this round (never driver-checked, oracle-paired)
-    "llm_pack_sequences",
-    "llm_sample_stratified",
-    "llm_quality_repetition",
-    "ts_interpolate",
-    "scan_orc_land",
-    # changed this round: join_range collapsed to a range-frame window,
-    # llm_bm25 moved to string-surgery token counting — both need a
-    # fresh driver row on the new plan
-    "join_range",
+    "llm_dedup_minhash",
+    "llm_sim_ann_lsh",
+    # -- 3. round-5 perf-workstream targets --
+    "agg_groupby",
+    "pivot",
+    "llm_text_stats",
     "llm_bm25",
-    # round-4 additions (the rest queue for the r5 rotation)
-    "ts_ohlc",
-    "dq_referential",
+    # -- 4. oldest evidence (last checked round 1) --
+    "agg_count",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_salted",
+    "dedup_exact_rows",
+    "join_anti",
+    "join_asof",
+    "join_broadcast_left",
+    "join_semi",
+    "join_sortmerge",
+    "scan_cursor",
+    "scan_page",
+    "subquery_exists",
+    "subquery_scalar",
+    "topk",
+    "unpivot",
+    "validate_failfast",
+    "validate_json",
+    "win_first_last",
+    "win_frame",
+    "win_lag",
+    "win_ntile",
+    "win_range_interval",
+    "win_rank",
+    "win_rownum",
 )
 
 

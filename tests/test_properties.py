@@ -126,3 +126,18 @@ def test_scaled_long_roundtrip_identity(spark, cents):
         "c", scaled_long(F.col("c") / F.lit(100.0)).alias("rt")
     ).collect()
     assert all(r["rt"] == r["c"] for r in out)
+
+
+def test_events_value_nonnegative():
+    """Fixture-domain guard for ts_interpolate's integer half-up
+    rounding: `(2*total + den) div (2*den)` is engine-identical only for
+    total >= 0 (Spark div truncates toward zero, DuckDB // floors), and
+    total >= 0 iff events.value >= 0. If regenerated testdata ever goes
+    signed, this fails before a silent 1-ulp oracle divergence does."""
+    import pyarrow.dataset as ds
+    import pyarrow.compute as pc
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = ds.dataset(f"/root/testdata/{sf}/events.parquet")
+        lo = pc.min(d.to_table(columns=["value"]).column("value")).as_py()
+        assert lo >= 0, f"{sf}: min(events.value) = {lo} < 0"
