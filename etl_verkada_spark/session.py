@@ -14,9 +14,13 @@ Scale notes (100 TB design point, local[32] test point):
 * AQE is on: runtime join-strategy switching, skew-join splitting and
   partition coalescing replace hand-tuned shuffle partition counts on a
   real cluster (SURVEY.md §4 O1–O3).
-* ``spark.sql.shuffle.partitions`` is set low (2 x cores) for the local
-  runs; on a 1000-executor cluster you'd set it to ~2-3x total cores and
-  let AQE coalesce — the operators themselves never depend on the value.
+* ``spark.sql.shuffle.partitions`` matches the local core count: one
+  task wave per shuffle stage. An ABA-ordered sf1 matrix (r5) measured
+  64 vs 32 as 0.37->0.28s on agg_groupby, 0.73->0.59s on
+  llm_text_stats, neutral on join_large/dedup_lastwins — the extra
+  wave is pure scheduling overhead at this data size. On a
+  1000-executor cluster set ~2-3x total cores and let AQE coalesce —
+  the operators themselves never depend on the value.
 * The session timezone is pinned to UTC so TIMESTAMP_LTZ values coincide
   with the naive timestamps DuckDB (the correctness oracle) produces.
 * ``nanosAsLong`` is required because the driver's ``events`` table is
@@ -46,8 +50,10 @@ RUNTIME_DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Arrow-batched UDTF eval (functions/udtfs.py)
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
-    # local[32] scale; a cluster deployment overrides this (see SCALE.md).
-    "spark.sql.shuffle.partitions": "64",
+    # local[32] scale: one wave per shuffle stage (module docstring has
+    # the measured 64-vs-32 matrix); a cluster deployment overrides this
+    # (see SCALE.md).
+    "spark.sql.shuffle.partitions": "32",
     # 64 MB broadcast budget (default 10 MB): a compact 2-3 column dim of
     # a few million rows is far cheaper to broadcast than to shuffle the
     # fact side against — measured at synthesized sf1, join_large flips
