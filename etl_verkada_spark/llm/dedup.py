@@ -624,6 +624,85 @@ WHERE n.doc_id % 10 >= 8
 """
 
 
+PASSAGE_WORDS = 16
+#: owner encoding: doc_id * OWNER_BASE + p_idx must be injective; docs
+#: here run a few hundred words -> tens of passages, bound 1e5 is safe.
+OWNER_BASE = 100_000
+
+
+def llm_dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (passage-level) dedup: the pretraining-corpus pass
+    that removes boilerplate repeated ACROSS documents (headers, nav
+    text, license blocks) that whole-document hashing can't see.
+
+    Chunk each document into fixed 16-word passages, hash each passage,
+    and pick one canonical owner per distinct passage — the smallest
+    (doc_id, p_idx), encoded as ``doc_id * 1e5 + p_idx`` so min() is an
+    ordinary long aggregate on both engines. Every other occurrence is
+    a duplicate. Output: per-doc passage count + duplicate count.
+
+    100 TB: passages never leave the scan un-hashed — only (doc_id,
+    p_idx, md5) shuffles, ~48 bytes/passage. Owner resolution is one
+    groupBy on the digest; the join back is digest-keyed and
+    co-partitioned with it. Same wire discipline as llm_dedup_exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_pass = F.ceil(F.size(ws) / F.lit(PASSAGE_WORDS)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.array_join(
+            F.slice(ws, i * PASSAGE_WORDS + 1, PASSAGE_WORDS), " "
+        ),
+    )
+    occ = d.select(
+        "doc_id", F.posexplode(passages).alias("p_idx", "passage")
+    ).select(
+        "doc_id",
+        "p_idx",
+        F.md5(F.col("passage")).alias("h"),
+        (F.col("doc_id") * OWNER_BASE + F.col("p_idx")).alias("occ_key"),
+    )
+    owners = occ.groupBy("h").agg(F.min("occ_key").alias("owner_key"))
+    flagged = occ.join(owners, "h").select(
+        "doc_id",
+        (F.col("occ_key") != F.col("owner_key")).cast("int").alias("is_dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum("is_dup").alias("n_dup_passages"),
+    )
+
+
+ORACLE_LLM_DEDUP_PASSAGE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+occ AS (
+  SELECT
+    doc_id,
+    i AS p_idx,
+    md5(array_to_string(
+      w[i * {PASSAGE_WORDS} + 1 : i * {PASSAGE_WORDS} + {PASSAGE_WORDS}],
+      ' ')) AS h,
+    doc_id * {OWNER_BASE} + i AS occ_key
+  FROM ws,
+       LATERAL (SELECT UNNEST(generate_series(
+         0, CAST(CEIL(LEN(w) / {PASSAGE_WORDS}.0) AS INT) - 1)) AS i)
+),
+owners AS (
+  SELECT h, MIN(occ_key) AS owner_key FROM occ GROUP BY h
+)
+SELECT
+  o.doc_id,
+  COUNT(*) AS n_passages,
+  CAST(SUM(CASE WHEN o.occ_key <> w2.owner_key THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_dup_passages
+FROM occ o JOIN owners w2 USING (h)
+GROUP BY o.doc_id
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": spec(
         llm_dedup_exact, ORACLE_LLM_DEDUP_EXACT, "llm",
@@ -653,5 +732,9 @@ QUERIES = {
     "llm_dedup_incremental": spec(
         llm_dedup_incremental, ORACLE_LLM_DEDUP_INCREMENTAL, "llm",
         doc="new-batch dedup against the corpus hash index (with lineage)",
+    ),
+    "llm_dedup_passage": spec(
+        llm_dedup_passage, ORACLE_LLM_DEDUP_PASSAGE, "llm",
+        doc="passage-level (16-word chunk) cross-document dedup",
     ),
 }

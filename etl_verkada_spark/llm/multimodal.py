@@ -298,6 +298,89 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_frames(with_binary_payload(docs))
 
 
+N_SAMPLE_FRAMES = 4
+FRAME_SLICE_BYTES = 16
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over the BINARY payload — the
+    container-level half of video decode (seek to N evenly spaced
+    offsets, hand each slice to the codec), expressed entirely in
+    JVM-side byte ops so it is oracle-checkable, unlike the stubbed
+    codec path (mm_decode_stub).
+
+    Per selected payload (mime filter pushed below Python, as in
+    mm_resize_stub): stride = max(octet_length/4, 1); frame f reads 16
+    bytes at offset f*stride. Output is (doc_id, frame_idx, offset,
+    n_bytes, frame_md5) — the digest stands in for decoded pixels.
+
+    Oracle note: DuckDB has no BLOB substring, so the oracle slices the
+    VARCHAR source and hashes its utf-8 bytes; byte==char only because
+    this corpus is ASCII (pinned by test_properties'
+    documents-are-ascii guard). The Spark side slices true binary.
+
+    100 TB: pure per-row projection (posexplode x4), no shuffle; the
+    mime filter prunes before any byte work; slices are bounded 16 B so
+    output stays narrow regardless of payload size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    p = with_binary_payload(docs).filter(
+        F.col("meta.mime") != "audio/wav"
+    )
+    # FLOOR explicitly: DuckDB's CAST(double AS BIGINT) rounds while
+    # Spark's truncates — floor is the one portable spelling.
+    stride = F.greatest(
+        F.floor(F.octet_length("payload") / F.lit(N_SAMPLE_FRAMES)),
+        F.lit(1).cast("long"),
+    )
+    frames = p.select(
+        "doc_id",
+        "payload",
+        stride.alias("stride"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.lit(N_SAMPLE_FRAMES - 1))
+        ).alias("frame_idx", "_f"),
+    )
+    offset = (F.col("frame_idx") * F.col("stride") + 1).cast("int")
+    sl = F.expr(
+        f"substring(payload, frame_idx * stride + 1, {FRAME_SLICE_BYTES})"
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        offset.alias("offset"),
+        F.octet_length(sl).alias("n_bytes"),
+        F.md5(sl).alias("frame_md5"),
+    )
+
+
+ORACLE_MM_FRAME_SAMPLE = f"""
+WITH p AS (
+  SELECT
+    doc_id,
+    text,
+    GREATEST(CAST(FLOOR(octet_length(encode(text)) / {N_SAMPLE_FRAMES})
+                  AS BIGINT), 1) AS stride
+  FROM documents
+  WHERE doc_id % 3 <> 2  -- mime domain: doc_id%3 -> jpeg,png,wav
+),
+f AS (
+  SELECT doc_id, stride, UNNEST(generate_series(0,
+    {N_SAMPLE_FRAMES - 1})) AS frame_idx
+  FROM p
+)
+SELECT
+  f.doc_id,
+  CAST(f.frame_idx AS INT) AS frame_idx,
+  CAST(f.frame_idx * f.stride + 1 AS INT) AS offset,
+  octet_length(encode(substring(p.text, CAST(f.frame_idx * f.stride + 1
+    AS BIGINT), {FRAME_SLICE_BYTES}))) AS n_bytes,
+  md5(substring(p.text, CAST(f.frame_idx * f.stride + 1 AS BIGINT),
+    {FRAME_SLICE_BYTES})) AS frame_md5
+FROM f JOIN p USING (doc_id)
+"""
+
+
 QUERIES = {
     "mm_binary_stats": spec(
         mm_binary_stats, ORACLE_MM_BINARY_STATS, "llm",
@@ -318,5 +401,10 @@ QUERIES = {
     "mm_feature_extract_arrow": spec(
         mm_feature_extract_arrow, ORACLE_MM_FEATURE_EXTRACT, "llm",
         doc="Arrow-native mapInArrow twin of the featurize kernel",
+    ),
+    "mm_frame_sample": spec(
+        mm_frame_sample, ORACLE_MM_FRAME_SAMPLE, "llm",
+        doc="binary frame sampling: evenly spaced byte slices, "
+            "oracle-checked (unlike the stubbed codec path)",
     ),
 }

@@ -636,6 +636,63 @@ LIMIT 10
 """
 
 
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression pass in front of large-scale ANN serving (4x smaller
+    vectors; IVF/LSH probe over int8, exact-rescore over the originals).
+
+    Per vector: scale = 127 / max|x|, q_i = floor(x_i * scale + 0.5)
+    (round-half-up via floor: Spark's round() and DuckDB's round() pick
+    different halves on negatives, floor(+0.5) is sign-safe and
+    bit-identical on both engines — same discipline as ts_interpolate).
+    All arithmetic is double-precision IEEE on both sides: the float32
+    -> double widening is exact, so the hash comparison is exact.
+
+    100 TB: one narrow mapPartitions-free projection — array ops stay
+    JVM-side, no shuffle at all; the output is smaller than the input.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    scale = F.lit(127.0) / F.col("amax")
+    q = F.transform(
+        F.col("xd"), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+    )
+    return (
+        e.select("vec_id", xd.alias("xd"), amax.alias("amax"))
+        .select(
+            "vec_id",
+            scale.alias("scale"),
+            q.alias("q"),
+            F.array_max(F.transform(q, F.abs)).alias("q_max_abs"),
+        )
+    )
+
+
+ORACLE_LLM_EMBED_QUANTIZE = """
+WITH base AS (
+  SELECT
+    vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd,
+    list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings
+),
+quant AS (
+  SELECT
+    vec_id,
+    127.0 / amax AS scale,
+    list_transform(xd, x -> CAST(FLOOR(x * (127.0 / amax) + 0.5) AS INT)) AS q
+  FROM base
+)
+SELECT
+  vec_id,
+  scale,
+  q,
+  list_max(list_transform(q, v -> ABS(v))) AS q_max_abs
+FROM quant
+"""
+
+
 QUERIES = {
     "llm_sim_search": spec(
         llm_sim_search, ORACLE_LLM_SIM_SEARCH, "llm",
@@ -661,5 +718,9 @@ QUERIES = {
     "llm_dedup_semantic": spec(
         llm_dedup_semantic, ORACLE_LLM_DEDUP_SEMANTIC, "llm",
         doc="semantic clustering: CC over embedding-cosine edges",
+    ),
+    "llm_embed_quantize": spec(
+        llm_embed_quantize, ORACLE_LLM_EMBED_QUANTIZE, "llm",
+        doc="symmetric int8 embedding quantization (sign-safe rounding)",
     ),
 }

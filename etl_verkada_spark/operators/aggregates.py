@@ -241,6 +241,72 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: MERGEABLE DataSketches HLL — per-group sketches
+    whose union answers the rollup without re-reading the data.
+
+    This is the property agg_approx's approx_count_distinct cannot show:
+    ``hll_sketch_agg`` produces a binary sketch per o_orderstatus, and
+    the 'ALL' row comes from ``hll_union_agg`` over those THREE sketches
+    — not from a second scan. At 100 TB that is the entire sketch value
+    proposition: 1000 executors emit kilobyte partials, any cube/rollup
+    cell is a merge, never a rescan. (The exact global distinct below is
+    a second scan, but it exists only to JUDGE the merged sketch, same
+    contract as agg_approx: each engine's estimate must land within 10%
+    of its own exact count; the exact counts also pin the data.)
+
+    lgConfigK=12 -> relative std error ~1.6%, so the 10% band is >6
+    sigma — a boundary hit means regression, not noise.
+    """
+    o = table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"),
+        F.count_distinct("o_custkey").alias("exact_custs"),
+    )
+    def banded(est, exact):
+        return (
+            F.abs(est.cast("double") - exact.cast("double"))
+            <= F.lit(0.10) * exact.cast("double")
+        ).alias("sketch_ok")
+
+    per = g.select(
+        F.col("o_orderstatus").alias("grp"),
+        "exact_custs",
+        banded(F.hll_sketch_estimate("sk"), F.col("exact_custs")),
+    )
+    merged = (
+        g.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(
+            F.broadcast(
+                o.agg(F.count_distinct("o_custkey").alias("exact_custs"))
+            )
+        )
+        .select(
+            F.lit("ALL").alias("grp"),
+            "exact_custs",
+            banded(F.hll_sketch_estimate("sk"), F.col("exact_custs")),
+        )
+    )
+    return per.unionByName(merged)
+
+
+ORACLE_AGG_SKETCH_MERGE = """
+SELECT o_orderstatus AS grp,
+  COUNT(DISTINCT o_custkey) AS exact_custs,
+  abs(CAST(approx_count_distinct(o_custkey) AS DOUBLE)
+      - CAST(COUNT(DISTINCT o_custkey) AS DOUBLE))
+    <= 0.10 * CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS sketch_ok
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'ALL' AS grp,
+  COUNT(DISTINCT o_custkey) AS exact_custs,
+  abs(CAST(approx_count_distinct(o_custkey) AS DOUBLE)
+      - CAST(COUNT(DISTINCT o_custkey) AS DOUBLE))
+    <= 0.10 * CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS sketch_ok
+FROM orders
+"""
+
+
 ORACLE_AGG_APPROX = """
 SELECT
   l_returnflag,
@@ -722,5 +788,10 @@ QUERIES = {
     "agg_histogram": spec(
         agg_histogram, ORACLE_AGG_HISTOGRAM, "beyond",
         doc="fixed-width value histogram, integer-exact bin edges",
+    ),
+    "agg_sketch_merge": spec(
+        agg_sketch_merge, ORACLE_AGG_SKETCH_MERGE, "beyond",
+        doc="mergeable HLL sketches: rollup cell = sketch union, "
+            "error-band oracle",
     ),
 }

@@ -165,6 +165,60 @@ FROM embeddings
 """
 
 
+#: (table, column) pairs the completeness/cardinality profile covers.
+PROFILE_COLUMNS = (
+    ("events", ("event_type", "user_id", "value")),
+    ("documents", ("lang", "source")),
+)
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile audit: rows / nulls / exact distinct per declared
+    column — the completeness + cardinality report a warehouse snapshots
+    per drop (min/max are deliberately absent: casting heterogeneous
+    types to string for one report column is engine-formatting-dependent
+    and would break the exact comparison this audit itself exists for).
+
+    One aggregate pass per TABLE (not per column): Spark plans the
+    multi-column count-distinct via a single expand + two-phase
+    aggregate, so each table is scanned once however many columns are
+    profiled. Output is O(columns) rows.
+    """
+    outs = []
+    for tbl, cols in PROFILE_COLUMNS:
+        t = table(spark, sf_dir, tbl)
+        agg = t.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.count(c).alias(f"nn_{c}") for c in cols],
+            *[F.count_distinct(c).alias(f"nd_{c}") for c in cols],
+        )
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(f"{tbl}.{c}").alias("column_name"),
+                    F.col("n_rows").alias("n_rows"),
+                    (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+                    F.col(f"nd_{c}").alias("n_distinct"),
+                )
+                for c in cols
+            ]
+        )
+        outs.append(agg.select(F.explode(rows).alias("r")).select("r.*"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+ORACLE_DQ_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{tbl}.{c}' AS column_name, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT({c}) AS n_null,
+  COUNT(DISTINCT {c}) AS n_distinct FROM {tbl}"""
+    for tbl, cols in PROFILE_COLUMNS
+    for c in cols
+)
+
+
 QUERIES = {
     "dq_referential": spec(
         dq_referential, ORACLE_DQ_REFERENTIAL, "beyond",
@@ -173,5 +227,10 @@ QUERIES = {
     "dq_uniqueness": spec(
         dq_uniqueness, ORACLE_DQ_UNIQUENESS, "beyond",
         doc="primary-key uniqueness audit (rows vs distinct vs nulls)",
+    ),
+    "dq_profile": spec(
+        dq_profile, ORACLE_DQ_PROFILE, "beyond",
+        doc="column completeness + exact-cardinality profile "
+            "(single-pass-per-table expand aggregate)",
     ),
 }

@@ -57,16 +57,22 @@ def spec(
 #   1. queries that have never had a driver row (the 13 late round-4
 #      additions — ALL in this round's window, so after r5 every one of
 #      the 134 registered queries has driver evidence from some round),
-#   2. queries whose implementation or oracle changed this round
+#   2. the six round-5 additions (oracle-paired from birth, never
+#      checked: sketch merge, dq profile, passage dedup, int8 quantize,
+#      z-order audit, frame sampling),
+#   3. queries whose implementation or oracle changed this round
 #      (flagship_features to_json surface + oracle, minhash threshold,
 #      LSH ANN oracle, maintain_compact fingerprint),
-#   3. the round-5 perf-workstream targets (fresh rows on any plan work),
-#   4. oldest-evidence rows: queries last checked in round 1 (44 of
-#      them; the 31 semantically richest fill the remaining slots —
-#      left out are 13 single-op filters/setops/projections whose code
-#      is unchanged since r1: set_* x5, limit_offset, sort_orderby,
-#      filter_* x3, enrich_when, project_struct, subquery_in).
-# Past slot 50: driver-green from r3 or r4 with unchanged code.
+#   4. the round-5 perf-workstream targets — all four were REWRITTEN
+#      this round (split-view token counting), so their green rows
+#      must be re-earned,
+#   5. oldest-evidence rows: queries last checked in round 1 (the 22
+#      semantically richest fill the remaining slots — left out, all
+#      r1-green with code unchanged since r1: set_* x5, limit_offset,
+#      sort_orderby, filter_* x3, enrich_when, project_struct,
+#      subquery_in, scan_cursor, scan_page, unpivot, validate_failfast,
+#      validate_json, win_first_last).
+# Past slot 50: driver-green from an earlier round with unchanged code.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -84,16 +90,24 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_ohlc",
     "ts_cohort_retention",
     "ts_rolling_dau",
-    # -- 2. changed this round: need fresh hash-green rows --
+    # -- 2. new in round 5 (never checked, oracle-paired from birth) --
+    "agg_sketch_merge",
+    "dq_profile",
+    "llm_dedup_passage",
+    "llm_embed_quantize",
+    "maintain_zorder",
+    "mm_frame_sample",
+    # -- 3. changed this round: need fresh hash-green rows --
     "flagship_features",
     "llm_dedup_minhash",
     "llm_sim_ann_lsh",
-    # -- 3. round-5 perf-workstream targets --
+    # -- 4. round-5 perf-workstream targets (both rewritten this round) --
     "agg_groupby",
     "pivot",
     "llm_text_stats",
     "llm_bm25",
-    # -- 4. oldest evidence (last checked round 1) --
+    # -- 5. oldest evidence (last checked round 1; the 6 displaced by the
+    #       round-5 additions move behind slot 50 with their r1 rows) --
     "agg_count",
     "agg_count_distinct",
     "agg_cube",
@@ -108,15 +122,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_broadcast_left",
     "join_semi",
     "join_sortmerge",
-    "scan_cursor",
-    "scan_page",
     "subquery_exists",
     "subquery_scalar",
     "topk",
-    "unpivot",
-    "validate_failfast",
-    "validate_json",
-    "win_first_last",
     "win_frame",
     "win_lag",
     "win_ntile",
@@ -131,7 +139,7 @@ def build_registry() -> dict[str, QuerySpec]:
     failure in one family (e.g. optional deps) surfaces per-query, not at
     module import of the driver entry point."""
     from .operators import aggregates, cdc, dedup, filters, geo, graph
-    from .operators import joins
+    from .operators import joins, layout
     from .operators import projections, quality, reshape, scans, setops
     from .operators import sorts, subqueries, timeseries, windows
     from .functions import scalars, udtfs
@@ -157,6 +165,7 @@ def build_registry() -> dict[str, QuerySpec]:
         sorts,
         setops,
         reshape,
+        layout,
         subqueries,
         quality,
         graph,

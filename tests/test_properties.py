@@ -141,3 +141,22 @@ def test_events_value_nonnegative():
         d = ds.dataset(f"/root/testdata/{sf}/events.parquet")
         lo = pc.min(d.to_table(columns=["value"]).column("value")).as_py()
         assert lo >= 0, f"{sf}: min(events.value) = {lo} < 0"
+
+
+def test_documents_text_ascii():
+    """Fixture-domain guard for mm_frame_sample's oracle: DuckDB has no
+    BLOB substring, so the oracle slices the VARCHAR and relies on
+    byte == char. That identity holds only for ASCII text; regenerated
+    testdata with multi-byte characters would silently shift every
+    frame offset in the oracle but not in the Spark binary path."""
+    import pyarrow.dataset as ds
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        d = ds.dataset(f"/root/testdata/{sf}/documents.parquet")
+        for batch in d.to_batches(columns=["text"]):
+            for t in batch.column("text"):
+                s = t.as_py()
+                assert len(s) == len(s.encode("utf-8")), (
+                    f"{sf}: non-ASCII text would break the byte==char "
+                    "assumption in ORACLE_MM_FRAME_SAMPLE"
+                )
