@@ -791,3 +791,60 @@ def test_cdc_diff_classifies_exactly(spark):
     assert by_op.get("insert", set()) == want_ins
     assert by_op.get("delete", set()) == want_del
     assert by_op.get("update", set()) == want_upd
+
+
+# --- round-5 operators: plan-shape claims from SCALE.md §14 ------------------
+
+def test_embed_quantize_no_exchange(spark):
+    """Quantization is a pure projection: any Exchange would mean an
+    accidental shuffle of the (4x larger) float input."""
+    from etl_verkada_spark.llm.similarity import llm_embed_quantize
+
+    plan = plan_of(llm_embed_quantize(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+
+
+def test_frame_sample_no_exchange_and_pruned(spark):
+    """Byte slicing is per-row (posexplode only); the mime filter must
+    not force a shuffle, and the scan must prune to the used columns."""
+    from etl_verkada_spark.llm.multimodal import mm_frame_sample
+
+    df = mm_frame_sample(spark, SF_SMALL)
+    assert "Exchange" not in plan_of(df)
+    scan_schema = [
+        l for l in formatted_plan(df).splitlines() if "ReadSchema" in l
+    ][0]
+    assert "lang" not in scan_schema and "source" not in scan_schema
+
+
+def test_passage_dedup_shuffles_digests_not_text(spark):
+    """The owner-resolution exchange must carry (digest, occ_key), never
+    the passage text: assert no Exchange output contains a passage/text
+    attribute."""
+    from etl_verkada_spark.llm.dedup import llm_dedup_passage
+
+    plan = formatted_plan(llm_dedup_passage(spark, SF_SMALL))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Arguments: hashpartitioning" in line:
+            assert "passage" not in line and "text#" not in line, line
+
+
+def test_zorder_single_sort(spark):
+    """The audit is ONE global sort (the ntile window) + one final agg —
+    a second Sort would mean the window order wasn't reused."""
+    from etl_verkada_spark.operators.layout import maintain_zorder
+
+    plan = plan_of(maintain_zorder(spark, SF_SMALL))
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_dq_profile_one_scan_per_table(spark):
+    """The multi-column count-distinct must plan as ONE expand-aggregate
+    per table (2 profiled tables -> 2 parquet scans), not one scan per
+    column."""
+    from etl_verkada_spark.operators.quality import dq_profile
+
+    plan = plan_of(dq_profile(spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Expand" in plan
