@@ -693,6 +693,207 @@ FROM quant
 """
 
 
+#: random-projection geometry: 64-dim float input -> RP_DIMS signed
+#: integer sums. Signs are +-1 from a fixed seed, inlined as literals
+#: in BOTH engines' plans (the LSH-oracle discipline above).
+RP_DIMS = 8
+RP_SEED = 7
+
+
+def _rp_signs() -> list[list[int]]:
+    import random
+
+    rng = random.Random(RP_SEED)
+    return [
+        [1 if rng.random() < 0.5 else -1 for _ in range(64)]
+        for _ in range(RP_DIMS)
+    ]
+
+
+def _global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale int8 quantization: ONE global scale (127 /
+    max|x| over the whole corpus) so quantized values are comparable
+    ACROSS vectors — the precondition for distances on the int domain
+    (llm_embed_quantize's per-vector scale maximizes per-vector
+    precision instead; the two are deliberate siblings). Float32 ->
+    double widening, one max-aggregate broadcast back via crossJoin,
+    floor(x*scale + 0.5) sign-safe rounding — every step IEEE-identical
+    in both engines, so the BIGINT q vectors match exactly.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, F.abs))
+    gmax = e.select(amax.alias("amax")).agg(
+        F.max("amax").alias("gmax")
+    )
+    scale = F.lit(127.0) / F.col("gmax")
+    return (
+        e.crossJoin(F.broadcast(gmax))
+        .select(
+            "vec_id",
+            F.transform(
+                xd, lambda x: F.floor(x * scale + F.lit(0.5)).cast("bigint")
+            ).alias("q"),
+        )
+    )
+
+
+def llm_embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction 64 -> 8 over
+    globally-quantized embeddings — the cheap sketch in front of
+    coarse clustering / dedup blocking (Johnson-Lindenstrauss with
+    +-1 (Achlioptas) projections).
+
+    Each output dim is one zip_with product + aggregate fold over the
+    int vector against a LITERAL +-1 array — whole-stage codegen, no
+    shuffle beyond the scalar gmax broadcast, no UDF, and integer-exact
+    in both engines (sums bounded by 64*127). The projection matrix is
+    seeded Python inlined into both plans, like the LSH oracle's
+    hyperplanes.
+
+    At 100 TB: map-only over the embedding scan; output is 8 BIGINTs a
+    row — the shape later stages (LSH banding on signs, coarse k-means)
+    consume without touching the original vectors again.
+    """
+    signs = _rp_signs()
+    q = _global_q(spark, sf_dir)
+    cols = [F.col("vec_id")]
+    for j in range(RP_DIMS):
+        sarr = F.array(*[F.lit(s) for s in signs[j]])
+        cols.append(
+            F.aggregate(
+                F.zip_with(F.col("q"), sarr, lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias(f"rp_{j}")
+        )
+    return q.select(*cols)
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    values = ",\n    ".join(
+        f"({i + 1}, {j}, {signs[j][i]})"
+        for j in range(RP_DIMS)
+        for i in range(64)
+    )
+    outs = ",\n  ".join(
+        f"CAST(SUM(ex.qi * m.s) FILTER (WHERE m.j = {j}) AS BIGINT)"
+        f" AS rp_{j}"
+        for j in range(RP_DIMS)
+    )
+    return f"""
+WITH g AS (
+  SELECT MAX(list_max(list_transform(
+    embedding, x -> ABS(CAST(x AS DOUBLE))))) AS gmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / g.gmax) + 0.5)
+                AS BIGINT)) AS q
+  FROM embeddings, g
+),
+ex AS (
+  SELECT vec_id, UNNEST(q) AS qi,
+         UNNEST(generate_series(1, len(q))) AS i
+  FROM q
+),
+m(i, j, s) AS (
+  VALUES
+    {values}
+)
+SELECT ex.vec_id,
+  {outs}
+FROM ex JOIN m USING (i)
+GROUP BY ex.vec_id
+"""
+
+
+ORACLE_LLM_EMBED_RP = _rp_oracle()
+
+#: k-means assignment: K centroids seeded from the K lowest vec_ids
+KMEANS_K = 4
+
+
+def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (one Lloyd's half-step) over
+    globally-quantized embeddings — the IVF coarse quantizer's training
+    inner loop, isolated and exactness-checked. Seeding is
+    deterministic (the K lowest vec_ids), so both engines assign
+    identically.
+
+    Distances are squared L2 on the global-int8 domain: zip_with
+    difference, fold of squares — BIGINT-exact (bounded 64 * 254^2),
+    no sqrt. Argmin is min(struct(dist2, centroid_id)): lexicographic
+    struct ordering gives the deterministic tie-break a float argmin
+    cannot. The K centroid vectors ride a broadcast crossJoin; one
+    groupBy(vec_id) collapses the K candidates.
+
+    At 100 TB: K centroids always broadcast (they are the small model
+    state); the scan is the only data pass; the full Lloyd's iteration
+    is this plan + a centroid-mean aggregate, repeated — the iterative
+    discipline of graph_pagerank (localCheckpoint per step) applies.
+    """
+    q = _global_q(spark, sf_dir)
+    cents = (
+        q.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.col("vec_id").alias("centroid_id"), F.col("q").alias("cq")
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", dist2.alias("dist2_q")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist2_q", "centroid_id")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.centroid_id").alias("centroid_id"),
+        F.col("b.dist2_q").alias("dist2_q"),
+    )
+
+
+ORACLE_LLM_KMEANS_ASSIGN = f"""
+WITH g AS (
+  SELECT MAX(list_max(list_transform(
+    embedding, x -> ABS(CAST(x AS DOUBLE))))) AS gmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / g.gmax) + 0.5)
+                AS BIGINT)) AS q
+  FROM embeddings, g
+),
+cents AS (
+  SELECT vec_id AS centroid_id, q AS cq
+  FROM q ORDER BY vec_id LIMIT {KMEANS_K}
+),
+scored AS (
+  SELECT q.vec_id, c.centroid_id,
+         CAST(list_sum(list_transform(list_zip(q.q, c.cq),
+           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist2_q
+  FROM q CROSS JOIN cents c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY dist2_q, centroid_id) AS rn
+  FROM scored
+)
+SELECT vec_id, centroid_id, dist2_q FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "llm_sim_search": spec(
         llm_sim_search, ORACLE_LLM_SIM_SEARCH, "llm",
@@ -722,5 +923,13 @@ QUERIES = {
     "llm_embed_quantize": spec(
         llm_embed_quantize, ORACLE_LLM_EMBED_QUANTIZE, "llm",
         doc="symmetric int8 embedding quantization (sign-safe rounding)",
+    ),
+    "llm_embed_rp": spec(
+        llm_embed_rp, ORACLE_LLM_EMBED_RP, "llm",
+        doc="+-1 random projection 64->8 on global-int8, integer-exact",
+    ),
+    "llm_kmeans_assign": spec(
+        llm_kmeans_assign, ORACLE_LLM_KMEANS_ASSIGN, "llm",
+        doc="nearest-centroid assignment, exact int argmin w/ tie-break",
     ),
 }

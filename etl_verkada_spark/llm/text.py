@@ -757,6 +757,163 @@ LIMIT 100
 """
 
 
+#: RAG chunk geometry: 32-token windows, stride 24 (8-token overlap).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def llm_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token-window chunking — the passage splitter
+    in front of a RAG embedding/index stage (and the unit the
+    passage-dedup operator consumes).
+
+    Pure array surgery, zero Python: tokenize once, generate the
+    stride-spaced start offsets with sequence(), posexplode to one row
+    per chunk, slice + array_join to materialize the chunk text. Short
+    documents yield exactly one (possibly sub-window) chunk — the
+    greatest(1, ...) floor guarantees nothing is dropped. Stable chunk
+    identity is (doc_id, chunk_idx), and start_tok/n_tokens make the
+    mapping back into the source document exact — the provenance a
+    retrieval index must keep.
+
+    At 100 TB: narrow map-only plan, no shuffle, no UDF; output rows ~
+    corpus_tokens / stride. The chunk text column dominates the bytes,
+    which is exactly the payload an embedding stage needs next.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(
+            F.lit(1), F.size(toks) - F.lit(CHUNK_TOKENS - CHUNK_STRIDE)
+        ),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunked = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    chunk_toks = F.slice(F.col("toks"), F.col("start_tok"), CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size(chunk_toks).alias("n_tokens"),
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
+    )
+
+
+ORACLE_LLM_CHUNK_RAG = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+chunked AS (
+  SELECT
+    doc_id, l,
+    g.s AS start_tok,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY g.s) - 1
+         AS INTEGER) AS chunk_idx
+  FROM toks,
+       LATERAL (
+         SELECT UNNEST(generate_series(
+           1,
+           GREATEST(1, len(l) - {CHUNK_TOKENS - CHUNK_STRIDE}),
+           {CHUNK_STRIDE})) AS s
+       ) g
+)
+SELECT
+  doc_id, chunk_idx, start_tok,
+  CAST(len(l[start_tok:start_tok + {CHUNK_TOKENS - 1}]) AS INTEGER)
+    AS n_tokens,
+  array_to_string(l[start_tok:start_tok + {CHUNK_TOKENS - 1}], ' ')
+    AS chunk_text
+FROM chunked
+"""
+
+#: fixed-point scale for the bigram count-ratio score
+BIGRAM_SCORE_SCALE = 1_000_000
+
+
+def llm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fluency score under the corpus bigram model — the
+    perplexity-style quality gate (docs whose word transitions are
+    improbable under the corpus LM are boilerplate/garbage candidates).
+
+    Train and score in one job: bigram counts n(w1,w2) and prefix
+    totals n(w1) over the whole corpus, then every document bigram
+    looks up its conditional count ratio. Exactness: instead of
+    sum(log p) (float transcendental, engine-dependent), the score is
+    the sum of integer fixed-point ratios n_pair * 1e6 // n_w1 — an
+    exact BIGINT both engines agree on; the final per-doc mean is one
+    IEEE division. Monotone-equivalent for ranking docs by average
+    transition probability.
+
+    At 100 TB: the model is vocabulary-squared, not corpus-sized, so
+    the lookup join is a broadcast of the model against the exploded
+    bigram stream (hinted); the two aggregates (model build, per-doc
+    rollup) are the only shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+            )
+        ).alias("z"),
+    ).select(
+        "doc_id", F.col("z")["0"].alias("w1"), F.col("z")["1"].alias("w2")
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = bi.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    model = bi.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.expr(f"n_pair * {BIGRAM_SCORE_SCALE} div n_w1").alias("r_s6"),
+    )
+    scored = pairs.join(F.broadcast(model), ["w1", "w2"])
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("r_s6").alias("score_s6_sum"),
+        (
+            F.sum("r_s6").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_score_s6"),
+    )
+
+
+ORACLE_LLM_BIGRAM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+pairs AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2
+  FROM toks, UNNEST(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(z)
+),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+),
+uni AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM bi GROUP BY w1
+),
+model AS (
+  SELECT b.w1, b.w2,
+         b.n_pair * {BIGRAM_SCORE_SCALE} // u.n_w1 AS r_s6
+  FROM bi b JOIN uni u USING (w1)
+)
+SELECT
+  p.doc_id,
+  COUNT(*) AS n_bigrams,
+  CAST(SUM(m.r_s6) AS BIGINT) AS score_s6_sum,
+  CAST(SUM(m.r_s6) AS DOUBLE) / COUNT(*) AS avg_score_s6
+FROM pairs p JOIN model m USING (w1, w2)
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "llm_text_stats": spec(
         llm_text_stats, ORACLE_LLM_TEXT_STATS, "llm",
@@ -765,6 +922,14 @@ QUERIES = {
     "llm_bigram_lm": spec(
         llm_bigram_lm, ORACLE_LLM_BIGRAM_LM, "llm",
         doc="bigram LM table: P(w2|w1) top-100, exact count ratios",
+    ),
+    "llm_chunk_rag": spec(
+        llm_chunk_rag, ORACLE_LLM_CHUNK_RAG, "llm",
+        doc="overlapping 32-token RAG chunks w/ exact provenance",
+    ),
+    "llm_bigram_score": spec(
+        llm_bigram_score, ORACLE_LLM_BIGRAM_SCORE, "llm",
+        doc="per-doc bigram-LM fluency score, fixed-point exact",
     ),
     "llm_lang_id": spec(
         llm_lang_id, ORACLE_LLM_LANG_ID, "llm",

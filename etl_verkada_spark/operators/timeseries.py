@@ -441,6 +441,166 @@ GROUP BY e.window_end_day
 """
 
 
+#: EWMA horizon: 8 taps with dyadic decay (alpha = 1/2). Weight of the
+#: j-rows-back value is 2^(7-j); truncating at 8 taps loses < 1/256 of
+#: the mass, and keeps every weight an exact small integer.
+EWMA_TAPS = 8
+
+
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of purchase values per
+    user — the smoothing primitive behind trend baselines and spend
+    scores.
+
+    The textbook EWMA is a recurrence (not expressible as a frame
+    aggregate), but with dyadic decay and a fixed tap count it unrolls
+    into 8 LAG terms with integer weights 128..1 — pure window codegen,
+    ONE shuffle (hash by user), no recursion, no UDF. All arithmetic is
+    BIGINT cents (scaled_long), so the weighted numerator and the
+    weight denominator are exact on both engines; the final ratio is a
+    single IEEE division of two exact integers — bit-identical, same
+    discipline as llm_bigram_lm's p_cond. Partial leading windows keep
+    only the weights whose taps exist (den adapts), matching pandas'
+    ewm(adjust=True) semantics.
+
+    At 100 TB this is one hash exchange on user_id + one sort — the
+    same minimal plan as win_lag; taps never cross partitions.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = scaled_long("value")
+    num = sum(
+        (
+            F.coalesce(F.lag(cents, j).over(w), F.lit(0))
+            * F.lit(1 << (EWMA_TAPS - 1 - j))
+        )
+        for j in range(EWMA_TAPS)
+    )
+    den = sum(
+        F.when(
+            F.lag(cents, j).over(w).isNotNull(),
+            F.lit(1 << (EWMA_TAPS - 1 - j)),
+        ).otherwise(F.lit(0))
+        for j in range(EWMA_TAPS)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        num.alias("ewma_num_c"),
+        den.alias("ewma_den"),
+        (
+            num.cast("double") / (den * F.lit(100)).cast("double")
+        ).alias("ewma"),
+    )
+
+
+def _ewma_oracle() -> str:
+    taps = EWMA_TAPS
+    num = " + ".join(
+        f"COALESCE(LAG(c, {j}) OVER win, 0) * {1 << (taps - 1 - j)}"
+        for j in range(taps)
+    )
+    den = " + ".join(
+        f"CASE WHEN LAG(c, {j}) OVER win IS NOT NULL"
+        f" THEN {1 << (taps - 1 - j)} ELSE 0 END"
+        for j in range(taps)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT
+  event_id, user_id, ts, value,
+  {num} AS ewma_num_c,
+  {den} AS ewma_den,
+  CAST({num} AS DOUBLE) / CAST(({den}) * 100 AS DOUBLE) AS ewma
+FROM e
+WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+ORACLE_TS_EWMA = _ewma_oracle()
+
+#: rolling-stats frame length and minimum support for a verdict
+ZSCORE_FRAME = 16
+ZSCORE_MIN_N = 8
+
+
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly gate: flag events whose value deviates
+    from the user's trailing 16-event baseline by more than 1.5
+    standard deviations — the self-calibrating outlier filter (data
+    quality, fraud triage) that needs no global model.
+
+    Exactness: |x - mean| > z*sigma is algebraically cleared of both
+    divisions and the square root before evaluation —
+        4*(n*x - s)^2 > 9*(n*q - s^2)   (z = 3/2)
+    with n, s (sum of cents), q (sum of squared cents) from one window
+    frame pass. Every term is BIGINT (bounded by 16 * 49002^2 * 16 <<
+    2^63), so the predicate is exact integer comparison on both
+    engines — no float variance, no sqrt, no rounding mode. The 1.5
+    threshold matters: values here are bounded/uniform-ish, where a
+    2-sigma gate would be vacuously empty (uniform's max deviation is
+    sqrt(3) sigma ~ 1.73).
+
+    One hash exchange on user_id + one sort; the frame aggregates are
+    computed in a single window pass. At 100 TB identical plan shape to
+    win_frame — the filter afterwards prunes output, not input.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ZSCORE_FRAME - 1), 0)
+    )
+    cents = scaled_long("value")
+    base = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        cents.alias("c"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(cents).over(w).alias("s"),
+        F.sum(cents * cents).over(w).alias("q"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return base.filter(
+        (F.col("n") >= ZSCORE_MIN_N) & (4 * dev * dev > 9 * var_n2)
+    ).select("event_id", "user_id", "ts", "value", "n", "s", "q")
+
+
+ORACLE_TS_ANOMALY_ZSCORE = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+w AS (
+  SELECT *,
+         COUNT(*) OVER win AS n,
+         CAST(SUM(c)   OVER win AS BIGINT) AS s,
+         CAST(SUM(c*c) OVER win AS BIGINT) AS q
+  FROM e
+  WINDOW win AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN {ZSCORE_FRAME - 1} PRECEDING AND CURRENT ROW
+  )
+)
+SELECT event_id, user_id, ts, value, n, s, q
+FROM w
+WHERE n >= {ZSCORE_MIN_N}
+  AND 4 * (n*c - s) * (n*c - s) > 9 * (n*q - s*s)
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
@@ -461,5 +621,13 @@ QUERIES = {
     "ts_rolling_dau": spec(
         ts_rolling_dau, ORACLE_TS_ROLLING_DAU, "beyond",
         doc="exact rolling 7-day distinct users (bounded day-explode)",
+    ),
+    "ts_ewma": spec(
+        ts_ewma, ORACLE_TS_EWMA, "beyond",
+        doc="dyadic-decay EWMA unrolled to 8 integer-weighted lags",
+    ),
+    "ts_anomaly_zscore": spec(
+        ts_anomaly_zscore, ORACLE_TS_ANOMALY_ZSCORE, "beyond",
+        doc="rolling z-score outlier gate, sqrt-free integer predicate",
     ),
 }

@@ -57,21 +57,25 @@ def spec(
 #   1. queries that have never had a driver row (the 13 late round-4
 #      additions — ALL in this round's window, so after r5 every one of
 #      the 134 registered queries has driver evidence from some round),
-#   2. the six round-5 additions (oracle-paired from birth, never
+#   2. the thirteen round-5 additions (oracle-paired from birth, never
 #      checked: sketch merge, dq profile, passage dedup, int8 quantize,
-#      z-order audit, frame sampling),
+#      z-order audit, frame sampling from session 1; triangle count,
+#      EWMA, z-score anomaly gate, RAG chunking, bigram doc scoring,
+#      random projection, k-means assignment from session 2),
 #   3. queries whose implementation or oracle changed this round
 #      (flagship_features to_json surface + oracle, minhash threshold,
 #      LSH ANN oracle, maintain_compact fingerprint),
 #   4. the round-5 perf-workstream targets — all four were REWRITTEN
 #      this round (split-view token counting), so their green rows
 #      must be re-earned,
-#   5. oldest-evidence rows: queries last checked in round 1 (the 22
+#   5. oldest-evidence rows: queries last checked in round 1 (the 16
 #      semantically richest fill the remaining slots — left out, all
 #      r1-green with code unchanged since r1: set_* x5, limit_offset,
 #      sort_orderby, filter_* x3, enrich_when, project_struct,
 #      subquery_in, scan_cursor, scan_page, unpivot, validate_failfast,
-#      validate_json, win_first_last).
+#      validate_json, win_first_last, and — displaced by the session-2
+#      additions — agg_count, agg_count_distinct, agg_distinct,
+#      join_anti, join_semi, subquery_scalar, win_lag).
 # Past slot 50: driver-green from an earlier round with unchanged code.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
@@ -97,6 +101,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_embed_quantize",
     "maintain_zorder",
     "mm_frame_sample",
+    "graph_triangle_count",
+    "ts_ewma",
+    "ts_anomaly_zscore",
+    "llm_chunk_rag",
+    "llm_bigram_score",
+    "llm_embed_rp",
+    "llm_kmeans_assign",
     # -- 3. changed this round: need fresh hash-green rows --
     "flagship_features",
     "llm_dedup_minhash",
@@ -108,25 +119,18 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_bm25",
     # -- 5. oldest evidence (last checked round 1; the 6 displaced by the
     #       round-5 additions move behind slot 50 with their r1 rows) --
-    "agg_count",
-    "agg_count_distinct",
     "agg_cube",
-    "agg_distinct",
     "agg_grouping_sets",
     "agg_percentile",
     "agg_rollup",
     "agg_salted",
     "dedup_exact_rows",
-    "join_anti",
     "join_asof",
     "join_broadcast_left",
-    "join_semi",
     "join_sortmerge",
     "subquery_exists",
-    "subquery_scalar",
     "topk",
     "win_frame",
-    "win_lag",
     "win_ntile",
     "win_range_interval",
     "win_rank",

@@ -848,3 +848,77 @@ def test_dq_profile_one_scan_per_table(spark):
     plan = plan_of(dq_profile(spark, SF_SMALL))
     assert plan.count("Scan parquet") == 2, plan
     assert "Expand" in plan
+
+
+def test_chunk_rag_map_only_and_pruned(spark):
+    """Chunking is posexplode + slice — a narrow map with NO shuffle;
+    the scan must prune to (doc_id, text)."""
+    from etl_verkada_spark.llm.text import llm_chunk_rag
+
+    df = llm_chunk_rag(spark, SF_SMALL)
+    assert "Exchange" not in plan_of(df)
+    scan_schema = [
+        l for l in formatted_plan(df).splitlines() if "ReadSchema" in l
+    ][0]
+    assert "lang" not in scan_schema and "n_chars" not in scan_schema
+
+
+def test_embed_rp_no_data_shuffle(spark):
+    """The projection folds ride the scan; the only exchanges allowed
+    are the gmax scalar aggregate (SinglePartition of ONE row) and its
+    broadcast back — never a hash repartition of the vectors."""
+    from etl_verkada_spark.llm.similarity import llm_embed_rp
+
+    assert "hashpartitioning" not in plan_of(llm_embed_rp(spark, SF_SMALL))
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """K centroid vectors are model state: they must broadcast (never
+    shuffle the corpus against them), and the K-candidate collapse is
+    the single hash exchange."""
+    from etl_verkada_spark.llm.similarity import llm_kmeans_assign
+
+    plan = plan_of(llm_kmeans_assign(spark, SF_SMALL))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_one_window_pass(spark):
+    """All 16 lag terms share one (partition, order) spec, so the plan
+    is ONE exchange + ONE sort + ONE Window operator — per-tap windows
+    would multiply the sort cost by the tap count."""
+    from etl_verkada_spark.operators.timeseries import ts_ewma
+
+    tree = plan_tree(ts_ewma(spark, SF_SMALL))
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Sort") == 1, tree
+
+
+def test_anomaly_zscore_one_window_pass(spark):
+    """n/s/q share one frame spec -> one Window operator; the z-gate is
+    a Filter AFTER the window, never a second pass."""
+    from etl_verkada_spark.operators.timeseries import ts_anomaly_zscore
+
+    tree = plan_tree(ts_anomaly_zscore(spark, SF_SMALL))
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Sort") == 1, tree
+
+
+def test_triangle_count_no_cartesian(spark):
+    """Every triangle join is equi-keyed (canonical orientation makes
+    the wedge-close condition a two-column equi join) — a nested-loop
+    or cartesian plan would be quadratic at scale."""
+    from etl_verkada_spark.operators.graph import graph_triangle_count
+
+    plan = plan_of(graph_triangle_count(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_score_broadcasts_model(spark):
+    """The bigram model is vocabulary-squared, not corpus-sized: the
+    per-doc lookup must be a broadcast hash join against the exploded
+    bigram stream."""
+    from etl_verkada_spark.llm.text import llm_bigram_score
+
+    assert "BroadcastHashJoin" in plan_of(llm_bigram_score(spark, SF_SMALL))
