@@ -7,9 +7,10 @@
                at 100 TB the band join shuffles only (band, hash) pairs
                (a few dozen bytes/doc), candidate verification touches
                only the colliding docs.
-* simhash    — 64-bit SimHash from token hashes; near-dups = small
-               Hamming distance, found via 16-bit band blocking (any
-               pair within distance 3 shares at least one of 4 bands).
+* simhash    — 60-bit cross-engine SimHash from md5 token hashes;
+               near-dups = small Hamming distance, found via 15-bit
+               band blocking (any pair within distance 3 shares at
+               least one of 4 bands). Oracle-checked.
 * ngram      — exact n-gram Jaccard via inverted-index join (the
                ground-truth metric the sketches approximate).
 
@@ -289,34 +290,80 @@ WHERE levenshtein(a.head, b.head) <= 5
 """
 
 
-def simhash_column(n_bits: int = 64) -> F.Column:
-    """64-bit SimHash of the whitespace tokens, as a single expression.
+#: SimHash geometry: 60-bit fingerprints (15 hex chars of md5 — the
+#: widest slice that stays positive in a signed BIGINT in BOTH engines,
+#: which is what makes the oracle possible: Spark conv(hex,16,10) and
+#: DuckDB ('0x'||hex)::BIGINT decode it identically), 4 bands x 15 bits.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3
 
-    Per bit b: sign of sum over tokens of (+1 if bit b of xxhash64(tok)
-    else -1); bits packed into a BIGINT. Stays entirely in codegen —
-    the per-doc token array never leaves the row.
+
+def token_hash_column() -> F.Column:
+    """Per-token 60-bit hash array, computed ONCE per document (the
+    fingerprint's 60 bit-votes then fold over this array instead of
+    re-hashing the token per bit). md5 rather than xxhash64 solely
+    because md5 is the cross-engine hash (sampling.py's discipline);
+    every downstream bit is engine-identical integer arithmetic.
     """
-    bit_terms = []
-    for b in range(n_bits):
-        vote = (
-            f"aggregate(split(text, ' '), 0L, "
-            f"(acc, t) -> acc + CASE WHEN (xxhash64(t) >> {b}) & 1 = 1 "
-            f"THEN 1 ELSE -1 END)"
-        )
-        bit_terms.append(f"(CASE WHEN ({vote}) > 0 THEN 1L << {b} ELSE 0L END)")
-    return F.expr(" + ".join(bit_terms))
+    return F.expr(
+        "transform(split(text, ' '), t -> "
+        "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash packed into a BIGINT.
+
+    Shape matters here: 60 per-row array folds (the obvious "single
+    expression" form) generate a method so large codegen bails to
+    interpreted mode — measured ~30s at sf0.01. Instead the token
+    hashes EXPLODE and the 60 bit-votes become 60 simple SUM(CASE)
+    columns in ONE map-side-combinable hash aggregate (~2s): the
+    vote state is 60 longs per doc, the exchange carries only
+    partially-combined votes, and the final bit-pack is a cheap
+    projection over n_docs rows.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(token_hash_column()).alias("h")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN 1L << {b} ELSE 0L END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return votes.select("doc_id", F.expr(pack).alias("simhash"))
 
 
 def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dedup: 64-bit fingerprints + 16-bit band blocking.
+    """SimHash near-dedup: 60-bit fingerprints + 15-bit band blocking.
 
     Any pair with Hamming distance <= 3 collides on at least one of the
-    four 16-bit bands (pigeonhole), so the block join finds all of them
-    without an O(n^2) comparison. Rows-only (engine-specific hashing).
+    four 15-bit bands (pigeonhole), so the block join finds all of them
+    without an O(n^2) comparison. Oracle-checked: the fingerprint is
+    pure integer arithmetic over cross-engine md5 token hashes, so
+    DuckDB recomputes the identical BIGINTs relationally.
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", simhash_column().alias("simhash")
-    )
+    # localCheckpoint: the band self-join references the fingerprint
+    # table twice; without materialization the 60-sum aggregate (and
+    # its hefty codegen compile) runs once PER SIDE. The checkpointed
+    # table is (doc_id, 8-byte simhash) — n_docs rows, trivially small
+    # relative to the corpus at any scale (graph_pagerank discipline).
+    docs = simhash_fingerprints(
+        table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    band_mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = docs.select(
         "doc_id",
         "simhash",
@@ -325,11 +372,13 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(
+                            F.col("simhash"), b * SIMHASH_BAND_BITS
+                        )
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("bh"),
                     )
-                    for b in range(4)
+                    for b in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("bb"),
@@ -352,8 +401,55 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 3
+        F.col("hamming") <= SIMHASH_MAX_HAMMING
     )
+
+
+def _simhash_oracle() -> str:
+    """Relational twin of llm_dedup_simhash: identical md5-slice token
+    hashes, identical 60 integer bit-votes, identical band block join."""
+    votes = "\n    + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> "
+        f"CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    band_mask = (1 << SIMHASH_BAND_BITS) - 1
+    band_rows = ", ".join(f"({b})" for b in range(SIMHASH_BANDS))
+    return f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+           t -> ('0x' || substring(md5(t), 1, 15))::BIGINT) AS th
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CAST({votes} AS BIGINT) AS simhash
+  FROM th
+),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {SIMHASH_BAND_BITS})) & {band_mask} AS bh
+  FROM sh, (VALUES {band_rows}) b(band)
+),
+cand AS (
+  SELECT DISTINCT
+    a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a
+  JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b,
+         CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+  FROM cand
+) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+ORACLE_LLM_DEDUP_SIMHASH = _simhash_oracle()
 
 
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
@@ -718,8 +814,8 @@ QUERIES = {
         doc="Levenshtein near-dedup, (lang, length-band)-blocked, prefix-bounded",
     ),
     "llm_dedup_simhash": spec(
-        llm_dedup_simhash, None, "llm",
-        doc="64-bit SimHash + band blocking, Hamming<=3 (rows-only)",
+        llm_dedup_simhash, ORACLE_LLM_DEDUP_SIMHASH, "llm",
+        doc="60-bit SimHash + band blocking, Hamming<=3 (oracle-checked)",
     ),
     "llm_dedup_ngram": spec(
         llm_dedup_ngram, ORACLE_LLM_DEDUP_NGRAM, "llm",

@@ -64,7 +64,9 @@ def spec(
 #      random projection, k-means assignment from session 2),
 #   3. queries whose implementation or oracle changed this round
 #      (flagship_features to_json surface + oracle, minhash threshold,
-#      LSH ANN oracle, maintain_compact fingerprint),
+#      LSH ANN oracle, maintain_compact fingerprint, simhash rebuilt
+#      on cross-engine md5 hashes and oracle-ified — displacing
+#      agg_salted, the fill with the freshest prior row, r4-green),
 #   4. the round-5 perf-workstream targets — all four were REWRITTEN
 #      this round (split-view token counting), so their green rows
 #      must be re-earned,
@@ -112,6 +114,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "flagship_features",
     "llm_dedup_minhash",
     "llm_sim_ann_lsh",
+    "llm_dedup_simhash",
     # -- 4. round-5 perf-workstream targets (both rewritten this round) --
     "agg_groupby",
     "pivot",
@@ -123,7 +126,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_grouping_sets",
     "agg_percentile",
     "agg_rollup",
-    "agg_salted",
     "dedup_exact_rows",
     "join_asof",
     "join_broadcast_left",

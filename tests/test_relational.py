@@ -922,3 +922,20 @@ def test_bigram_score_broadcasts_model(spark):
     from etl_verkada_spark.llm.text import llm_bigram_score
 
     assert "BroadcastHashJoin" in plan_of(llm_bigram_score(spark, SF_SMALL))
+
+
+def test_simhash_votes_one_aggregate_no_text_shuffle(spark):
+    """The 60 bit-votes must plan as ONE map-side-combinable hash
+    aggregate over the exploded token hashes (the per-row 60-fold form
+    overflows codegen and runs interpreted, ~10x slower), and the vote
+    exchange must carry (doc_id, 60 longs) — never the document text."""
+    from etl_verkada_spark.catalog import table as cat_table
+    from etl_verkada_spark.llm.dedup import simhash_fingerprints
+
+    df = simhash_fingerprints(cat_table(spark, SF_SMALL, "documents"))
+    tree = plan_tree(df)
+    # partial + final pair of the single aggregate
+    assert tree.count("HashAggregate") == 2, tree
+    for line in formatted_plan(df).splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "text#" not in line, line
