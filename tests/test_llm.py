@@ -369,3 +369,90 @@ def test_bigram_lm_probabilities_normalize(spark):
     full = [g for g in by_w1.values() if sum(x["n_pair"] for x in g) == g[0]["n_w1"]]
     for g in full:
         assert abs(sum(x["p_cond"] for x in g) - 1.0) < 1e-9
+
+
+def test_chunk_rag_covers_every_token_and_roundtrips(spark):
+    """Chunk geometry invariants: every token position of every document
+    falls inside at least one chunk, chunk 0 starts at token 1, and
+    slicing the original token list at (start_tok, n_tokens) reproduces
+    each chunk_text exactly."""
+    from etl_verkada_spark.llm.text import (
+        llm_chunk_rag, CHUNK_TOKENS, CHUNK_STRIDE,
+    )
+    from .conftest import SF_SMALL
+
+    chunks = llm_chunk_rag(spark, SF_SMALL).collect()
+    from etl_verkada_spark.catalog import table as cat_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in cat_table(spark, SF_SMALL, "documents").collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        toks = docs[r["doc_id"]]
+        want = toks[r["start_tok"] - 1 : r["start_tok"] - 1 + CHUNK_TOKENS]
+        assert r["chunk_text"] == " ".join(want)
+        assert r["n_tokens"] == len(want)
+    for doc_id, toks in docs.items():
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert rows[0]["start_tok"] == 1
+        covered = set()
+        for r in rows:
+            covered.update(
+                range(r["start_tok"], r["start_tok"] + r["n_tokens"])
+            )
+        assert covered == set(range(1, len(toks) + 1)), doc_id
+        # consecutive chunks advance by exactly the stride
+        starts = [r["start_tok"] for r in rows]
+        assert all(
+            b - a == CHUNK_STRIDE for a, b in zip(starts, starts[1:])
+        )
+
+
+def test_kmeans_assign_matches_numpy_argmin(spark):
+    """The struct-argmin assignment must equal an independent numpy
+    recomputation of nearest-centroid on the same global-int8 domain."""
+    import numpy as np
+    from etl_verkada_spark.llm.similarity import (
+        llm_kmeans_assign, _global_q, KMEANS_K,
+    )
+    from .conftest import SF_SMALL
+
+    q = {
+        r["vec_id"]: np.array(r["q"], dtype=np.int64)
+        for r in _global_q(spark, SF_SMALL).collect()
+    }
+    cents = {k: q[k] for k in sorted(q)[:KMEANS_K]}
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["dist2_q"])
+        for r in llm_kmeans_assign(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(q)
+    for vid, vec in q.items():
+        dists = {
+            cid: int(((vec - cvec) ** 2).sum()) for cid, cvec in cents.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+        assert got[vid] == best, (vid, got[vid], best)
+
+
+def test_embed_rp_matches_numpy_projection(spark):
+    """The 8 fold expressions must equal the numpy matrix product of the
+    quantized vectors with the seeded +-1 matrix."""
+    import numpy as np
+    from etl_verkada_spark.llm.similarity import (
+        llm_embed_rp, _global_q, _rp_signs, RP_DIMS,
+    )
+    from .conftest import SF_SMALL
+
+    signs = np.array(_rp_signs(), dtype=np.int64)  # (8, 64)
+    q = {
+        r["vec_id"]: np.array(r["q"], dtype=np.int64)
+        for r in _global_q(spark, SF_SMALL).collect()
+    }
+    for r in llm_embed_rp(spark, SF_SMALL).collect():
+        want = signs @ q[r["vec_id"]]
+        got = np.array([r[f"rp_{j}"] for j in range(RP_DIMS)])
+        assert (want == got).all(), r["vec_id"]

@@ -939,3 +939,61 @@ def test_simhash_votes_one_aggregate_no_text_shuffle(spark):
     for line in formatted_plan(df).splitlines():
         if "Arguments: hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Adjacency-set recount of the co-occurrence graph's triangles —
+    independent of the join formulation (catches orientation bugs that
+    over/undercount symmetric triangles)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    import duckdb
+
+    from etl_verkada_spark.operators.graph import (
+        graph_triangle_count, TRI_MIN_COOCCUR,
+    )
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH pp AS (SELECT DISTINCT l_orderkey o, l_partkey p
+                    FROM '{SF_SMALL}/lineitem.parquet')
+        SELECT a.p, b.p FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+        """
+    ).fetchall()
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want: dict = defaultdict(int)
+    for u, v in edges:  # u < v by construction
+        for w in adj[u] & adj[v]:
+            if w > v:  # count each triangle once at its lowest edge
+                for node in (u, v, w):
+                    want[node] += 1
+    got = {
+        r["p_partkey"]: r["n_triangles"]
+        for r in graph_triangle_count(spark, SF_SMALL).collect()
+    }
+    assert got == dict(want)
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """The dyadic 8-tap unroll must agree with pandas ewm(alpha=0.5,
+    adjust=True) to within the truncated tail mass (< 1/255 of the
+    value range per point)."""
+    import pandas as pd
+
+    from etl_verkada_spark.operators.timeseries import ts_ewma
+
+    out = ts_ewma(spark, SF_SMALL).toPandas()
+    checked = 0
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ref = g["value"].ewm(alpha=0.5, adjust=True).mean()
+        tol = g["value"].abs().max() / 255 + 1e-9
+        assert (g["ewma"] - ref).abs().max() <= tol
+        checked += len(g)
+    assert checked > 0
