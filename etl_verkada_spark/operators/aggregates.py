@@ -728,6 +728,91 @@ GROUP BY bin_id
 """
 
 
+#: count-min sketch geometry: 4 hash rows x 64 buckets. Error bound:
+#: est - true <= e/64 * N with prob 1 - e^-4 (~98%); the oracle checks
+#: the exact arithmetic, a test checks the one-sided guarantee.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts for
+    lineitem's supplier stream — the second mergeable sketch beside
+    agg_sketch_merge's HLL (CMS answers "how often did key x occur"
+    from fixed memory; HLL answers "how many distinct keys").
+
+    Build: each occurrence increments one bucket per hash row — here
+    the (depth, bucket) pairs EXPLODE (bounded x4) and one map-side-
+    combinable count collapses them to the 4x64 table; the exchange
+    carries at most depth*width partial rows per task regardless of
+    input size, which is the entire point of the sketch. Estimate:
+    each key probes its 4 buckets and takes the min — the 256-row CMS
+    broadcasts. Hashing is the cross-engine md5-slice (simhash/
+    sampling discipline), so every bucket, count, and min is
+    engine-identical.
+
+    At 100 TB: the sketch build is ONE pass with O(1) state; the
+    exact counts computed beside it exist to exhibit the error band
+    (est >= true always; test_properties pins it) and would be dropped
+    at scale — exactly agg_sketch_merge's contract.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k")
+    )
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(
+                    f"cast(conv(substring(md5(concat('{d}:', "
+                    f"cast(k as string))), 1, 15), 16, 10) as bigint) "
+                    f"% {CMS_WIDTH}"
+                ).alias("b"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    hits = li.select("k", F.explode(bucket_structs).alias("db")).select(
+        "k", "db.d", "db.b"
+    )
+    cms = hits.groupBy("d", "b").agg(F.count(F.lit(1)).alias("n_bucket"))
+    exact = li.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
+    # probe buckets re-derived from the DISTINCT key table (cardinality
+    # |keys|, not |stream|): hashing 4x per key beats a second full-
+    # stream md5 pass + distinct shuffle
+    key_buckets = exact.select(
+        "k", F.explode(bucket_structs).alias("db")
+    ).select("k", "db.d", "db.b")
+    est = (
+        key_buckets.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("k")
+        .agg(F.min("n_bucket").alias("n_est"))
+    )
+    return exact.join(est, "k").select(
+        F.col("k").alias("l_suppkey"), "n_exact", "n_est"
+    )
+
+
+ORACLE_AGG_COUNTMIN = f"""
+WITH s AS (SELECT l_suppkey AS k FROM lineitem),
+hits AS (
+  SELECT k, d.d,
+         ('0x' || substring(md5(d.d || ':' || CAST(k AS VARCHAR)), 1, 15))
+           ::BIGINT % {CMS_WIDTH} AS b
+  FROM s, (VALUES ('0'), ('1'), ('2'), ('3')) d(d)
+),
+cms AS (SELECT d, b, COUNT(*) AS n_bucket FROM hits GROUP BY d, b),
+ex AS (SELECT k, COUNT(*) AS n_exact FROM s GROUP BY k),
+kb AS (SELECT DISTINCT k, d, b FROM hits),
+est AS (
+  SELECT kb.k, CAST(MIN(c.n_bucket) AS BIGINT) AS n_est
+  FROM kb JOIN cms c USING (d, b) GROUP BY kb.k
+)
+SELECT ex.k AS l_suppkey, ex.n_exact, est.n_est
+FROM ex JOIN est USING (k)
+"""
+
+
 QUERIES = {
     "agg_count": spec(
         agg_count, ORACLE_AGG_COUNT, "reference:A1",
@@ -793,5 +878,10 @@ QUERIES = {
         agg_sketch_merge, ORACLE_AGG_SKETCH_MERGE, "beyond",
         doc="mergeable HLL sketches: rollup cell = sketch union, "
             "error-band oracle",
+    ),
+    "agg_countmin": spec(
+        agg_countmin, ORACLE_AGG_COUNTMIN, "beyond",
+        doc="count-min sketch frequency estimates vs exact (4x64, "
+            "cross-engine md5 buckets)",
     ),
 }

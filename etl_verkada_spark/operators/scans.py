@@ -330,6 +330,52 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
 """
 
 
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: a column added mid-stream.
+
+    Real landed datasets grow columns over time; the engine must read
+    old and new files as ONE relation without a rewrite. This lands
+    orders as two parquet generations — gen1 (even order keys) without
+    o_orderstatus, gen2 (odd keys) with it — then reads the directory
+    with ``mergeSchema``: Spark unions the footers' schemas and
+    null-fills the missing column for gen1 files, entirely at the scan
+    (no post-hoc unionByName plan, one FileScan over both
+    generations). The oracle recomputes the semantic result from the
+    orders view (the landing is this operator's own artifact).
+
+    At 100 TB: schema merging reads only parquet FOOTERS, and a
+    declared read-schema (the steady-state form once the union schema
+    is known) skips even that; per-file column absence stays a
+    metadata-level null-fill — no data rewrite, no shuffle, scan-only.
+    """
+    src = table(spark, sf_dir, "orders")
+    path = _land_dir(sf_dir, "schema_evo")
+    gen1 = src.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    gen2 = src.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    gen1.write.mode("overwrite").parquet(f"{path}/gen=1")
+    gen2.write.mode("overwrite").parquet(f"{path}/gen=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{path}/gen=1", f"{path}/gen=2"
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+ORACLE_SCAN_SCHEMA_EVOLUTION = """
+SELECT
+  o_orderkey,
+  o_custkey,
+  o_totalprice,
+  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+FROM orders
+"""
+
+
 COMPACT_SMALL_FILES = 64
 COMPACT_TARGET_FILES = 4
 
@@ -431,5 +477,9 @@ QUERIES = {
     "maintain_compact": spec(
         maintain_compact, ORACLE_SCAN_LAND, "beyond",
         doc="small-file compaction (64 -> 4 files, narrow coalesce)",
+    ),
+    "scan_schema_evolution": spec(
+        scan_schema_evolution, ORACLE_SCAN_SCHEMA_EVOLUTION, "beyond",
+        doc="mergeSchema read across generations w/ added column",
     ),
 }

@@ -57,11 +57,12 @@ def spec(
 #   1. queries that have never had a driver row (the 13 late round-4
 #      additions — ALL in this round's window, so after r5 every one of
 #      the 134 registered queries has driver evidence from some round),
-#   2. the thirteen round-5 additions (oracle-paired from birth, never
+#   2. the sixteen round-5 additions (oracle-paired from birth, never
 #      checked: sketch merge, dq profile, passage dedup, int8 quantize,
 #      z-order audit, frame sampling from session 1; triangle count,
 #      EWMA, z-score anomaly gate, RAG chunking, bigram doc scoring,
-#      random projection, k-means assignment from session 2),
+#      random projection, k-means assignment, relative-rank windows,
+#      schema-evolution scan, count-min sketch from session 2),
 #   3. queries whose implementation or oracle changed this round
 #      (flagship_features to_json surface + oracle, minhash threshold,
 #      LSH ANN oracle, maintain_compact fingerprint, simhash rebuilt
@@ -70,14 +71,15 @@ def spec(
 #   4. the round-5 perf-workstream targets — all four were REWRITTEN
 #      this round (split-view token counting), so their green rows
 #      must be re-earned,
-#   5. oldest-evidence rows: queries last checked in round 1 (the 16
+#   5. oldest-evidence rows: queries last checked in round 1 (the 12
 #      semantically richest fill the remaining slots — left out, all
 #      r1-green with code unchanged since r1: set_* x5, limit_offset,
 #      sort_orderby, filter_* x3, enrich_when, project_struct,
 #      subquery_in, scan_cursor, scan_page, unpivot, validate_failfast,
 #      validate_json, win_first_last, and — displaced by the session-2
-#      additions — agg_count, agg_count_distinct, agg_distinct,
-#      join_anti, join_semi, subquery_scalar, win_lag).
+#      additions — agg_count, agg_count_distinct, agg_cube,
+#      agg_distinct, agg_grouping_sets, join_anti, join_semi,
+#      subquery_scalar, win_lag, win_range_interval).
 # Past slot 50: driver-green from an earlier round with unchanged code.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
@@ -110,6 +112,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_bigram_score",
     "llm_embed_rp",
     "llm_kmeans_assign",
+    "win_relrank",
+    "scan_schema_evolution",
+    "agg_countmin",
     # -- 3. changed this round: need fresh hash-green rows --
     "flagship_features",
     "llm_dedup_minhash",
@@ -122,8 +127,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_bm25",
     # -- 5. oldest evidence (last checked round 1; the 6 displaced by the
     #       round-5 additions move behind slot 50 with their r1 rows) --
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_percentile",
     "agg_rollup",
     "dedup_exact_rows",
@@ -134,7 +137,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "topk",
     "win_frame",
     "win_ntile",
-    "win_range_interval",
     "win_rank",
     "win_rownum",
 )

@@ -997,3 +997,52 @@ def test_ewma_matches_pandas_ewm(spark):
         assert (g["ewma"] - ref).abs().max() <= tol
         checked += len(g)
     assert checked > 0
+
+
+def test_countmin_overestimates_only(spark):
+    """The count-min guarantee is one-sided: the min over hash rows can
+    only OVERcount (collisions add, never subtract). est < exact for
+    any key would mean the sketch arithmetic is broken."""
+    from etl_verkada_spark.operators.aggregates import agg_countmin
+
+    rows = agg_countmin(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["n_est"] >= r["n_exact"] for r in rows)
+
+
+def test_countmin_sketch_exchange_is_bounded(spark):
+    """The CMS build's aggregate must partially combine map-side: the
+    exchange after the explode carries (d, b) groups — at most
+    depth x width rows per task — never per-occurrence rows. A missing
+    partial_count would ship the exploded stream."""
+    from etl_verkada_spark.operators.aggregates import agg_countmin
+
+    plan = formatted_plan(agg_countmin(spark, SF_SMALL))
+    assert "partial_count(1)" in plan
+
+
+def test_schema_evolution_nullfills_old_generation(spark):
+    """gen1 files lack o_orderstatus: merged rows for even keys must be
+    NULL there, odd keys must carry the real status, and the merged
+    relation must cover every order exactly once."""
+    from etl_verkada_spark.operators.scans import scan_schema_evolution
+    from etl_verkada_spark.catalog import table as cat_table
+
+    out = scan_schema_evolution(spark, SF_SMALL).collect()
+    n_orders = cat_table(spark, SF_SMALL, "orders").count()
+    assert len(out) == n_orders
+    for r in out:
+        if r["o_orderkey"] % 2 == 0:
+            assert r["o_orderstatus"] is None
+        else:
+            assert r["o_orderstatus"] is not None
+
+
+def test_relrank_single_window_pass(spark):
+    """percent_rank and cume_dist share one (partition, order) spec ->
+    ONE exchange + ONE sort + ONE Window operator."""
+    from etl_verkada_spark.operators.windows import win_relrank
+
+    tree = plan_tree(win_relrank(spark, SF_SMALL))
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Sort") == 1, tree
