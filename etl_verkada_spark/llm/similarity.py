@@ -862,6 +862,141 @@ def llm_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Lloyd's iterations for the trained variant
+KMEANS_ITERS = 3
+
+
+def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means over globally-quantized embeddings — the
+    IVF coarse quantizer's actual training loop (llm_kmeans_assign is
+    one half-step of this), run for a fixed 3 iterations and checked
+    EXACTLY against an unrolled relational twin, the graph_pagerank
+    discipline applied to ML training.
+
+    Exactness: vectors live on the global-int8 grid; distances are
+    BIGINT; each centroid update is floor(sum/count) evaluated as
+    FLOOR of one IEEE division of two exact small integers — the true
+    quotient is a rational with denominator <= n_members, never within
+    FP error of an integer it doesn't equal, so both engines floor
+    identically (sign-safe for negative coordinates, unlike integer
+    div/truncation). Ties in the argmin break on centroid id via
+    min(struct). A cluster that empties simply drops from the join in
+    both engines — same rows either way.
+
+    At 100 TB: per iteration = one pass over the corpus (broadcast
+    centroids, no shuffle for assignment) + one (cid, dim) aggregate
+    whose output is K x dims rows — model-sized. The per-dim explode
+    happens once up front and is localCheckpointed; centroid tables
+    localCheckpoint per step so plan depth stays O(1) in iterations.
+    """
+    q = _global_q(spark, sf_dir).localCheckpoint(eager=True)
+    qe = q.select(
+        "vec_id", F.posexplode("q").alias("idx", "v")
+    ).localCheckpoint(eager=True)
+    cent = (
+        q.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        assign = (
+            q.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", dist2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("b"))
+            .select("vec_id", F.col("b.cid").alias("cid"))
+        )
+        cent = (
+            assign.join(qe, "vec_id")
+            .groupBy("cid", "idx")
+            .agg(
+                F.floor(
+                    F.sum("v").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("cv")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("idx", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("cq")
+            )
+            .localCheckpoint(eager=True)
+        )
+    members = assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return cent.join(members, "cid").select(
+        F.col("cid").alias("centroid_id"), "n_members", "cq"
+    )
+
+
+def _kmeans_train_oracle() -> str:
+    sql = f"""
+WITH g AS (
+  SELECT MAX(list_max(list_transform(
+    embedding, x -> ABS(CAST(x AS DOUBLE))))) AS gmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / g.gmax) + 0.5)
+                AS BIGINT)) AS q
+  FROM embeddings, g
+),
+qe AS (
+  SELECT vec_id, UNNEST(q) AS v,
+         UNNEST(generate_series(1, len(q))) AS i
+  FROM q
+),
+c0 AS (
+  SELECT vec_id AS cid, q AS cq FROM q ORDER BY vec_id LIMIT {KMEANS_K}
+)"""
+    for t in range(KMEANS_ITERS):
+        sql += f""",
+a{t + 1} AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(list_sum(list_transform(list_zip(q.q, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT), c.cid
+           ) AS rn
+    FROM q CROSS JOIN c{t} c
+  ) WHERE rn = 1
+),
+c{t + 1} AS (
+  SELECT cid, list(cv ORDER BY i) AS cq FROM (
+    SELECT a.cid, qe.i,
+           CAST(FLOOR(CAST(SUM(qe.v) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+    FROM a{t + 1} a JOIN qe ON qe.vec_id = a.vec_id
+    GROUP BY a.cid, qe.i
+  ) GROUP BY cid
+)"""
+    sql += f"""
+SELECT c.cid AS centroid_id, m.n_members, c.cq
+FROM c{KMEANS_ITERS} c
+JOIN (SELECT cid, COUNT(*) AS n_members
+      FROM a{KMEANS_ITERS} GROUP BY cid) m USING (cid)
+"""
+    return sql
+
+
+ORACLE_LLM_KMEANS_TRAIN = _kmeans_train_oracle()
+
+
 ORACLE_LLM_KMEANS_ASSIGN = f"""
 WITH g AS (
   SELECT MAX(list_max(list_transform(
@@ -931,5 +1066,9 @@ QUERIES = {
     "llm_kmeans_assign": spec(
         llm_kmeans_assign, ORACLE_LLM_KMEANS_ASSIGN, "llm",
         doc="nearest-centroid assignment, exact int argmin w/ tie-break",
+    ),
+    "llm_kmeans_train": spec(
+        llm_kmeans_train, ORACLE_LLM_KMEANS_TRAIN, "llm",
+        doc="3-iteration Lloyd's k-means, exact vs unrolled SQL twin",
     ),
 }

@@ -57,12 +57,13 @@ def spec(
 #   1. queries that have never had a driver row (the 13 late round-4
 #      additions — ALL in this round's window, so after r5 every one of
 #      the 134 registered queries has driver evidence from some round),
-#   2. the sixteen round-5 additions (oracle-paired from birth, never
+#   2. the seventeen round-5 additions (oracle-paired from birth, never
 #      checked: sketch merge, dq profile, passage dedup, int8 quantize,
 #      z-order audit, frame sampling from session 1; triangle count,
 #      EWMA, z-score anomaly gate, RAG chunking, bigram doc scoring,
-#      random projection, k-means assignment, relative-rank windows,
-#      schema-evolution scan, count-min sketch from session 2),
+#      random projection, k-means assignment + 3-iteration training,
+#      relative-rank windows, schema-evolution scan, count-min sketch
+#      from session 2),
 #   3. queries whose implementation or oracle changed this round
 #      (flagship_features to_json surface + oracle, minhash threshold,
 #      LSH ANN oracle, maintain_compact fingerprint, simhash rebuilt
@@ -78,8 +79,8 @@ def spec(
 #      subquery_in, scan_cursor, scan_page, unpivot, validate_failfast,
 #      validate_json, win_first_last, and — displaced by the session-2
 #      additions — agg_count, agg_count_distinct, agg_cube,
-#      agg_distinct, agg_grouping_sets, join_anti, join_semi,
-#      subquery_scalar, win_lag, win_range_interval).
+#      agg_distinct, agg_grouping_sets, agg_percentile, join_anti,
+#      join_semi, subquery_scalar, win_lag, win_range_interval).
 # Past slot 50: driver-green from an earlier round with unchanged code.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
@@ -115,6 +116,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "win_relrank",
     "scan_schema_evolution",
     "agg_countmin",
+    "llm_kmeans_train",
     # -- 3. changed this round: need fresh hash-green rows --
     "flagship_features",
     "llm_dedup_minhash",
@@ -127,7 +129,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_bm25",
     # -- 5. oldest evidence (last checked round 1; the 6 displaced by the
     #       round-5 additions move behind slot 50 with their r1 rows) --
-    "agg_percentile",
     "agg_rollup",
     "dedup_exact_rows",
     "join_asof",

@@ -456,3 +456,49 @@ def test_embed_rp_matches_numpy_projection(spark):
         want = signs @ q[r["vec_id"]]
         got = np.array([r[f"rp_{j}"] for j in range(RP_DIMS)])
         assert (want == got).all(), r["vec_id"]
+
+
+def test_kmeans_train_matches_numpy_lloyds(spark):
+    """The 3-iteration DataFrame loop must equal an independent numpy
+    Lloyd's run with the same seeding, floor-divide update, and
+    (dist, cid) tie-break."""
+    import numpy as np
+    from etl_verkada_spark.llm.similarity import (
+        llm_kmeans_train, _global_q, KMEANS_K, KMEANS_ITERS,
+    )
+    from .conftest import SF_SMALL
+
+    q = {
+        r["vec_id"]: np.array(r["q"], dtype=np.int64)
+        for r in _global_q(spark, SF_SMALL).collect()
+    }
+    cents = {k: q[k].astype(np.float64) for k in sorted(q)[:KMEANS_K]}
+    assign: dict = {}
+    for _ in range(KMEANS_ITERS):
+        assign = {}
+        for vid, vec in q.items():
+            dists = {
+                cid: int(((vec - cvec.astype(np.int64)) ** 2).sum())
+                for cid, cvec in cents.items()
+            }
+            assign[vid] = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        new = {}
+        for cid in cents:
+            members = [q[v] for v, c in assign.items() if c == cid]
+            if members:
+                new[cid] = np.floor(
+                    np.sum(members, axis=0) / len(members)
+                ).astype(np.int64)
+        cents = new
+    got = {
+        r["centroid_id"]: (r["n_members"], list(r["cq"]))
+        for r in llm_kmeans_train(spark, SF_SMALL).collect()
+    }
+    want = {
+        cid: (
+            sum(1 for c in assign.values() if c == cid),
+            [int(x) for x in cvec],
+        )
+        for cid, cvec in cents.items()
+    }
+    assert got == want
