@@ -66,6 +66,19 @@ HEADLINE = [
 N_RUNS = 5  # min-of-N: sub-second timings carry ~20% scheduler noise
 
 
+def _duck_connect():
+    """DuckDB connection with spills pinned to /tmp: the default
+    temp_directory is cwd-relative ".tmp" (i.e. inside the repo), and a
+    big sf1 window sort spilling there alongside Spark's own shuffle
+    temp once filled the disk mid-run and killed the whole sf1 section.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/duckdb_bench_tmp'")
+    return con
+
+
 def run_spark(fn, spark, sf_dir: str, n_runs: int = N_RUNS) -> float:
     """Steady-state timing: one warmup run (JIT + page cache), then the
     MINIMUM of n_runs timed runs — min, not mean, because local noise is
@@ -215,7 +228,7 @@ def ensure_sf1(spark, src_dir: str) -> str:
 
     from etl_verkada_spark.catalog import table as load_table
 
-    con = duckdb.connect()
+    con = _duck_connect()
     base: dict[str, int] = {}
     for dom, (t, col) in SF1_DOMAIN_SOURCE.items():
         base[dom] = (
@@ -272,7 +285,7 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     cold_duck: dict[str, float] = {}
     import duckdb
 
-    con = duckdb.connect()
+    con = _duck_connect()
     for t in TABLES:
         con.execute(
             "CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')".format(
@@ -352,7 +365,7 @@ def main() -> None:
     try:
         import duckdb
 
-        con = duckdb.connect()
+        con = _duck_connect()
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
