@@ -79,31 +79,43 @@ def _duck_connect():
     return con
 
 
+#: adaptive repeat cutoff: once a single run exceeds this, further
+#: repeats buy noise-rejection at an unacceptable wall-clock (and, for
+#: the disk-heavy sf1 DuckDB sorts, repeated multi-GB spills); two runs
+#: still reject a single spike.
+SLOW_RUN_CUTOFF_S = 10.0
+
+
 def run_spark(fn, spark, sf_dir: str, n_runs: int = N_RUNS) -> float:
     """Steady-state timing: one warmup run (JIT + page cache), then the
     MINIMUM of n_runs timed runs — min, not mean, because local noise is
     strictly additive (GC, scheduler); the minimum is the plan's cost.
+    Queries slower than SLOW_RUN_CUTOFF_S repeat only once.
 
     DuckDB gets the same treatment in run_duckdb for a fair comparison.
     """
     df = fn(spark, sf_dir)
     df.write.mode("overwrite").format("noop").save()
     best = float("inf")
-    for _ in range(n_runs):
+    for i in range(n_runs):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
+        if best > SLOW_RUN_CUTOFF_S and i >= 1:
+            break
     return best
 
 
 def run_duckdb(con, sql: str, n_runs: int = N_RUNS) -> float:
     con.execute(sql).fetchall()  # warmup (page cache)
     best = float("inf")
-    for _ in range(n_runs):
+    for i in range(n_runs):
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
         best = min(best, time.perf_counter() - t0)
+        if best > SLOW_RUN_CUTOFF_S and i >= 1:
+            break
     return best
 
 
@@ -119,20 +131,26 @@ def run_duckdb(con, sql: str, n_runs: int = N_RUNS) -> float:
 # ---------------------------------------------------------------------------
 
 SF1_REPLICAS = 10
-SF1_GEN_VERSION = 3  # bump to invalidate cached copies
+SF1_GEN_VERSION = 4  # bump to invalidate cached copies
 
 #: per-table replica overrides. documents/embeddings/events are tiny
 #: even at sf1 (5k docs / 5k vectors / 1M events), so their queries
-#: stay fixed-overhead-dominated and the crossover never shows; 100x
-#: makes them big enough that both engines do real work. The benched
-#: joins all stay within one factor group (events.user_id joins only
-#: events-derived queries here), so their cardinality models hold —
-#: BUT quality.py's FK_RELATIONSHIPS declares events.user_id ->
-#: customer.c_custkey, and with events at 100x vs customer at 10x the
-#: synthesized user_ids in replicas 10-99 are orphans: dq_referential
-#: must NOT join SF1_QUERIES unless user_id is shifted modulo the
-#: customer key span.
-SF1_TABLE_REPLICAS = {"documents": 100, "embeddings": 100, "events": 100}
+#: stay fixed-overhead-dominated and the crossover never shows; the
+#: override makes them big enough that both engines do real work.
+#: Events sit at 40x (40M rows), not 100x: two full runs measured the
+#: comparison engine's window sorts over 100M-row events spilling
+#: tens of GB of temp alongside Spark's accumulated sf1 shuffle files,
+#: transiently filling this host's ~80 GB effective free disk and
+#: killing the section ("No space left on device") — 40x keeps the
+#: worst single sort's spill inside budget while remaining a 40x
+#: crossover signal. The benched joins all stay within one factor
+#: group (events.user_id joins only events-derived queries here), so
+#: their cardinality models hold — BUT quality.py's FK_RELATIONSHIPS
+#: declares events.user_id -> customer.c_custkey, and with events at
+#: 40x vs customer at 10x the synthesized user_ids in replicas 10-39
+#: are orphans: dq_referential must NOT join SF1_QUERIES unless
+#: user_id is shifted modulo the customer key span.
+SF1_TABLE_REPLICAS = {"documents": 100, "embeddings": 100, "events": 40}
 
 #: the worst floor-adjusted sf0.1 ratios — the queries whose 2x verdict
 #: hinges on whether the gap shrinks with data size (r5 widening: every
@@ -269,23 +287,20 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     later; five runs make a clean window far more likely for ~30s extra
     total)."""
     sf1_dir = ensure_sf1(spark, src_dir)
-    timings: dict[str, float] = {}
-    for name in SF1_QUERIES:
-        timings[name] = round(
-            run_spark(registry[name].fn, spark, sf1_dir, n_runs=5), 3
-        )
-    cold: dict[str, float] = {}
-    for name in SF1_COLD_QUERIES:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf1_dir).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        cold[name] = round(time.perf_counter() - t0, 3)
+    errors: dict[str, str] = {}
+
+    # DuckDB FIRST: its big window sorts spill multi-GB temp; running
+    # them before Spark's sf1 queries means that spill never coexists
+    # with Spark's accumulated shuffle files (the combination filled
+    # the disk and killed this section in two round-5 runs). Errors are
+    # captured PER QUERY so one failure cannot erase the section.
     duck: dict[str, float] = {}
     cold_duck: dict[str, float] = {}
-    import duckdb
-
     con = _duck_connect()
+    # cap the comparison engine's memory: its default (80% of RAM)
+    # overlaps the Spark JVM's heap on this shared box; 32 GB trades a
+    # little extra spill for never racing the JVM into the OOM killer
+    con.execute("SET memory_limit='32GB'")
     for t in TABLES:
         con.execute(
             "CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')".format(
@@ -295,30 +310,60 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     for name in SF1_QUERIES:
         sql = registry[name].oracle
         if sql:
-            duck[name] = round(run_duckdb(con, sql, n_runs=5), 3)
+            try:
+                duck[name] = round(run_duckdb(con, sql, n_runs=5), 3)
+            except Exception as e:  # noqa: BLE001 - record and continue
+                errors[f"duckdb:{name}"] = str(e)[:200]
     for name in SF1_COLD_QUERIES:
         sql = registry[name].oracle
         if sql:
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            cold_duck[name] = round(time.perf_counter() - t0, 3)
+            try:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                cold_duck[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                errors[f"duckdb_cold:{name}"] = str(e)[:200]
     con.close()
-    return {
+
+    timings: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        try:
+            timings[name] = round(
+                run_spark(registry[name].fn, spark, sf1_dir, n_runs=5), 3
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[f"spark:{name}"] = str(e)[:200]
+    cold: dict[str, float] = {}
+    for name in SF1_COLD_QUERIES:
+        try:
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf1_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            cold[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[f"spark_cold:{name}"] = str(e)[:200]
+    out = {
         "replicas_of_sf0.1": SF1_REPLICAS,
         "table_replica_overrides": SF1_TABLE_REPLICAS,
         "queries": timings,
         "duckdb": duck,
         "ratio": {
-            n: round(timings[n] / duck[n], 2) for n in duck if duck[n] > 0
+            n: round(timings[n] / duck[n], 2)
+            for n in duck
+            if duck[n] > 0 and n in timings
         },
         "ratio_floor_adjusted": {
             n: round(max(timings[n] - floor_s, 0.0) / duck[n], 2)
             for n in duck
-            if duck[n] > 0
+            if duck[n] > 0 and n in timings
         },
         "cold_sec": cold,
         "cold_duckdb_sec": cold_duck,
     }
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 def main() -> None:

@@ -658,6 +658,10 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.transform(
         F.col("xd"), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
     )
+    # driver surface: the int8 vector rides as a canonical CSV string —
+    # raw array cells are unhashable in the driver's canonicalizer
+    # (the r4 flagship_features crash mode); library users take the
+    # array from the upstream select.
     return (
         e.select("vec_id", xd.alias("xd"), amax.alias("amax"))
         .select(
@@ -665,6 +669,14 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             scale.alias("scale"),
             q.alias("q"),
             F.array_max(F.transform(q, F.abs)).alias("q_max_abs"),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.array_join(
+                F.transform("q", lambda x: x.cast("string")), ","
+            ).alias("q_csv"),
+            "q_max_abs",
         )
     )
 
@@ -687,7 +699,7 @@ quant AS (
 SELECT
   vec_id,
   scale,
-  q,
+  array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',') AS q_csv,
   list_max(list_transform(q, v -> ABS(v))) AS q_max_abs
 FROM quant
 """
@@ -936,8 +948,15 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = assign.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+    # cq rides as a canonical CSV string on the driver surface (array
+    # cells are unhashable in the driver's canonicalizer — the r4
+    # flagship_features crash mode)
     return cent.join(members, "cid").select(
-        F.col("cid").alias("centroid_id"), "n_members", "cq"
+        F.col("cid").alias("centroid_id"),
+        "n_members",
+        F.array_join(
+            F.transform("cq", lambda x: x.cast("string")), ","
+        ).alias("cq_csv"),
     )
 
 
@@ -986,7 +1005,9 @@ c{t + 1} AS (
   ) GROUP BY cid
 )"""
     sql += f"""
-SELECT c.cid AS centroid_id, m.n_members, c.cq
+SELECT c.cid AS centroid_id, m.n_members,
+       array_to_string(list_transform(c.cq, v -> CAST(v AS VARCHAR)), ',')
+         AS cq_csv
 FROM c{KMEANS_ITERS} c
 JOIN (SELECT cid, COUNT(*) AS n_members
       FROM a{KMEANS_ITERS} GROUP BY cid) m USING (cid)

@@ -13,7 +13,11 @@ Conventions (BASELINE.md / driver contract):
   cast back to DOUBLE so both engines produce bit-identical values;
 * ``oracle=None`` marks genuinely non-SQL-expressible operators (LSH
   banding, streaming state, pandas-UDF ANN) -> driver runs the weaker
-  rows-only check.
+  rows-only check;
+* driver surfaces must be FLAT: array/struct cells are unhashable in
+  the driver's canonicalizer (r4's flagship_features crash) — emit
+  ``to_json(...)`` / ``array_join(...)`` string columns instead, with
+  the oracle producing the identical serialization.
 """
 
 from __future__ import annotations

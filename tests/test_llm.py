@@ -491,7 +491,10 @@ def test_kmeans_train_matches_numpy_lloyds(spark):
                 ).astype(np.int64)
         cents = new
     got = {
-        r["centroid_id"]: (r["n_members"], list(r["cq"]))
+        r["centroid_id"]: (
+            r["n_members"],
+            [int(x) for x in r["cq_csv"].split(",")],
+        )
         for r in llm_kmeans_train(spark, SF_SMALL).collect()
     }
     want = {
