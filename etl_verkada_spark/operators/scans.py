@@ -376,6 +376,59 @@ FROM orders
 """
 
 
+def scan_manifest_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log (manifest) scan — the lakehouse table pattern:
+    the set of live data files is defined by a committed manifest, not
+    by directory listing, giving atomic snapshot semantics (half-written
+    files and logically-deleted files are invisible because no manifest
+    names them).
+
+    This lands orders as three parquet slices, then writes two manifest
+    versions: v1 lists slice 0; v2 (the committed head) lists slices 0
+    and 1 — slice 2 exists on disk but belongs to no manifest (an
+    uncommitted write). The scan replays the LOG HEAD: pick the highest
+    manifest version, read exactly its file list. Reading the manifest
+    is a driver-side METADATA read (bounded: a file list, like Delta's
+    log replay or the bounded bucket-id list in streaming/upsert.py) —
+    the data files themselves are read by executors as one parallel
+    FileScan, with all pushdown/pruning intact.
+
+    At 100 TB this is how scans scale past directory listing entirely:
+    the manifest carries per-file stats for pruning, and snapshot
+    isolation is free — readers of v1 never see v2's files.
+    """
+    import json as _json
+    import os
+
+    src = table(spark, sf_dir, "orders")
+    root = _land_dir(sf_dir, "manifest_log")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    for s in range(3):
+        src.filter(F.col("o_orderkey") % 3 == s).select(*cols).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{root}/slice={s}")
+    os.makedirs(f"{root}/_log", exist_ok=True)
+    with open(f"{root}/_log/manifest_v1.json", "w") as f:
+        _json.dump({"version": 1, "files": [f"{root}/slice=0"]}, f)
+    with open(f"{root}/_log/manifest_v2.json", "w") as f:
+        _json.dump(
+            {"version": 2, "files": [f"{root}/slice=0", f"{root}/slice=1"]},
+            f,
+        )
+    # log replay: highest committed version wins (driver-side metadata)
+    versions = sorted(os.listdir(f"{root}/_log"))
+    with open(f"{root}/_log/{versions[-1]}") as f:
+        head = _json.load(f)
+    return spark.read.parquet(*head["files"]).select(*cols)
+
+
+ORACLE_SCAN_MANIFEST_LOG = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey % 3 <> 2
+"""
+
+
 COMPACT_SMALL_FILES = 64
 COMPACT_TARGET_FILES = 4
 
@@ -481,5 +534,10 @@ QUERIES = {
     "scan_schema_evolution": spec(
         scan_schema_evolution, ORACLE_SCAN_SCHEMA_EVOLUTION, "beyond",
         doc="mergeSchema read across generations w/ added column",
+    ),
+    "scan_manifest_log": spec(
+        scan_manifest_log, ORACLE_SCAN_MANIFEST_LOG, "beyond",
+        doc="manifest/log-head scan: snapshot isolation, uncommitted "
+            "files invisible",
     ),
 }

@@ -1046,3 +1046,23 @@ def test_relrank_single_window_pass(spark):
     tree = plan_tree(win_relrank(spark, SF_SMALL))
     assert tree.count("Window") == 1, tree
     assert tree.count("Sort") == 1, tree
+
+
+def test_manifest_scan_snapshot_isolation(spark):
+    """The log-head read must see exactly the committed file set:
+    slices 0 and 1 (manifest v2), never the uncommitted slice 2 that
+    exists on disk beside them — and reading v1 would see only slice 0
+    (version monotonicity of the picked head)."""
+    from etl_verkada_spark.operators.scans import scan_manifest_log
+    from etl_verkada_spark.catalog import table as cat_table
+
+    out = scan_manifest_log(spark, SF_SMALL)
+    keys = [r["o_orderkey"] for r in out.collect()]
+    assert keys, "committed slices must be visible"
+    assert all(k % 3 != 2 for k in keys), "uncommitted slice leaked"
+    n_committed = (
+        cat_table(spark, SF_SMALL, "orders")
+        .filter("o_orderkey % 3 != 2")
+        .count()
+    )
+    assert len(keys) == n_committed
