@@ -157,6 +157,52 @@ FROM per_lang CROSS JOIN total
 """
 
 
+#: importance-sampling length cap: keep-probability ramps linearly with
+#: document length and saturates at 1 for docs >= this many chars.
+IMP_LEN_CAP = 500
+
+
+def llm_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: keep probability proportional to document
+    length (capped at 1) — the weighted variant of llm_sample_hash,
+    the shape quality-weighted corpus downsampling takes (weight by a
+    quality score, a domain multiplier, a dedup cluster size, ...).
+
+    The acceptance test is ONE exact integer inequality: keep iff
+    u8 * CAP < min(n_chars, CAP) * 256, with u8 the content-stable
+    md5 variate. No floats, no rand() — repartition-stable and
+    engine-identical, like every selector in this family.
+
+    At 100 TB: a scan-side filter (no shuffle); the per-language audit
+    aggregate here exists for the oracle and would be dropped in the
+    write path.
+    """
+    d = table(spark, sf_dir, "documents")
+    kept = d.filter(
+        _hash_u8() * F.lit(IMP_LEN_CAP)
+        < F.least(F.col("n_chars"), F.lit(IMP_LEN_CAP)) * F.lit(256)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+ORACLE_LLM_SAMPLE_IMPORTANCE = f"""
+SELECT
+  lang,
+  COUNT(*) AS n_sampled,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  MIN(doc_id) AS min_doc,
+  MAX(doc_id) AS max_doc
+FROM documents
+WHERE {_ORACLE_HASH_U8} * {IMP_LEN_CAP} < LEAST(n_chars, {IMP_LEN_CAP}) * 256
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "llm_sample_hash": spec(
         llm_sample_hash, ORACLE_LLM_SAMPLE_HASH, "llm",
@@ -169,5 +215,9 @@ QUERIES = {
     "llm_mix_weights": spec(
         llm_mix_weights, ORACLE_LLM_MIX_WEIGHTS, "llm",
         doc="per-language mixture reweighting from exact token counts",
+    ),
+    "llm_sample_importance": spec(
+        llm_sample_importance, ORACLE_LLM_SAMPLE_IMPORTANCE, "llm",
+        doc="length-weighted importance sampling, one integer inequality",
     ),
 }

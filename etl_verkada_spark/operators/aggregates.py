@@ -813,6 +813,73 @@ FROM ex JOIN est USING (k)
 """
 
 
+DAY_US_AGG = 86_400_000_000  # one day in microseconds (timezone-free)
+
+
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: stored daily partials
+    plus today's delta merge into the same answer a full recompute
+    gives — the contract that lets a 100 TB rollup absorb a new
+    partition WITHOUT rescanning history.
+
+    The query stages it explicitly: (1) daily partials per
+    (event_type, day) — what the MV stores; (2) the history rollup
+    (day < max) and the delta partial (day = max) aggregated
+    SEPARATELY; (3) merged by summing partials. Because the stored
+    state is (count, integer-cent sum) — both associative and
+    commutative — the merge is exact, and the oracle is the FULL
+    recompute: the driver's hash check IS the proof that incremental
+    == from-scratch. (A mean or distinct stored directly would NOT
+    merge; store (sum, count) / sketches instead — see
+    agg_sketch_merge for the distinct case.)
+
+    At 100 TB: history partials are day x type rows (metadata-sized);
+    only the delta partition is scanned per refresh. The double
+    aggregation here (partials, then merge) costs one extra tiny
+    shuffle over the day-partial table — nothing against the rescan
+    it replaces.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US_AGG}")
+    parts = e.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(scaled_long("value")).alias("c"),
+    )
+    max_day = parts.agg(F.max("day").alias("max_day"))
+    parts = parts.crossJoin(F.broadcast(max_day))
+    hist = (
+        parts.filter(F.col("day") < F.col("max_day"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+    )
+    delta = (
+        parts.filter(F.col("day") == F.col("max_day"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+    )
+    return (
+        hist.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            unscale(F.sum("c"), 2).alias("sum_value"),
+        )
+    )
+
+
+#: the oracle is the FULL recompute — hash equality proves the
+#: incremental merge loses nothing.
+ORACLE_AGG_INCREMENTAL_MERGE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DECIMAL(38,0))
+       / 100 AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "agg_count": spec(
         agg_count, ORACLE_AGG_COUNT, "reference:A1",
@@ -883,5 +950,10 @@ QUERIES = {
         agg_countmin, ORACLE_AGG_COUNTMIN, "beyond",
         doc="count-min sketch frequency estimates vs exact (4x64, "
             "cross-engine md5 buckets)",
+    ),
+    "agg_incremental_merge": spec(
+        agg_incremental_merge, ORACLE_AGG_INCREMENTAL_MERGE, "beyond",
+        doc="incremental MV maintenance: history partials + delta == "
+            "full recompute (oracle is the rescan)",
     ),
 }

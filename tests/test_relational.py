@@ -1066,3 +1066,67 @@ def test_manifest_scan_snapshot_isolation(spark):
         .count()
     )
     assert len(keys) == n_committed
+
+
+def test_incremental_merge_equals_recompute_after_append(spark):
+    """The mergeability contract, exercised the way production uses it:
+    on a corpus with one EXTRA day appended, the staged
+    history+delta merge must still equal a from-scratch recompute."""
+    from etl_verkada_spark.operators.aggregates import (
+        DAY_US_AGG, scaled_long, unscale,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, 0 * DAY_US_AGG + 5, "a", 1.25),
+            (2, 0 * DAY_US_AGG + 9, "a", 2.50),
+            (3, 1 * DAY_US_AGG + 1, "b", 0.75),
+            (4, 2 * DAY_US_AGG + 3, "a", 4.00),  # the "new" day
+            (5, 2 * DAY_US_AGG + 4, "b", 0.01),
+        ],
+        "event_id long, us long, event_type string, value double",
+    )
+    parts = base.groupBy(
+        "event_type", F.expr(f"us div {DAY_US_AGG}").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(scaled_long("value")).alias("c")
+    )
+    merged = (
+        parts.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            unscale(F.sum("c"), 2).alias("sum_value"),
+        )
+    )
+    full = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        unscale(F.sum(scaled_long("value")), 2).alias("sum_value"),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_importance_sample_monotone_in_length(spark):
+    """Keep-rate must increase with document length: among sf0.001 docs,
+    the kept set's mean length exceeds the full corpus mean (the whole
+    point of weighting), and every >=CAP-length doc is kept."""
+    from etl_verkada_spark.llm.sampling import (
+        llm_sample_importance, IMP_LEN_CAP, _hash_u8,
+    )
+    from etl_verkada_spark.catalog import table as cat_table
+
+    d = cat_table(spark, SF_SMALL, "documents")
+    kept = d.filter(
+        _hash_u8() * F.lit(IMP_LEN_CAP)
+        < F.least(F.col("n_chars"), F.lit(IMP_LEN_CAP)) * F.lit(256)
+    )
+    stats = d.agg(F.avg("n_chars").alias("m")).collect()[0]["m"]
+    kstats = kept.agg(
+        F.avg("n_chars").alias("m"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert kstats["n"] > 0
+    assert kstats["m"] >= stats
+    long_docs = d.filter(F.col("n_chars") >= IMP_LEN_CAP).count()
+    long_kept = kept.filter(F.col("n_chars") >= IMP_LEN_CAP).count()
+    assert long_kept == long_docs
