@@ -178,7 +178,23 @@ SF1_QUERIES = [
     "join_asof",
     "ts_gapfill",
     "agg_salted",
+    # round-5 session-2 operators with a scale story: crossover rows
+    # from birth (events at 40x, documents at 100x, lineitem at 10x)
+    "graph_triangle_count",
+    "llm_chunk_rag",
+    "agg_countmin",
+    "llm_bigram_score",
+    "agg_incremental_merge",
 ]
+
+#: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's
+#: 16-LAG / frame-sum windows over the 40M-row events table spilled
+#: >75 GB of sort temp (measured — it exhausted this host's disk before
+#: finishing even once), while Spark's streaming window-frame executor
+#: computes the same result in one pass with O(frame) state per task
+#: (plan tests pin the one-exchange/one-sort shape). The Spark absolute
+#: is recorded so the claim is a number, not an assertion.
+SF1_SPARK_ONLY = ["ts_ewma", "ts_anomaly_zscore"]
 
 #: iteration-heavy operators where a min-of-N would measure a cache, not
 #: the computation (graph_pagerank localCheckpoints its ranks; scd2_build
@@ -326,7 +342,7 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     con.close()
 
     timings: dict[str, float] = {}
-    for name in SF1_QUERIES:
+    for name in SF1_QUERIES + SF1_SPARK_ONLY:
         try:
             timings[name] = round(
                 run_spark(registry[name].fn, spark, sf1_dir, n_runs=5), 3
@@ -360,6 +376,9 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
         },
         "cold_sec": cold,
         "cold_duckdb_sec": cold_duck,
+        "spark_only": {
+            n: timings[n] for n in SF1_SPARK_ONLY if n in timings
+        },
     }
     if errors:
         out["errors"] = errors
