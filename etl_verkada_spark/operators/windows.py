@@ -423,6 +423,67 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact running count-distinct per user: how many distinct event
+    types has this user produced up to and including each event — the
+    engagement-breadth signal feature pipelines attach per event.
+
+    A sliding DISTINCT cannot ride one frame (distinct state is not
+    mergeable across frame slides — same impossibility ts_rolling_dau
+    documents), so this is the standard exact rewrite: flag each
+    (user, type) pair's FIRST occurrence with one row_number window,
+    then running-SUM the flags over the user's timeline. Two window
+    passes; the second re-exchanges from (user, type) to (user) —
+    unavoidable, since the flag needs per-type order and the running
+    sum needs the whole user. Both orders share the same (ts,
+    event_id) total order, so results are deterministic and
+    engine-identical (integer flags, integer sums).
+
+    At 100 TB: state per task is O(1) for both windows (running
+    aggregates stream); skew bounded by per-user event counts.
+    """
+    e = table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.row_number().over(w1) == 1, 1).otherwise(0).alias("fst"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("fst").over(w2).alias("n_distinct_types"),
+    )
+
+
+ORACLE_WIN_RUNNING_DISTINCT = """
+WITH f AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+              ) = 1 THEN 1 ELSE 0 END AS fst
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type,
+       CAST(SUM(fst) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_distinct_types
+FROM f
+"""
+
+
 QUERIES = {
     "win_rownum": spec(
         win_rownum, ORACLE_WIN_ROWNUM, "beyond", "reference:J2",
@@ -463,5 +524,9 @@ QUERIES = {
     "win_relrank": spec(
         win_relrank, ORACLE_WIN_RELRANK, "beyond",
         doc="percent_rank + cume_dist price percentile within priority",
+    ),
+    "win_running_distinct": spec(
+        win_running_distinct, ORACLE_WIN_RUNNING_DISTINCT, "beyond",
+        doc="exact running count-distinct via first-occurrence flags",
     ),
 }

@@ -61,14 +61,14 @@ def spec(
 #   1. queries that have never had a driver row (the 13 late round-4
 #      additions — ALL in this round's window, so after r5 every one of
 #      the 134 registered queries has driver evidence from some round),
-#   2. the twenty round-5 additions (oracle-paired from birth, never
+#   2. the twenty-two round-5 additions (oracle-paired from birth, never
 #      checked: sketch merge, dq profile, passage dedup, int8 quantize,
 #      z-order audit, frame sampling from session 1; triangle count,
 #      EWMA, z-score anomaly gate, RAG chunking, bigram doc scoring,
 #      random projection, k-means assignment + 3-iteration training,
 #      relative-rank windows, schema-evolution scan, count-min sketch,
 #      manifest/log-head scan, importance sampling, incremental MV
-#      merge from session 2),
+#      merge batch + streaming, running count-distinct from session 2),
 #   3. queries whose implementation or oracle changed this round
 #      (flagship_features to_json surface + oracle, minhash threshold,
 #      LSH ANN oracle, maintain_compact fingerprint, simhash rebuilt
@@ -85,8 +85,9 @@ def spec(
 #      validate_json, win_first_last, and — displaced by the session-2
 #      additions — agg_count, agg_count_distinct, agg_cube,
 #      agg_distinct, agg_grouping_sets, agg_percentile, agg_rollup,
-#      dedup_exact_rows, join_anti, join_semi, join_sortmerge,
-#      subquery_scalar, win_lag, win_range_interval).
+#      dedup_exact_rows, join_anti, join_asof, join_semi,
+#      join_sortmerge, subquery_exists, subquery_scalar, win_lag,
+#      win_range_interval).
 # Past slot 50: driver-green from an earlier round with unchanged code.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
@@ -126,6 +127,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "scan_manifest_log",
     "llm_sample_importance",
     "agg_incremental_merge",
+    "win_running_distinct",
+    "stream_mv_refresh",
     # -- 3. changed this round: need fresh hash-green rows --
     "flagship_features",
     "llm_dedup_minhash",
@@ -138,9 +141,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_bm25",
     # -- 5. oldest evidence (last checked round 1; the 6 displaced by the
     #       round-5 additions move behind slot 50 with their r1 rows) --
-    "join_asof",
     "join_broadcast_left",
-    "subquery_exists",
     "topk",
     "win_frame",
     "win_ntile",

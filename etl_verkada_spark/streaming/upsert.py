@@ -171,9 +171,107 @@ FROM (
 """
 
 
+#: number of landed event chunks = number of micro-batches the MV
+#: refresh stream folds through (one file per trigger)
+MV_CHUNKS = 4
+MV_DAY_US = 86_400_000_000
+
+
+def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized-view maintenance — the
+    streaming twin of agg_incremental_merge: events arrive as
+    micro-batches (one landed day-chunk file per trigger), a
+    foreachBatch sink folds each batch's (event_type, count, int-cent
+    sum) partials into a parquet state table, and the FINAL state must
+    equal a from-scratch aggregate — the oracle IS the full recompute,
+    so the driver's hash check proves no batch boundary lost or
+    double-counted anything.
+
+    Mergeability discipline: the state stores associative partials
+    (n, c), never finals; each fold is union + re-sum, idempotent
+    under Spark's task-retry contract because the write replaces state
+    atomically per batch (localCheckpoint breaks lineage before the
+    read-modify-write overwrite, same as foreach_batch_merge).
+
+    At 100 TB: state is |group| rows (metadata-sized); each refresh
+    touches only the arriving partition — the streaming form of "never
+    rescan history".
+    """
+    import shutil
+    import uuid
+
+    from ..operators.aggregates import scaled_long, unscale
+    from ..operators.scans import _land_dir
+    from ..session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    e = table(spark, sf_dir, "events")
+    land = _land_dir(sf_dir, "mv_chunks")
+    state_dir = land + "_state"
+    shutil.rmtree(land, ignore_errors=True)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {MV_DAY_US}")
+    src = e.select("event_type", "value", day.alias("day"))
+    for c in range(MV_CHUNKS):
+        src.filter(F.col("day") % MV_CHUNKS == c).drop("day").coalesce(
+            1
+        ).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        part = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled_long("value")).alias("c"),
+        )
+        try:
+            state = bspark.read.parquet(state_dir)
+        except Exception:
+            state = None
+        merged = (
+            part
+            if state is None
+            else state.unionByName(part)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_fold)
+        .queryName(f"mv_refresh_{uuid.uuid4().hex[:12]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_dir).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        unscale(F.col("c"), 2).alias("sum_value"),
+    )
+
+
+def _mv_oracle() -> str:
+    from ..operators.aggregates import ORACLE_AGG_INCREMENTAL_MERGE
+
+    return ORACLE_AGG_INCREMENTAL_MERGE
+
+
 QUERIES = {
     "upsert_merge": spec(
         upsert_merge, ORACLE_UPSERT_MERGE, "reference:S9",
         doc="MERGE upsert across scheduled runs (PATCH/POST sync), task.ts:228-271",
+    ),
+    "stream_mv_refresh": spec(
+        stream_mv_refresh, _mv_oracle(), "beyond",
+        doc="streaming incremental MV: foreachBatch partial folds == "
+            "full recompute (oracle is the rescan)",
     ),
 }

@@ -426,3 +426,39 @@ def test_streaming_ohlc_equals_batch(spark, events_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_mv_refresh_folds_multiple_microbatches(spark):
+    """The incremental claim needs >1 fold: the landed chunk dir must
+    hold >= MV_CHUNKS files (maxFilesPerTrigger=1 then guarantees one
+    micro-batch per file), and the final state must equal the batch
+    aggregate computed directly."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_verkada_spark.catalog import table as cat_table
+    from etl_verkada_spark.operators.aggregates import scaled_long, unscale
+    from etl_verkada_spark.operators.scans import _land_dir
+    from etl_verkada_spark.streaming.upsert import (
+        MV_CHUNKS, stream_mv_refresh,
+    )
+    from .conftest import SF_SMALL
+
+    out = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in stream_mv_refresh(spark, SF_SMALL).collect()
+    }
+    files = glob.glob(_land_dir(SF_SMALL, "mv_chunks") + "/part-*.parquet")
+    assert len(files) >= MV_CHUNKS
+    want = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in cat_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            unscale(F.sum(scaled_long("value")), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert out == want
