@@ -813,6 +813,39 @@ FROM ex JOIN est USING (k)
 """
 
 
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregation: one pass computing
+    differently-predicated aggregates side by side — the replacement
+    for N filtered subqueries re-scanning the table N times. Spark
+    spells it count_if / sum(CASE); SQL spells it FILTER (WHERE ...) —
+    both compile to conditional accumulation inside ONE hash aggregate
+    (a single scan, a single exchange), which is the whole point at
+    scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("count_if(l_discount > 0.05)").alias("n_discounted"),
+        F.sum(
+            F.when(F.col("l_quantity") > 25, scaled_long("l_extendedprice"))
+        ).alias("hi_qty_revenue_c"),
+        F.expr("count_if(l_linestatus = 'O')").alias("n_open"),
+    )
+
+
+ORACLE_AGG_FILTERED = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n_rows,
+  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+       FILTER (WHERE l_quantity > 25) AS BIGINT) AS hi_qty_revenue_c,
+  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_open
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 DAY_US_AGG = 86_400_000_000  # one day in microseconds (timezone-free)
 
 
@@ -955,5 +988,9 @@ QUERIES = {
         agg_incremental_merge, ORACLE_AGG_INCREMENTAL_MERGE, "beyond",
         doc="incremental MV maintenance: history partials + delta == "
             "full recompute (oracle is the rescan)",
+    ),
+    "agg_filtered": spec(
+        agg_filtered, ORACLE_AGG_FILTERED, "beyond",
+        doc="FILTER-clause aggregates: N predicates, one scan, one agg",
     ),
 }

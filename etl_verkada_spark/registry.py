@@ -61,14 +61,15 @@ def spec(
 #   1. queries that have never had a driver row (the 13 late round-4
 #      additions — ALL in this round's window, so after r5 every one of
 #      the 134 registered queries has driver evidence from some round),
-#   2. the twenty-two round-5 additions (oracle-paired from birth, never
+#   2. the twenty-three round-5 additions (oracle-paired from birth, never
 #      checked: sketch merge, dq profile, passage dedup, int8 quantize,
 #      z-order audit, frame sampling from session 1; triangle count,
 #      EWMA, z-score anomaly gate, RAG chunking, bigram doc scoring,
 #      random projection, k-means assignment + 3-iteration training,
 #      relative-rank windows, schema-evolution scan, count-min sketch,
 #      manifest/log-head scan, importance sampling, incremental MV
-#      merge batch + streaming, running count-distinct from session 2),
+#      merge batch + streaming, running count-distinct, FILTER-clause
+#      aggregates from session 2),
 #   3. queries whose implementation or oracle changed this round
 #      (flagship_features to_json surface + oracle, minhash threshold,
 #      LSH ANN oracle, maintain_compact fingerprint, simhash rebuilt
@@ -87,7 +88,7 @@ def spec(
 #      agg_distinct, agg_grouping_sets, agg_percentile, agg_rollup,
 #      dedup_exact_rows, join_anti, join_asof, join_semi,
 #      join_sortmerge, subquery_exists, subquery_scalar, win_lag,
-#      win_range_interval).
+#      win_ntile, win_range_interval).
 # Past slot 50: driver-green from an earlier round with unchanged code.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
@@ -129,6 +130,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_incremental_merge",
     "win_running_distinct",
     "stream_mv_refresh",
+    "agg_filtered",
     # -- 3. changed this round: need fresh hash-green rows --
     "flagship_features",
     "llm_dedup_minhash",
@@ -144,7 +146,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_broadcast_left",
     "topk",
     "win_frame",
-    "win_ntile",
     "win_rank",
     "win_rownum",
 )
