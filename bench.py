@@ -451,6 +451,24 @@ def main() -> None:
         if duck[n] > 0
     }
 
+    headline = {
+        "metric": (
+            f"headline query wall-clock, noop sink, min-of-{N_RUNS}"
+        ),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "duckdb": duck,
+        "spark_fixed_overhead_sec": floor_s,
+        "ratio_floor_adjusted": ratios,
+        "sf1": "pending",
+    }
+    # the sf1 section runs for tens of minutes; print (and flush) the
+    # headline line FIRST so a harness timeout mid-sf1 still records
+    # the sf0.1 results — the final line below supersedes this one.
+    print(json.dumps(headline), flush=True)
+
     # sf1 crossover section (disable with SPARK_GRAFT_SF1=0); never let
     # it break the headline JSON line.
     sf1: dict | None = None
@@ -460,23 +478,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             sf1 = {"error": f"{type(e).__name__}: {e}"}
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"headline query wall-clock, noop sink, min-of-{N_RUNS}"
-                ),
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "duckdb": duck,
-                "spark_fixed_overhead_sec": floor_s,
-                "ratio_floor_adjusted": ratios,
-                "sf1": sf1,
-            }
-        )
-    )
+    print(json.dumps({**headline, "sf1": sf1}), flush=True)
 
 
 if __name__ == "__main__":
