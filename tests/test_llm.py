@@ -94,11 +94,80 @@ def test_decode_stub_shapes_and_determinism(spark):
     assert all(r[2] > 0 and r[3] > 0 for r in rows)
 
 
-def test_decode_real_codec_path_is_stubbed(spark):
+def test_decode_real_codec_rejects_unknown_magic(spark):
+    # text-bytes payload is not a PPM: the real codec path must fail
+    # loudly (codec contract), not silently fake
     docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     frames = decode_frames(with_binary_payload(docs), real_codecs=True)
-    with pytest.raises(Exception, match="NotImplementedError|real image"):
+    with pytest.raises(Exception, match="unsupported codec magic"):
         frames.collect()
+
+
+def test_ppm_round_trip_exact():
+    # pure-kernel check: encode a known image, decode, verify pixels
+    import numpy as np
+
+    from etl_verkada_spark.llm.multimodal import _ppm_parse
+
+    w, h = 4, 2
+    px = np.arange(w * h * 3, dtype=np.uint8)
+    b = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    pw, ph, maxval, out = _ppm_parse(b)
+    assert (pw, ph, maxval) == (w, h, 255)
+    assert np.array_equal(out, px)
+    with pytest.raises(ValueError, match="truncated"):
+        _ppm_parse(b[:-1])
+
+
+def test_decode_real_codec_band_means(spark):
+    # real path over a real PPM payload: per-band means recomputed in
+    # numpy must match the kernel's output exactly
+    import numpy as np
+
+    from etl_verkada_spark.llm.multimodal import with_ppm_payload
+
+    docs = spark.createDataFrame(
+        [(7, "abcdefgh" * 20)], "doc_id long, text string"
+    )
+    payload = with_ppm_payload(docs)
+    rows = sorted(
+        decode_frames(payload, n_frames=2, real_codecs=True).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    raw = bytes(payload.collect()[0].payload)
+    from etl_verkada_spark.llm.multimodal import _ppm_parse
+
+    w, h, _, px = _ppm_parse(raw)
+    bands = np.array_split(px.reshape(h, w * 3), 2)
+    assert len(rows) == 2
+    for r, band in zip(rows, bands):
+        assert r.width == w
+        assert r.height == band.shape[0]
+        assert r.mean_px == int(band.sum(dtype=np.int64)) / band.size
+
+
+def test_resize_real_codec_nearest_neighbor(spark):
+    from pyspark.sql import functions as F
+
+    from etl_verkada_spark.llm.multimodal import (
+        resize_images, with_ppm_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(3, "0123456789" * 30)], "doc_id long, text string"
+    )
+    p = with_ppm_payload(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+        ),
+    )
+    got = resize_images(p, out_w=8, out_h=8, real_codecs=True).collect()[0]
+    # doc_id=3 -> w=8+3*4=20, h=6+0*2=6 (doc_id%3==0)
+    assert (got.out_w, got.out_h) == (8, 8)
+    assert got.scale == pytest.approx(min(8 / 20, 8 / 6), abs=1e-6)
 
 
 def test_ivf_results_sorted_and_exactly_rescored(spark):
