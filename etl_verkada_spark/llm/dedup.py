@@ -21,7 +21,7 @@ checks reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -799,6 +799,129 @@ GROUP BY o.doc_id
 """
 
 
+SUBSTR_WINDOW = 8  # tokens per sliding window
+
+
+def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window substring-level dedup — the k-token duplicate-span
+    pass of large-corpus pipelines (the Spark-native approximation of
+    suffix-array span dedup): unlike llm_dedup_passage's fixed 16-word
+    chunks, windows slide by ONE token, so duplicate spans that
+    straddle chunk boundaries are caught.
+
+    Every 8-token window of every document is hashed; one canonical
+    owner per distinct window digest (min (doc_id, w_idx), encoded as
+    a single long); every other occurrence is a duplicated window.
+    Per-doc output adds the span-union metric pipelines act on:
+    ``n_dup_tokens`` = tokens covered by at least one duplicated window
+    (overlapping windows merged via lead() gap arithmetic, capped at
+    both the window size and the document tail).
+
+    100 TB: wire cost is ~(16 B digest + 16 B keys) per TOKEN — k times
+    passage dedup's per-chunk cost; that is the price of stride-1
+    recall and exactly what the published span-dedup passes pay. Only
+    digests shuffle (never window text); owner resolution is one
+    groupBy on the digest and the join back is digest-keyed, so the
+    heavy exchange is a single co-partitioned hash join. The per-doc
+    coverage window sorts within doc partitions only (no global sort).
+    """
+    K = SUBSTR_WINDOW
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.greatest(F.size(ws) - K + 1, F.lit(1)).cast("long")
+        .alias("n_windows"),
+        ws.alias("w"),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), (F.col("n_windows") - 1).cast("int")),
+        lambda i: F.array_join(F.slice("w", i + 1, K), " "),
+    )
+    occ = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(wins).alias("w_idx", "win"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "w_idx",
+        F.md5("win").alias("h"),
+        (F.col("doc_id") * OWNER_BASE + F.col("w_idx")).alias("occ_key"),
+    )
+    owners = occ.groupBy("h").agg(F.min("occ_key").alias("owner_key"))
+    dup = occ.join(owners, "h").filter(
+        F.col("occ_key") != F.col("owner_key")
+    )
+    seq = Window.partitionBy("doc_id").orderBy("w_idx")
+    covered = F.least(
+        F.coalesce(F.lead("w_idx").over(seq) - F.col("w_idx"), F.lit(K)),
+        F.lit(K),
+        (F.col("n_tokens") - F.col("w_idx")).cast("int"),
+    )
+    per_doc = (
+        dup.withColumn("covered", covered)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("covered").cast("long").alias("n_dup_tokens"),
+        )
+    )
+    return base.select("doc_id", "n_tokens", "n_windows").join(
+        per_doc, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+    )
+
+
+ORACLE_LLM_DEDUP_SUBSTRING = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(LEN(w) - {SUBSTR_WINDOW} + 1, 1) AS BIGINT)
+           AS n_windows,
+         w
+  FROM ws
+),
+occ AS (
+  SELECT doc_id, n_tokens, i AS w_idx,
+    md5(array_to_string(w[i + 1 : i + {SUBSTR_WINDOW}], ' ')) AS h,
+    doc_id * {OWNER_BASE} + i AS occ_key
+  FROM base,
+       LATERAL (SELECT UNNEST(generate_series(
+         0, CAST(n_windows AS INT) - 1)) AS i)
+),
+owners AS (
+  SELECT h, MIN(occ_key) AS owner_key FROM occ GROUP BY h
+),
+dup AS (
+  SELECT o.doc_id, o.n_tokens, o.w_idx,
+    LEAD(o.w_idx) OVER (PARTITION BY o.doc_id ORDER BY o.w_idx) AS nxt
+  FROM occ o JOIN owners USING (h)
+  WHERE o.occ_key <> owner_key
+),
+agg AS (
+  SELECT doc_id,
+    COUNT(*) AS n_dup_windows,
+    CAST(SUM(LEAST(COALESCE(nxt - w_idx, {SUBSTR_WINDOW}),
+                   {SUBSTR_WINDOW}, n_tokens - w_idx)) AS BIGINT)
+      AS n_dup_tokens
+  FROM dup GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+  COALESCE(a.n_dup_windows, 0) AS n_dup_windows,
+  COALESCE(a.n_dup_tokens, 0) AS n_dup_tokens
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": spec(
         llm_dedup_exact, ORACLE_LLM_DEDUP_EXACT, "llm",
@@ -832,5 +955,10 @@ QUERIES = {
     "llm_dedup_passage": spec(
         llm_dedup_passage, ORACLE_LLM_DEDUP_PASSAGE, "llm",
         doc="passage-level (16-word chunk) cross-document dedup",
+    ),
+    "llm_dedup_substring": spec(
+        llm_dedup_substring, ORACLE_LLM_DEDUP_SUBSTRING, "llm",
+        doc="stride-1 sliding-window (8-token) substring-span dedup "
+            "with merged span coverage",
     ),
 }

@@ -22,7 +22,15 @@ from ..registry import spec
 
 
 def sort_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global ORDER BY with explicit null placement + position column."""
+    """Global ORDER BY with explicit null placement + position column.
+
+    The unpartitioned window is the operator's SEMANTICS (total-order
+    position), and at this SF one task is the right plan. At 100 TB the
+    same result is computed in two passes with no single-task sort:
+    ``repartitionByRange(cols).sortWithinPartitions(cols)``, count rows
+    per partition, broadcast the prefix-sum offsets, and add each
+    partition's offset to its local row_number (see SCALE.md §5).
+    """
     c = table(spark, sf_dir, "customer")
     w = Window.orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey"))
     return c.select(

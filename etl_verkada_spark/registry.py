@@ -56,8 +56,26 @@ def spec(
 
 # The correctness driver hard-checks only the FIRST 50 insertion-order
 # entries of build_registry() (verified round 1: CORRECTNESS_r01.json ==
-# first 50 names exactly).  Window policy — the slots are ROTATED each
-# round, in priority order:
+# first 50 names exactly).
+#
+# ROUND-6 WINDOW (r5 verdict #6: rotate toward the oldest evidence —
+# "no registered query's newest driver row older than r2"):
+#   1. flagship (always slot 1);
+#   2. the two round-6 additions, oracle-paired from birth: mm_decode
+#      (real PPM codec, replaces the rows-only mm_decode_stub) and
+#      llm_dedup_substring (stride-1 sliding-window span dedup);
+#   3. ALL 37 queries whose newest hash-green row is round 1 (computed
+#      from CORRECTNESS_r01-r05: green in r1, displaced and unchanged
+#      since) — after r6 every registered query's newest row is >= r3;
+#   4. queries whose implementation changes this round: upsert_merge
+#      (state-fold batch_id idempotency fix) and scan_manifest_log
+#      (numeric version sort fix);
+#   5. remaining slots filled with the oldest r3-evidence rows.
+# Past slot 50: driver-green from an earlier round with unchanged code.
+#
+# Round-5 policy (kept for history; the r5 window it describes is in
+# CORRECTNESS_r05.json) — the slots are ROTATED each round, in priority
+# order:
 #   1. queries that have never had a driver row (the 13 late round-4
 #      additions — ALL in this round's window, so after r5 every one of
 #      the 134 registered queries has driver evidence from some round),
@@ -93,61 +111,59 @@ def spec(
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 1. never driver-checked (late round-4 additions) --
-    "agg_histogram",
-    "cdc_snapshot_diff",
-    "dq_uniqueness",
-    "geo_density",
-    "graph_pagerank",
-    "join_range_banded",
-    "llm_bigram_lm",
-    "llm_dedup_incremental",
-    "maintain_compact",
-    "scd2_build",
-    "stream_ohlc",
-    "ts_cohort_retention",
-    "ts_rolling_dau",
-    # -- 2. new in round 5 (never checked, oracle-paired from birth) --
-    "agg_sketch_merge",
-    "dq_profile",
-    "llm_dedup_passage",
-    "llm_embed_quantize",
-    "maintain_zorder",
-    "mm_frame_sample",
-    "graph_triangle_count",
-    "ts_ewma",
-    "ts_anomaly_zscore",
-    "llm_chunk_rag",
-    "llm_bigram_score",
-    "llm_embed_rp",
-    "llm_kmeans_assign",
-    "win_relrank",
-    "scan_schema_evolution",
-    "agg_countmin",
-    "llm_kmeans_train",
+    # -- 2. round-6 additions (never checked, oracle-paired from birth) --
+    "mm_decode",
+    "llm_dedup_substring",
+    # -- 3. newest green row is round 1 (all 37; code unchanged since) --
+    "agg_count",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_salted",
+    "dedup_exact_rows",
+    "enrich_when",
+    "filter_conj",
+    "filter_isin",
+    "filter_nullsafe",
+    "join_anti",
+    "join_asof",
+    "join_semi",
+    "join_sortmerge",
+    "limit_offset",
+    "project_struct",
+    "scan_cursor",
+    "scan_page",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "sort_orderby",
+    "subquery_exists",
+    "subquery_in",
+    "subquery_scalar",
+    "unpivot",
+    "validate_failfast",
+    "validate_json",
+    "win_first_last",
+    "win_lag",
+    "win_ntile",
+    "win_range_interval",
+    # -- 4. implementation changed in round 6 --
+    "upsert_merge",
     "scan_manifest_log",
-    "llm_sample_importance",
-    "agg_incremental_merge",
-    "win_running_distinct",
-    "stream_mv_refresh",
-    "agg_filtered",
-    # -- 3. changed this round: need fresh hash-green rows --
-    "flagship_features",
-    "llm_dedup_minhash",
-    "llm_sim_ann_lsh",
-    "llm_dedup_simhash",
-    # -- 4. round-5 perf-workstream targets (both rewritten this round) --
-    "agg_groupby",
-    "pivot",
-    "llm_text_stats",
-    "llm_bm25",
-    # -- 5. oldest evidence (last checked round 1; the 6 displaced by the
-    #       round-5 additions move behind slot 50 with their r1 rows) --
-    "join_broadcast_left",
-    "topk",
-    "win_frame",
-    "win_rank",
-    "win_rownum",
+    # -- 5. fill: oldest round-3 evidence rows --
+    "dedup_lastwins",
+    "join_large",
+    "llm_dedup_exact",
+    "ts_gapfill",
+    "win_sessionize",
+    "agg_stats",
+    "llm_fingerprint",
+    "mm_feature_extract",
 )
 
 

@@ -830,6 +830,54 @@ def test_passage_dedup_shuffles_digests_not_text(spark):
             assert "passage" not in line and "text#" not in line, line
 
 
+def test_substring_dedup_catches_straddling_span(spark):
+    """The reason stride-1 windows exist: a duplicated span that
+    straddles llm_dedup_passage's fixed 16-word chunk boundary is
+    invisible to chunk hashing but must be caught by sliding windows."""
+    from etl_verkada_spark.llm.dedup import (
+        SUBSTR_WINDOW, llm_dedup_passage, llm_dedup_substring,
+    )
+
+    # doc 0: words a0..a31. doc 1 copies doc 0's words 12..19 — a span
+    # crossing the 16-word chunk boundary — embedded in unique filler.
+    span = [f"a{i}" for i in range(12, 20)]
+    doc0 = " ".join(f"a{i}" for i in range(32))
+    doc1 = " ".join([f"b{i}" for i in range(10)] + span
+                    + [f"c{i}" for i in range(10)])
+    docs = spark.createDataFrame(
+        [(0, doc0), (1, doc1)], "doc_id long, text string"
+    )
+    import etl_verkada_spark.catalog as cat
+
+    orig = cat.table
+    cat.table = lambda spark, sf, name: docs  # noqa: ARG005
+    import etl_verkada_spark.llm.dedup as dmod
+
+    dmod.table = cat.table
+    try:
+        sub = {r.doc_id: r for r in llm_dedup_substring(spark, "x").collect()}
+        psg = {r.doc_id: r for r in llm_dedup_passage(spark, "x").collect()}
+    finally:
+        cat.table = orig
+        dmod.table = orig
+    # chunk hashing misses it entirely...
+    assert psg[1].n_dup_passages == 0
+    # ...sliding windows catch the one full 8-token window, and the
+    # merged coverage is exactly the span length
+    assert sub[1].n_dup_windows == 1
+    assert sub[1].n_dup_tokens == SUBSTR_WINDOW
+    assert sub[0].n_dup_windows == 0  # doc 0 owns its windows
+
+
+def test_substring_dedup_shuffles_digests_not_text(spark):
+    from etl_verkada_spark.llm.dedup import llm_dedup_substring
+
+    plan = formatted_plan(llm_dedup_substring(spark, SF_SMALL))
+    for line in plan.splitlines():
+        if "Arguments: hashpartitioning" in line:
+            assert "win#" not in line and "text#" not in line, line
+
+
 def test_zorder_single_sort(spark):
     """The audit is ONE global sort (the ntile window) + one final agg —
     a second Sort would mean the window order wasn't reused."""
