@@ -415,8 +415,18 @@ def scan_manifest_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"version": 2, "files": [f"{root}/slice=0", f"{root}/slice=1"]},
             f,
         )
-    # log replay: highest committed version wins (driver-side metadata)
-    versions = sorted(os.listdir(f"{root}/_log"))
+    # log replay: highest committed version wins (driver-side metadata).
+    # NUMERIC version sort — lexicographic filename order would put
+    # manifest_v10 before manifest_v2 (ADVICE r5)
+    import re as _re
+
+    def _vnum(fname: str) -> int:
+        m = _re.search(r"_v(\d+)\.json$", fname)
+        if m is None:
+            raise ValueError(f"unversioned manifest in log: {fname}")
+        return int(m.group(1))
+
+    versions = sorted(os.listdir(f"{root}/_log"), key=_vnum)
     with open(f"{root}/_log/{versions[-1]}") as f:
         head = _json.load(f)
     return spark.read.parquet(*head["files"]).select(*cols)

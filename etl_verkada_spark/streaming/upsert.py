@@ -53,6 +53,22 @@ def state_bucket(key: list[str], n_buckets: int) -> F.Column:
     return F.pmod(F.hash(*[F.col(k) for k in key]), F.lit(n_buckets))
 
 
+def _read_state(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet state table; None ONLY when the path does not
+    exist yet (the first batch). Any other read failure — corrupt or
+    partial files, transient IO — must PROPAGATE: treating it as
+    'first batch' would silently discard accumulated state and the
+    stream would re-converge to a wrong answer (ADVICE r5)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def foreach_batch_merge(
     target_path: str,
     key: list[str],
@@ -82,10 +98,7 @@ def foreach_batch_merge(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.withColumn("__bucket", state_bucket(key, n_buckets))
-        try:
-            state = spark.read.parquet(target_path)
-        except Exception:
-            state = None
+        state = _read_state(spark, target_path)
         if state is not None:
             touched = [
                 r["__bucket"]
@@ -177,6 +190,45 @@ MV_CHUNKS = 4
 MV_DAY_US = 86_400_000_000
 
 
+def mv_fold(state_dir: str):
+    """Build the foreachBatch fold for incremental MV maintenance:
+    merge the batch's (event_type, count, scaled-sum) partials into the
+    parquet state table.
+
+    Replay safety: sums are not idempotent and foreachBatch is
+    at-least-once, so the state carries ``last_bid`` — the highest
+    batch_id folded so far; a batch at or below it is skipped. The
+    overwrite replaces state and watermark together, atomically per
+    batch.
+    """
+    from ..operators.aggregates import scaled_long
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        state = _read_state(bspark, state_dir)
+        if state is not None:
+            last_bid = state.agg(F.max("last_bid")).first()[0]
+            if last_bid is not None and batch_id <= last_bid:
+                return  # at-least-once replay: already folded, skip
+        part = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled_long("value")).alias("c"),
+        )
+        merged = (
+            part
+            if state is None
+            else state.select("event_type", "n", "c")
+            .unionByName(part)
+            .groupBy("event_type")
+            .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+        ).withColumn("last_bid", F.lit(batch_id))
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    return _fold
+
+
 def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental materialized-view maintenance — the
     streaming twin of agg_incremental_merge: events arrive as
@@ -188,10 +240,14 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-counted anything.
 
     Mergeability discipline: the state stores associative partials
-    (n, c), never finals; each fold is union + re-sum, idempotent
-    under Spark's task-retry contract because the write replaces state
-    atomically per batch (localCheckpoint breaks lineage before the
-    read-modify-write overwrite, same as foreach_batch_merge).
+    (n, c), never finals. A fold (sum) is NOT naturally idempotent the
+    way last-wins MERGE is, and foreachBatch is at-least-once — a
+    replayed batch_id would double-count. The state therefore records
+    the last folded batch_id (``last_bid``): a batch at or below it is
+    skipped, making replay a no-op (ADVICE r5). The write replaces
+    state atomically per batch (localCheckpoint breaks lineage before
+    the read-modify-write overwrite, same as foreach_batch_merge), so
+    state and watermark always move together.
 
     At 100 TB: state is |group| rows (metadata-sized); each refresh
     touches only the arriving partition — the streaming form of "never
@@ -223,29 +279,8 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(land)
     )
 
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        bspark = batch_df.sparkSession
-        part = batch_df.groupBy("event_type").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(scaled_long("value")).alias("c"),
-        )
-        try:
-            state = bspark.read.parquet(state_dir)
-        except Exception:
-            state = None
-        merged = (
-            part
-            if state is None
-            else state.unionByName(part)
-            .groupBy("event_type")
-            .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
-        )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
-        )
-
     q = (
-        stream.writeStream.foreachBatch(_fold)
+        stream.writeStream.foreachBatch(mv_fold(state_dir))
         .queryName(f"mv_refresh_{uuid.uuid4().hex[:12]}")
         .trigger(availableNow=True)
         .start()

@@ -1116,6 +1116,33 @@ def test_manifest_scan_snapshot_isolation(spark):
     assert len(keys) == n_committed
 
 
+def test_manifest_log_head_sorts_numerically(spark):
+    """manifest_v10 must beat manifest_v2 (lexicographic order would
+    pick v2): write a v10 beside the standard v1/v2 and assert the head
+    read follows it (ADVICE r5)."""
+    import json
+    import os
+
+    from etl_verkada_spark.operators.scans import (
+        _land_dir, scan_manifest_log,
+    )
+
+    scan_manifest_log(spark, SF_SMALL).count()  # lay down the log
+    root = _land_dir(SF_SMALL, "manifest_log")
+    with open(f"{root}/_log/manifest_v10.json", "w") as f:
+        json.dump({"version": 10, "files": [f"{root}/slice=2"]}, f)
+    try:
+        keys = [
+            r["o_orderkey"]
+            for r in scan_manifest_log(spark, SF_SMALL).collect()
+        ]
+        # v10 commits ONLY slice 2 — a lexicographic head would return
+        # slices 0+1 instead
+        assert keys and all(k % 3 == 2 for k in keys)
+    finally:
+        os.remove(f"{root}/_log/manifest_v10.json")
+
+
 def test_incremental_merge_equals_recompute_after_append(spark):
     """The mergeability contract, exercised the way production uses it:
     on a corpus with one EXTRA day appended, the staged

@@ -462,3 +462,39 @@ def test_mv_refresh_folds_multiple_microbatches(spark):
         .collect()
     }
     assert out == want
+
+
+def test_mv_fold_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-folded
+    batch_id must be a no-op (the state records last_bid), while the
+    next batch_id folds normally."""
+    from etl_verkada_spark.streaming.upsert import mv_fold
+
+    fold = mv_fold(str(tmp_path / "state"))
+    b0 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "event_type string, value double"
+    )
+    b1 = spark.createDataFrame(
+        [("a", 4.0)], "event_type string, value double"
+    )
+    fold(b0, 0)
+    fold(b0, 0)  # replay: must not double-count
+    fold(b1, 1)
+    fold(b1, 1)  # replay of the newest batch too
+    row = spark.read.parquet(str(tmp_path / "state")).collect()[0]
+    assert (row.event_type, row.n, row.last_bid) == ("a", 3, 1)
+
+
+def test_read_state_propagates_non_missing_errors(spark, tmp_path):
+    """Only PATH_NOT_FOUND means 'first batch'; a corrupt state file
+    must raise, not silently reset the accumulator."""
+    import pytest
+
+    from etl_verkada_spark.streaming.upsert import _read_state
+
+    assert _read_state(spark, str(tmp_path / "nope")) is None
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        _read_state(spark, str(bad)).collect()
