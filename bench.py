@@ -66,6 +66,10 @@ HEADLINE = [
     # round-4 operators with bench-stable plans (no checkpoint caching)
     "ts_ohlc",
     "cdc_snapshot_diff",
+    # round-6 additions: real PPM codec kernels + stride-1 span dedup
+    "mm_decode",
+    "mm_resize",
+    "llm_dedup_substring",
 ]
 
 
@@ -216,6 +220,10 @@ SF1_QUERIES = [
     "stream_session",
     "stream_ohlc",
     "stream_mv_refresh",
+    # round-6 operators with a scale story: crossover rows from birth
+    # (documents at 100x)
+    "llm_dedup_substring",
+    "mm_decode",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's

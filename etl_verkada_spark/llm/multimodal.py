@@ -377,6 +377,44 @@ def mm_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(imgs)
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec resize end to end: PPM payloads through the
+    real_codecs kernel — header parse, numpy nearest-neighbor resample
+    to 224x224, scale from the DECODED dims. Oracle recomputes every
+    output (incl. the payload byte count: 9-byte fixed header + the
+    variable dim digits + w*h*3 pixels) from the same doc_id formulas.
+    """
+    docs = table(spark, sf_dir, "documents")
+    p = with_ppm_payload(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(0).alias("width"),   # kernel must use DECODED dims
+            F.lit(0).alias("height"),
+        ),
+    )
+    return resize_images(p, real_codecs=True)
+
+
+ORACLE_MM_RESIZE_REAL = """
+WITH p AS (
+  SELECT doc_id,
+    8 + (doc_id % 4) * 4 AS w,
+    6 + (doc_id % 3) * 2 AS h
+  FROM documents
+)
+SELECT
+  doc_id,
+  'image/x-portable-pixmap' AS mime,
+  224 AS out_w,
+  224 AS out_h,
+  9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+    + w * h * 3 AS n_bytes_in,
+  ROUND(LEAST(224.0 / w, 224.0 / h), 6) AS scale
+FROM p
+"""
+
+
 ORACLE_MM_RESIZE = """
 SELECT
   doc_id,
@@ -604,6 +642,11 @@ QUERIES = {
     "mm_resize_stub": spec(
         mm_resize_stub, ORACLE_MM_RESIZE, "llm",
         doc="mapInPandas 1->1 resize kernel, mime-filtered pre-Python",
+    ),
+    "mm_resize": spec(
+        mm_resize, ORACLE_MM_RESIZE_REAL, "llm",
+        doc="REAL nearest-neighbor resize of decoded PPM pixels "
+            "(scale from decoded dims), oracle-checked",
     ),
     "mm_feature_extract": spec(
         mm_feature_extract, ORACLE_MM_FEATURE_EXTRACT, "llm",

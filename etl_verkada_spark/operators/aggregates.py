@@ -871,6 +871,20 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation here (partials, then merge) costs one extra tiny
     shuffle over the day-partial table — nothing against the rescan
     it replaces.
+
+    Plan-shape note (r6 sf1 profile): the partial relation has three
+    consumers (max_day, history, delta) whose pruned schemas differ, so
+    Catalyst cannot ReuseExchange and the events scan runs per branch —
+    8 jobs / 232 tasks / 0.66 s at sf1 for ~25 ms of aggregate work.
+    All three single-scan rewrites were MEASURED SLOWER at sf1
+    (localCheckpoint 0.89 s — eager materialization beats the saved
+    scans; global-window max_day 0.83 s — adds a SinglePartition
+    exchange; filter-identical ReuseExchange bait 0.76 s — pruning
+    still splits the subtrees), so the multi-scan shape stands: the
+    residual is Spark's per-stage constant on a metadata-sized plan.
+    At 100 TB the question disappears — production PERSISTS the
+    partials (they are the MV state; that operator is
+    stream_mv_refresh), so nothing rescans anything.
     """
     e = table(spark, sf_dir, "events")
     day = F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US_AGG}")

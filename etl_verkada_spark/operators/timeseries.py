@@ -50,6 +50,14 @@ def _dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(BUCKET_US)
     )
 
+    # Plan-shape note (r6 sf1 profile): the sparse rollup feeds bounds
+    # AND the spine join while the series list scans events directly —
+    # 7 jobs / 205 tasks / 0.75 s at sf1. Single-scan rewrites measured
+    # SLOWER (localCheckpoint 1.02 s, global-window bounds 1.10 s): the
+    # repeated subtrees are cheap relative to Spark's per-stage
+    # constant here. At 100 TB the rollup is PERSISTED continuous-
+    # aggregate state (the hypertable pattern; see stream_mv_refresh),
+    # so the grid is built from stored partials, not rescans.
     sparse = e.groupBy(
         F.col("event_type"), bucket.alias("bucket_us")
     ).agg(

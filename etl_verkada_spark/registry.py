@@ -114,6 +114,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # -- 2. round-6 additions (never checked, oracle-paired from birth) --
     "mm_decode",
     "llm_dedup_substring",
+    "mm_resize",
     # -- 3. newest green row is round 1 (all 37; code unchanged since) --
     "agg_count",
     "agg_count_distinct",
@@ -162,7 +163,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "ts_gapfill",
     "win_sessionize",
     "agg_stats",
-    "llm_fingerprint",
     "mm_feature_extract",
 )
 

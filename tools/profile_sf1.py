@@ -32,7 +32,7 @@ def main() -> None:
     tracker = sc.statusTracker()
     for name in QUERIES:
         fn = registry[name].fn
-        t = run_spark(fn, spark, sf1, n_runs=5)
+        t = run_spark(fn, spark, sf1, n_runs=5)["min"]
         # one more run with job tracking
         before = set(tracker.getJobIdsForGroup(None) or [])
         sc.setJobGroup(name, name)
