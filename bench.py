@@ -66,9 +66,12 @@ HEADLINE = [
     # round-4 operators with bench-stable plans (no checkpoint caching)
     "ts_ohlc",
     "cdc_snapshot_diff",
-    # round-6 additions: real PPM codec kernels + stride-1 span dedup
+    # round-6 additions: real PPM codec kernels + stride-1 span dedup.
+    # mm_resize is correctness-checked but NOT benched: its oracle only
+    # verifies the metadata surface while the Spark side does the real
+    # 224x224x3 pixel resample, so the ratio would compare unequal work
+    # (measured 524x — a statement about the oracle, not the plan).
     "mm_decode",
-    "mm_resize",
     "llm_dedup_substring",
 ]
 
@@ -86,6 +89,11 @@ def _duck_connect():
 
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duckdb_bench_tmp'")
+    # bound the spill so a pathological query (the iterative pagerank
+    # twin spills >79 GB) fails fast with a clean error instead of
+    # driving the shared disk to 0 bytes free — the r5/r6 full runs both
+    # lost the remainder of the sf1 section to that exhaustion.
+    con.execute("SET max_temp_directory_size='40GB'")
     return con
 
 
@@ -367,6 +375,25 @@ def _clean_tmp(patterns=("/tmp/duckdb_bench_tmp",), min_age_s: float = 600):
                 pass
 
 
+def _err(e: Exception) -> str:
+    """Compact error record that keeps the ROOT CAUSE: the r6 run stored
+    only ``str(e)[:200]``, which for a Py4J SparkException is pure
+    boilerplate ("Job aborted ... Lost task N in stage M") — the actual
+    failure (OOM, ENOSPC, codegen error) lives hundreds of lines down in
+    the Java stack and was unrecoverable afterwards."""
+    s = str(e)
+    lines = [ln.strip() for ln in s.splitlines() if ln.strip()]
+    head = lines[0][:200] if lines else s[:200]
+    cause = ""
+    for ln in lines:
+        if ln.startswith("Caused by") or "OutOfMemory" in ln or (
+            "No space left" in ln
+        ) or "java.io.IOException" in ln:
+            cause = ln[:250]  # first real cause wins
+            break
+    return f"{head} | cause: {cause}" if cause else head
+
+
 def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     """Spark-vs-DuckDB timings for the worst-ratio set at the synthesized
     sf1 (min-of-5: host steal-time spikes of 5-20x were measured on this
@@ -418,7 +445,7 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
                 duck_detail[name] = run_duckdb(con, sql, n_runs=5)
                 duck[name] = duck_detail[name]["min"]
             except Exception as e:  # noqa: BLE001 - record and continue
-                errors[f"duckdb:{name}"] = str(e)[:200]
+                errors[f"duckdb:{name}"] = _err(e)
     for name in SF1_COLD_QUERIES:
         sql = registry[name].oracle
         if sql:
@@ -427,7 +454,7 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
                 con.execute(sql).fetchall()
                 cold_duck[name] = round(time.perf_counter() - t0, 3)
             except Exception as e:  # noqa: BLE001
-                errors[f"duckdb_cold:{name}"] = str(e)[:200]
+                errors[f"duckdb_cold:{name}"] = _err(e)
     con.close()
     # DuckDB's pass is over: its spill temp must not share the disk
     # with Spark's sf1 shuffle files (the r5 ENOSPC cause).
@@ -442,7 +469,7 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
             )
             timings[name] = spark_detail[name]["min"]
         except Exception as e:  # noqa: BLE001
-            errors[f"spark:{name}"] = str(e)[:200]
+            errors[f"spark:{name}"] = _err(e)
     cold: dict[str, float] = {}
     for name in SF1_COLD_QUERIES:
         try:
@@ -452,7 +479,7 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
             ).format("noop").save()
             cold[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # noqa: BLE001
-            errors[f"spark_cold:{name}"] = str(e)[:200]
+            errors[f"spark_cold:{name}"] = _err(e)
     # a ratio is only as trustworthy as its noisiest side: flag any
     # pair where either engine's window spread exceeds 2x
     unstable = sorted(
@@ -492,6 +519,33 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     if errors:
         out["errors"] = errors
     return out
+
+
+def sf1_main(sf_dir: str, out_path: str) -> None:
+    """Entry point for the sf1 section's isolated subprocess (fresh JVM;
+    see main() for why). Writes the bench_sf1 dict as JSON to out_path;
+    stdout stays silent so the parent's driver contract is untouched."""
+    registry = build_registry()
+    spark = get_spark("etl-verkada-spark-bench-sf1")
+    # same warmup + floor protocol as the sf0.1 section
+    registry["agg_count"].fn(spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    for _ in range(4):
+        spark.range(1).write.mode("overwrite").format("noop").save()
+    floor_s = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).write.mode("overwrite").format("noop").save()
+        floor_s = min(floor_s, time.perf_counter() - t0)
+    floor_s = round(floor_s, 3)
+    try:
+        res = bench_sf1(spark, registry, sf_dir, floor_s)
+    except Exception as e:  # noqa: BLE001 - report, never crash silently
+        res = {"error": f"{type(e).__name__}: {_err(e)}"}
+    res["floor_s_subprocess"] = floor_s
+    with open(out_path, "w") as f:
+        json.dump(res, f)
 
 
 def main() -> None:
@@ -590,11 +644,40 @@ def main() -> None:
     print(json.dumps(headline), flush=True)
 
     # sf1 crossover section (disable with SPARK_GRAFT_SF1=0); never let
-    # it break the headline JSON line.
+    # it break the headline JSON line. It runs in a FRESH SUBPROCESS
+    # (own JVM): the r6 full run lost 31 of 34 sf1 queries because one
+    # heavy query wedged the then-1000-stage-old shared JVM and every
+    # later task died with "Lost task" — fault isolation plus a clean
+    # heap is worth the ~30 s of subprocess warmup.
     sf1: dict | None = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        spark.stop()  # free the 16g heap + shuffle dirs for the child
+        import subprocess
+        import tempfile
+
+        out_path = os.path.join(tempfile.gettempdir(), "bench_sf1_result.json")
         try:
-            sf1 = bench_sf1(spark, registry, sf_dir, floor_s)
+            os.unlink(out_path)
+        except OSError:
+            pass
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--sf1-only",
+                 sf_dir, out_path],
+                capture_output=True,
+                text=True,
+                timeout=int(os.environ.get("SPARK_GRAFT_SF1_TIMEOUT", "5400")),
+            )
+            if os.path.exists(out_path):
+                with open(out_path) as f:
+                    sf1 = json.load(f)
+            else:
+                sf1 = {
+                    "error": (
+                        f"sf1 subprocess rc={proc.returncode}: "
+                        f"{proc.stderr[-400:]}"
+                    )
+                }
         except Exception as e:  # noqa: BLE001
             sf1 = {"error": f"{type(e).__name__}: {e}"}
 
@@ -670,4 +753,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--sf1-only":
+        sf1_main(sys.argv[2], sys.argv[3])
+    else:
+        main()
