@@ -820,10 +820,13 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: wire cost is ~(16 B digest + 16 B keys) per TOKEN — k times
     passage dedup's per-chunk cost; that is the price of stride-1
     recall and exactly what the published span-dedup passes pay. Only
-    digests shuffle (never window text); owner resolution is one
-    groupBy on the digest and the join back is digest-keyed, so the
-    heavy exchange is a single co-partitioned hash join. The per-doc
-    coverage window sorts within doc partitions only (no global sort).
+    digests shuffle (never window text). Owner resolution is
+    ``min(occ_key) OVER (PARTITION BY h)`` — ONE exchange of the
+    occurrence set plus a partition-local sort, versus the
+    groupBy+join-back form's TWO full exchanges (measured at sf0.1:
+    2.23 s -> 1.14 s; an Arrow-kernel map side measured the same, so
+    the builtin HOF stays). The per-doc coverage window then sorts
+    within doc partitions only (no global sort).
     """
     K = SUBSTR_WINDOW
     d = table(spark, sf_dir, "documents")
@@ -850,10 +853,9 @@ def llm_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("win").alias("h"),
         (F.col("doc_id") * OWNER_BASE + F.col("w_idx")).alias("occ_key"),
     )
-    owners = occ.groupBy("h").agg(F.min("occ_key").alias("owner_key"))
-    dup = occ.join(owners, "h").filter(
-        F.col("occ_key") != F.col("owner_key")
-    )
+    dup = occ.withColumn(
+        "owner_key", F.min("occ_key").over(Window.partitionBy("h"))
+    ).filter(F.col("occ_key") != F.col("owner_key"))
     seq = Window.partitionBy("doc_id").orderBy("w_idx")
     covered = F.least(
         F.coalesce(F.lead("w_idx").over(seq) - F.col("w_idx"), F.lit(K)),
