@@ -229,9 +229,11 @@ SF1_QUERIES = [
     "stream_ohlc",
     "stream_mv_refresh",
     # round-6 operators with a scale story: crossover rows from birth
-    # (documents at 100x)
+    # (documents at 100x, embeddings at 100x, orders at 10x)
     "llm_dedup_substring",
     "mm_decode",
+    "llm_sim_ann_pq",
+    "dq_drift",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's
@@ -355,17 +357,30 @@ def _free_bytes(path: str = "/tmp") -> int:
     return shutil.disk_usage(path).free
 
 
-def _clean_tmp(patterns=("/tmp/duckdb_bench_tmp",), min_age_s: float = 600):
-    """Best-effort disk hygiene between bench passes: drop DuckDB's
-    spill temp entirely, and prune Spark scratch dirs (blockmgr-*,
-    spark-*) that predate this process — live dirs are younger than
-    min_age_s and are left alone."""
+def _clean_tmp(
+    patterns=("/tmp/duckdb_bench_tmp",),
+    min_age_s: float = 600,
+    prune_spark_dirs: bool = False,
+):
+    """Best-effort disk hygiene: drop DuckDB's spill temp entirely and,
+    ONLY when ``prune_spark_dirs`` (safe solely BEFORE this process
+    creates its SparkSession), prune stale Spark scratch dirs.
+
+    prune_spark_dirs is the round-6 postmortem: the age-based prune ran
+    mid-section after a ~20-minute DuckDB pass and deleted the LIVE
+    JVM's own >10-minute-old blockmgr dir — every subsequent query died
+    with NoSuchFileException on its shuffle files (both full-run sf1
+    wipeouts, 31 and 35 queries). Age cannot distinguish a stale dir
+    from a long-lived live one, so pruning is confined to process
+    startup, where this process provably owns no Spark dirs yet."""
     import glob
     import shutil
 
     now = time.time()
     for p in patterns:
         shutil.rmtree(p, ignore_errors=True)
+    if not prune_spark_dirs:
+        return
     for pat in ("/tmp/blockmgr-*", "/tmp/spark-*"):
         for d in glob.glob(pat):
             try:
@@ -526,6 +541,10 @@ def sf1_main(sf_dir: str, out_path: str) -> None:
     see main() for why). Writes the bench_sf1 dict as JSON to out_path;
     stdout stays silent so the parent's driver contract is untouched."""
     registry = build_registry()
+    # the parent stopped its session before spawning us, so its scratch
+    # dirs are dead; prune BEFORE creating our own session (age guard
+    # kept: never touch dirs of unrelated live Spark processes)
+    _clean_tmp(prune_spark_dirs=True)
     spark = get_spark("etl-verkada-spark-bench-sf1")
     # same warmup + floor protocol as the sf0.1 section
     registry["agg_count"].fn(spark, sf_dir).write.mode("overwrite").format(
@@ -554,8 +573,9 @@ def main() -> None:
     registry = build_registry()
     # drop scratch left by prior rounds (DuckDB spill temp, dead Spark
     # local dirs) before any timing — stale files were half the r5
-    # ENOSPC story
-    _clean_tmp()
+    # ENOSPC story. Spark-dir pruning is ONLY safe here, before this
+    # process creates its session (see _clean_tmp).
+    _clean_tmp(prune_spark_dirs=True)
     spark = get_spark("etl-verkada-spark-bench")
 
     # JVM/codegen warmup on an off-headline query, then several noop

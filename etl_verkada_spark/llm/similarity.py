@@ -1050,6 +1050,188 @@ SELECT vec_id, centroid_id, dist2_q FROM ranked WHERE rn = 1
 """
 
 
+#: product-quantization geometry: 64-dim global-int8 vectors split into
+#: PQ_M subspaces of PQ_SUB dims; PQ_K codewords per subspace -> 2-bit
+#: codes, PQ_M * 2 bits = one byte per vector.
+PQ_M = 4
+PQ_SUB = 16
+PQ_K = 4
+
+
+def _pq_subspaces(col) -> F.Column:
+    """array<bigint>[64] -> array of PQ_M subvectors (array<array<bigint>>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[F.slice(c, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+
+
+def _d2(a: str, b: str) -> F.Column:
+    """Exact squared-L2 on the BIGINT grid (zip_with + fold)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def llm_sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: product quantization (FAISS-PQ's compression + ADC search),
+    integer-exact and oracle-checked.
+
+    Encode: each globally-quantized vector (``_global_q``, BIGINT grid)
+    splits into PQ_M=4 subvectors of 16 dims; per subspace the codebook
+    is the PQ_K=4 lowest-vec_id subvectors (the deterministic stand-in
+    for per-subspace Lloyd's — training IS ``llm_kmeans_train`` run per
+    subspace, an offline job, not the query); a vector's code is the
+    argmin-d2 codeword per subspace (ties to the lower code), packed to
+    ``pq_code`` = sum(code_m * K^m) — ONE BYTE per vector, a 64x
+    compression of the int8 corpus.
+
+    Search (ADC — asymmetric distance computation): the query keeps its
+    full subvectors; a PQ_M x PQ_K distance table (query-subvector to
+    codeword, exact BIGINT) broadcasts; each vector's approximate
+    distance is the sum of its codes' table entries. Top-10 by
+    (adc_d2, vec_id), then exact d2 rescoring of the winners against
+    the full query vector — the standard PQ serving shape.
+
+    100 TB: the scan side carries only (vec_id, 4 codes); the ADC table
+    is model-state (32 entries, broadcast); search is scan + 10-row
+    TakeOrdered — no shuffle of vector data at all. Rescoring touches
+    exactly k full vectors. All arithmetic is BIGINT on the global-int8
+    grid, so DuckDB recomputes the identical top-k (no FP argmin drift).
+    """
+    q = _global_q(spark, sf_dir)
+    v_sub = q.select(
+        "vec_id", F.posexplode(_pq_subspaces("q")).alias("m", "vsub")
+    )
+    # codebook: PQ_K lowest-id vectors; code = rank by vec_id, derived
+    # via sort_array+posexplode on the 4-row model table (no global
+    # window — SCALE.md §5 discipline).
+    cb = (
+        q.orderBy("vec_id")
+        .limit(PQ_K)
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "q"))).alias("s"))
+        .select(F.posexplode("s").alias("code", "sv"))
+        .select("code", _pq_subspaces(F.col("sv.q")).alias("subs"))
+    )
+    cb_idx = cb.select(
+        "code", F.posexplode("subs").alias("m", "csub")
+    )
+    enc = (
+        v_sub.join(F.broadcast(cb_idx), "m")
+        .select("vec_id", "m", "code", _d2("vsub", "csub").alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"))
+    )
+    qsub = (
+        v_sub.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("m").alias("qm"), F.col("vsub").alias("qs"))
+    )
+    adc = (
+        cb_idx.join(F.broadcast(qsub), cb_idx["m"] == qsub["qm"])
+        .select("m", "code", _d2("qs", "csub").alias("adc_d2_m"))
+    )
+    approx = (
+        enc.join(F.broadcast(adc), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum("adc_d2_m").cast("bigint").alias("adc_d2"),
+            F.sum(
+                (
+                    F.col("code")
+                    * F.pow(F.lit(float(PQ_K)), F.col("m").cast("double"))
+                ).cast("bigint")
+            ).cast("bigint").alias("pq_code"),
+        )
+    )
+    top = (
+        approx.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .orderBy("adc_d2", "vec_id")
+        .limit(TOP_K)
+    )
+    qq = q.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("q").alias("qv")
+    )
+    return (
+        q.join(F.broadcast(top.select("vec_id", "pq_code", "adc_d2")), "vec_id")
+        .crossJoin(F.broadcast(qq))
+        .select(
+            "vec_id", "pq_code", "adc_d2", _d2("q", "qv").alias("d2_exact")
+        )
+    )
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH g AS (
+  SELECT MAX(list_max(list_transform(
+    embedding, x -> ABS(CAST(x AS DOUBLE))))) AS gmax
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * (127.0 / g.gmax) + 0.5)
+                AS BIGINT)) AS q
+  FROM embeddings, g
+),
+v_sub AS (
+  SELECT vec_id, m,
+         q[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS vsub
+  FROM q,
+       LATERAL (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m)
+),
+cb AS (SELECT vec_id AS seed, q FROM q ORDER BY vec_id LIMIT {PQ_K}),
+cb_idx AS (
+  SELECT m,
+         ROW_NUMBER() OVER (PARTITION BY m ORDER BY seed) - 1 AS code,
+         q[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS csub
+  FROM cb,
+       LATERAL (SELECT UNNEST(generate_series(0, {PQ_M - 1})) AS m)
+),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT v.vec_id, v.m, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.m
+             ORDER BY CAST(list_sum(list_transform(
+               list_zip(v.vsub, c.csub),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT), c.code
+           ) AS rn
+    FROM v_sub v JOIN cb_idx c USING (m)
+  ) WHERE rn = 1
+),
+qsub AS (SELECT m, vsub AS qs FROM v_sub WHERE vec_id = {QUERY_VEC_ID}),
+adc AS (
+  SELECT c.m, c.code,
+         CAST(list_sum(list_transform(list_zip(s.qs, c.csub),
+           z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adc_d2_m
+  FROM cb_idx c JOIN qsub s USING (m)
+),
+approx AS (
+  SELECT e.vec_id,
+         CAST(SUM(a.adc_d2_m) AS BIGINT) AS adc_d2,
+         CAST(SUM(e.code * POWER({PQ_K}, e.m)) AS BIGINT) AS pq_code
+  FROM enc e JOIN adc a USING (m, code)
+  GROUP BY e.vec_id
+),
+top AS (
+  SELECT * FROM approx WHERE vec_id <> {QUERY_VEC_ID}
+  ORDER BY adc_d2, vec_id LIMIT {TOP_K}
+),
+qq AS (SELECT q AS qv FROM q WHERE vec_id = {QUERY_VEC_ID})
+SELECT t.vec_id, t.pq_code, t.adc_d2,
+       CAST(list_sum(list_transform(list_zip(x.q, qq.qv),
+         z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d2_exact
+FROM top t JOIN q x USING (vec_id) CROSS JOIN qq
+"""
+
+
+ORACLE_LLM_SIM_ANN_PQ = _pq_oracle()
+
+
 QUERIES = {
     "llm_sim_search": spec(
         llm_sim_search, ORACLE_LLM_SIM_SEARCH, "llm",
@@ -1067,6 +1249,11 @@ QUERIES = {
     "llm_sim_ann_ivf": spec(
         llm_sim_ann_ivf, ORACLE_LLM_SIM_ANN_IVF, "llm",
         doc="IVF cell probe ANN with exact rescoring (oracle-checked)",
+    ),
+    "llm_sim_ann_pq": spec(
+        llm_sim_ann_pq, ORACLE_LLM_SIM_ANN_PQ, "llm",
+        doc="product-quantization ADC ANN (1-byte codes, broadcast "
+            "distance table, exact top-k rescore), integer-exact",
     ),
     "llm_dedup_embed": spec(
         llm_dedup_embed, ORACLE_LLM_DEDUP_EMBED, "llm",

@@ -219,6 +219,140 @@ ORACLE_DQ_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+#: snapshot split for the drift audit: orders before the pivot form the
+#: reference distribution, on/after it the current one.
+DRIFT_PIVOT = "1995-07-01"
+#: equal-width bin for the one numeric feature (o_totalprice spans
+#: ~1k-550k; 25k-wide bins give ~22 populated buckets at every sf).
+DRIFT_PRICE_BIN = 25000.0
+
+
+def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two snapshots of a table — the
+    monitor a training-data pipeline runs before accepting a new drop
+    (did the feature mix shift vs the reference window?).
+
+    Per feature (two categoricals + one equal-width-binned numeric on
+    ``orders``), compares the category distribution before vs on/after
+    ``DRIFT_PIVOT`` via **total variation distance**. TVD is chosen
+    over PSI/KL deliberately: it needs no logarithm, so the whole
+    statistic is exact integer arithmetic until one final IEEE
+    division — ``tvd = sum_cat |cnt_ref*N_cur - cnt_cur*N_ref| /
+    (2*N_ref*N_cur)`` — and both engines produce the bit-identical
+    double (the package's decimal/integer float discipline; a
+    transcendental-based PSI would drift in the last ulp between
+    JVM and libm).
+
+    One scan: each row explodes into its (feature, category) pairs
+    with an is_ref flag; one (feature, category) count aggregate
+    (map-side combined), one tiny per-feature rollup, one broadcast
+    join back. Missing categories on either side contribute their
+    full mass via the zero count — no outer-join special case needed.
+
+    100 TB: output is O(features); the only wide shuffle is the
+    (feature, category) count whose cardinality is the category
+    space, not the row count. The explode multiplies rows by
+    n_features pre-shuffle (dq_profile's expand caveat applies: keep
+    feature sets per-audit, not per-column-of-everything).
+    """
+    o = table(spark, sf_dir, "orders")
+    feats = [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        (
+            "o_totalprice_bin",
+            F.floor(F.col("o_totalprice") / F.lit(DRIFT_PRICE_BIN))
+            .cast("string"),
+        ),
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("feature"), c.cast("string").alias("category")
+            )
+            for n, c in feats
+        ]
+    )
+    base = o.select(
+        (F.col("o_orderdate") < F.lit(DRIFT_PIVOT).cast("timestamp"))
+        .cast("bigint")
+        .alias("is_ref"),
+        F.explode(pairs).alias("p"),
+    ).select("is_ref", "p.feature", "p.category")
+    counts = base.groupBy("feature", "category").agg(
+        F.sum("is_ref").alias("cnt_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cnt_cur"),
+    )
+    totals = counts.groupBy("feature").agg(
+        F.sum("cnt_ref").alias("n_ref"),
+        F.sum("cnt_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    numer = counts.join(F.broadcast(totals), "feature").groupBy(
+        "feature"
+    ).agg(
+        F.sum(
+            F.abs(
+                F.col("cnt_ref") * F.col("n_cur")
+                - F.col("cnt_cur") * F.col("n_ref")
+            )
+        ).alias("numer")
+    )
+    return totals.join(numer, "feature").select(
+        "feature",
+        "n_ref",
+        "n_cur",
+        "n_categories",
+        (
+            F.col("numer")
+            / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
+        ).alias("tvd"),
+    )
+
+
+ORACLE_DQ_DRIFT = f"""
+WITH base AS (
+  SELECT CAST(o_orderdate < TIMESTAMP '{DRIFT_PIVOT}' AS BIGINT) AS is_ref,
+         p.feature, p.category
+  FROM orders,
+       LATERAL (
+         SELECT UNNEST([
+           {{'feature': 'o_orderstatus',
+             'category': o_orderstatus}},
+           {{'feature': 'o_orderpriority',
+             'category': o_orderpriority}},
+           {{'feature': 'o_totalprice_bin',
+             'category': CAST(CAST(FLOOR(o_totalprice / {DRIFT_PRICE_BIN})
+                              AS BIGINT) AS VARCHAR)}}
+         ], recursive := true)
+       ) AS p
+),
+counts AS (
+  SELECT feature, category,
+         CAST(SUM(is_ref) AS BIGINT) AS cnt_ref,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cnt_cur
+  FROM base GROUP BY feature, category
+),
+totals AS (
+  SELECT feature,
+         CAST(SUM(cnt_ref) AS BIGINT) AS n_ref,
+         CAST(SUM(cnt_cur) AS BIGINT) AS n_cur,
+         COUNT(*) AS n_categories
+  FROM counts GROUP BY feature
+),
+numer AS (
+  SELECT c.feature,
+         CAST(SUM(ABS(c.cnt_ref * t.n_cur - c.cnt_cur * t.n_ref))
+              AS BIGINT) AS numer
+  FROM counts c JOIN totals t USING (feature)
+  GROUP BY c.feature
+)
+SELECT t.feature, t.n_ref, t.n_cur, t.n_categories,
+       n.numer / (2.0 * t.n_ref * t.n_cur) AS tvd
+FROM totals t JOIN numer n USING (feature)
+"""
+
+
 QUERIES = {
     "dq_referential": spec(
         dq_referential, ORACLE_DQ_REFERENTIAL, "beyond",
@@ -232,5 +366,10 @@ QUERIES = {
         dq_profile, ORACLE_DQ_PROFILE, "beyond",
         doc="column completeness + exact-cardinality profile "
             "(single-pass-per-table expand aggregate)",
+    ),
+    "dq_drift": spec(
+        dq_drift, ORACLE_DQ_DRIFT, "beyond",
+        doc="snapshot-drift audit: per-feature total variation distance "
+            "(integer-exact numerators, one scan)",
     ),
 }

@@ -61,9 +61,11 @@ def spec(
 # ROUND-6 WINDOW (r5 verdict #6: rotate toward the oldest evidence —
 # "no registered query's newest driver row older than r2"):
 #   1. flagship (always slot 1);
-#   2. the two round-6 additions, oracle-paired from birth: mm_decode
-#      (real PPM codec, replaces the rows-only mm_decode_stub) and
-#      llm_dedup_substring (stride-1 sliding-window span dedup);
+#   2. the round-6 additions, oracle-paired from birth: mm_decode
+#      (real PPM codec, replaces the rows-only mm_decode_stub),
+#      llm_dedup_substring (stride-1 sliding-window span dedup),
+#      mm_resize (real-codec resample), llm_sim_ann_pq (product-
+#      quantization ADC ANN), dq_drift (snapshot TVD drift audit);
 #   3. ALL 37 queries whose newest hash-green row is round 1 (computed
 #      from CORRECTNESS_r01-r05: green in r1, displaced and unchanged
 #      since) — after r6 every registered query's newest row is >= r3;
@@ -115,6 +117,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "mm_decode",
     "llm_dedup_substring",
     "mm_resize",
+    "llm_sim_ann_pq",
+    "dq_drift",
     # -- 3. newest green row is round 1 (all 37; code unchanged since) --
     "agg_count",
     "agg_count_distinct",
@@ -162,8 +166,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_dedup_exact",
     "ts_gapfill",
     "win_sessionize",
-    "agg_stats",
-    "mm_feature_extract",
 )
 
 

@@ -574,3 +574,62 @@ def test_kmeans_train_matches_numpy_lloyds(spark):
         for cid, cvec in cents.items()
     }
     assert got == want
+
+
+def test_pq_ann_matches_numpy_adc(spark):
+    """llm_sim_ann_pq must equal an independent numpy recomputation of
+    the whole PQ pipeline: subspace encode (argmin-d2, tie to lower
+    code), packed code, ADC lookup-sum, (adc_d2, vec_id) top-k, exact
+    rescore."""
+    import numpy as np
+    from etl_verkada_spark.llm.similarity import (
+        llm_sim_ann_pq, _global_q,
+        PQ_M, PQ_SUB, PQ_K, QUERY_VEC_ID, TOP_K,
+    )
+    from .conftest import SF_SMALL
+
+    q = {
+        r["vec_id"]: np.array(r["q"], dtype=np.int64)
+        for r in _global_q(spark, SF_SMALL).collect()
+    }
+    seeds = sorted(q)[:PQ_K]
+    # codebook[m][code] = subvector
+    cb = {
+        m: {c: q[s][m * PQ_SUB:(m + 1) * PQ_SUB]
+            for c, s in enumerate(seeds)}
+        for m in range(PQ_M)
+    }
+    codes = {}
+    for vid, vec in q.items():
+        codes[vid] = [
+            min(
+                ((int(((vec[m * PQ_SUB:(m + 1) * PQ_SUB] - cw) ** 2).sum()), c)
+                 for c, cw in cb[m].items()),
+            )[1]
+            for m in range(PQ_M)
+        ]
+    qvec = q[QUERY_VEC_ID]
+    adc = {
+        (m, c): int(((qvec[m * PQ_SUB:(m + 1) * PQ_SUB] - cw) ** 2).sum())
+        for m in range(PQ_M) for c, cw in cb[m].items()
+    }
+    approx = {
+        vid: sum(adc[(m, c)] for m, c in enumerate(cs))
+        for vid, cs in codes.items()
+    }
+    want_top = sorted(
+        ((d, vid) for vid, d in approx.items() if vid != QUERY_VEC_ID)
+    )[:TOP_K]
+    want = {
+        vid: (
+            sum(c * PQ_K ** m for m, c in enumerate(codes[vid])),
+            d,
+            int(((q[vid] - qvec) ** 2).sum()),
+        )
+        for d, vid in want_top
+    }
+    got = {
+        r["vec_id"]: (r["pq_code"], r["adc_d2"], r["d2_exact"])
+        for r in llm_sim_ann_pq(spark, SF_SMALL).collect()
+    }
+    assert got == want

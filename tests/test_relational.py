@@ -1205,3 +1205,46 @@ def test_importance_sample_monotone_in_length(spark):
     long_docs = d.filter(F.col("n_chars") >= IMP_LEN_CAP).count()
     long_kept = kept.filter(F.col("n_chars") >= IMP_LEN_CAP).count()
     assert long_kept == long_docs
+
+
+def test_dq_drift_matches_pandas_tvd(spark):
+    """dq_drift must equal an independent pandas recomputation of the
+    per-feature total variation distance, including the integer-exact
+    numerator and the single final IEEE division."""
+    import math
+    import pandas as pd
+    from etl_verkada_spark.operators.quality import (
+        dq_drift, DRIFT_PIVOT, DRIFT_PRICE_BIN,
+    )
+    from etl_verkada_spark.catalog import table
+    from .conftest import SF_SMALL
+
+    o = table(spark, SF_SMALL, "orders").select(
+        "o_orderdate", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    o["is_ref"] = o["o_orderdate"] < pd.Timestamp(DRIFT_PIVOT)
+    feats = {
+        "o_orderstatus": o["o_orderstatus"],
+        "o_orderpriority": o["o_orderpriority"],
+        "o_totalprice_bin": o["o_totalprice"].map(
+            lambda x: str(int(math.floor(x / DRIFT_PRICE_BIN)))
+        ),
+    }
+    want = {}
+    for name, cat in feats.items():
+        df = pd.DataFrame({"cat": cat, "is_ref": o["is_ref"]})
+        cnt = df.groupby("cat")["is_ref"].agg(["sum", "count"])
+        cnt_ref = cnt["sum"].astype(int)
+        cnt_cur = (cnt["count"] - cnt["sum"]).astype(int)
+        n_ref, n_cur = int(cnt_ref.sum()), int(cnt_cur.sum())
+        numer = int((cnt_ref * n_cur - cnt_cur * n_ref).abs().sum())
+        want[name] = (
+            n_ref, n_cur, len(cnt), numer / (2.0 * n_ref * n_cur)
+        )
+    got = {
+        r["feature"]: (r["n_ref"], r["n_cur"], r["n_categories"], r["tvd"])
+        for r in dq_drift(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    # both snapshot windows must be populated or the audit is vacuous
+    assert all(v[0] > 0 and v[1] > 0 for v in want.values())
