@@ -1,7 +1,8 @@
 """Similarity search over the ``embeddings`` table (SURVEY.md §2.11).
 
 * ``llm_sim_search``   — brute-force cosine top-k against one query
-  vector. Scoring is ONE numpy matvec per Arrow batch (pandas UDF);
+  vector. Scoring is ONE numpy matvec per Arrow batch (mapInArrow over
+  the flat list-values buffer — no per-row object materialization);
   values match the oracle's sequential fold after ROUND(.,4). Scales
   linearly: a scan-project-topk with no shuffle but the k-row
   TakeOrdered merge.
@@ -134,17 +135,50 @@ def llm_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for the query vector (vec_id=0).
 
     The query vector is collected once (one row) and inlined into the
-    scoring kernel — the degenerate broadcast. Scoring is the Arrow-
-    batched numpy matvec; the plan is scan -> project -> TakeOrdered,
-    no shuffle. Ordering is total (rounded sim desc, vec_id) so top-k
-    is deterministic.
+    scoring kernel — the degenerate broadcast. Scoring is a
+    ``mapInArrow`` kernel that reads the list<float> column's FLAT
+    values buffer and reshapes to (n, dim) — one numpy matvec per
+    Arrow batch with no per-row object materialization (the pandas_udf
+    ``np.vstack`` over an object Series was both slower and bimodal at
+    sf1: 0.67-3.35 s across runs vs 0.63-0.78 s for this kernel,
+    identical top-k). Rounding stays JVM-side (F.round HALF_UP — numpy
+    rounds half-even). The plan is scan -> kernel -> TakeOrdered, no
+    shuffle; ordering is total (rounded sim desc, vec_id) so top-k is
+    deterministic.
     """
     e = table(spark, sf_dir, "embeddings")
     qvec = _fetch_query_vec(sf_dir)
-    sim = F.round(_sim_to_query_udf(qvec)(F.col("embedding")), 4)
-    return (
+    q = np.array(qvec, dtype=np.float64)
+    qn = _qnorm(qvec)
+
+    def kernel(it):
+        import pyarrow as pa
+
+        for batch in it:
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            mat = flat.reshape(len(emb), -1)
+            dots = mat @ q
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            yield pa.record_batch(
+                [
+                    batch.column("vec_id"),
+                    batch.column("label"),
+                    pa.array(dots / (qn * norms), pa.float64()),
+                ],
+                names=["vec_id", "label", "sim_raw"],
+            )
+
+    label_type = dict(e.dtypes)["label"]
+    scored = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", "label", sim.alias("sim"))
+        .select("vec_id", "label", "embedding")
+        .mapInArrow(kernel, f"vec_id long, label {label_type}, sim_raw double")
+    )
+    return (
+        scored.select("vec_id", "label", F.round("sim_raw", 4).alias("sim"))
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(TOP_K)
     )
