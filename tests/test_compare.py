@@ -73,3 +73,40 @@ def test_value_multiset_is_order_insensitive():
 def test_timestamp_and_date_distinct():
     assert canon_cell(pd.Timestamp("2026-01-01")).startswith("t:")
     assert canon_cell(datetime.date(2026, 1, 1)).startswith("D:")
+
+
+def test_clean_tmp_never_touches_spark_dirs_mid_run(tmp_path, monkeypatch):
+    """The r6 postmortem guard: _clean_tmp without prune_spark_dirs must
+    not delete Spark scratch dirs however old they are (the age-based
+    prune once deleted the live JVM's own blockmgr dir mid-run and
+    wiped 31/35 sf1 queries); with the flag it must prune only dirs
+    older than min_age_s."""
+    import os
+    import time as _time
+
+    import bench
+
+    old_dir = tmp_path / "blockmgr-old"
+    new_dir = tmp_path / "blockmgr-new"
+    duck = tmp_path / "duckdb_bench_tmp"
+    for d in (old_dir, new_dir, duck):
+        d.mkdir()
+    os.utime(old_dir, (_time.time() - 3600, _time.time() - 3600))
+
+    import glob as _glob
+    real_glob = _glob.glob
+    monkeypatch.setattr(
+        _glob, "glob",
+        lambda pat: real_glob(pat.replace("/tmp/", f"{tmp_path}/")),
+    )
+
+    bench._clean_tmp(patterns=(str(duck),))
+    assert old_dir.exists() and new_dir.exists(), (
+        "mid-run hygiene must never touch Spark dirs"
+    )
+    assert not duck.exists(), "DuckDB temp must be dropped"
+
+    duck.mkdir()
+    bench._clean_tmp(patterns=(str(duck),), prune_spark_dirs=True)
+    assert not old_dir.exists(), "startup prune must drop stale dirs"
+    assert new_dir.exists(), "startup prune must keep fresh dirs"

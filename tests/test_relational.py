@@ -1248,3 +1248,39 @@ def test_dq_drift_matches_pandas_tvd(spark):
     assert got == want
     # both snapshot windows must be populated or the audit is vacuous
     assert all(v[0] > 0 and v[1] > 0 for v in want.values())
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """100 TB scale path: when the filtered dim side outgrows broadcast
+    (emulated by disabling broadcast) and the fact scan is large
+    (emulated by zeroing the application-side threshold), Catalyst must
+    inject a runtime bloom filter — bloom_filter_agg on the dim's join
+    keys, might_contain pushed into the fact scan — so the shuffle only
+    carries fact rows that can possibly match. With the session's 64 MB
+    broadcast budget this rule is dormant locally (broadcast wins) and
+    activates exactly when broadcast stops being possible, which is the
+    behavior the cluster relies on (SCALE.md §3)."""
+    from etl_verkada_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        o = table(spark, SF_SMALL, "orders")
+        l = table(spark, SF_SMALL, "lineitem")
+        # re-apply AFTER table() (it re-applies session defaults)
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = l.join(
+            o.filter(F.col("o_totalprice") > 500000.0),
+            l.l_orderkey == o.o_orderkey,
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
