@@ -234,6 +234,7 @@ SF1_QUERIES = [
     "mm_decode",
     "llm_sim_ann_pq",
     "dq_drift",
+    "stream_drift",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's

@@ -227,6 +227,69 @@ DRIFT_PIVOT = "1995-07-01"
 DRIFT_PRICE_BIN = 25000.0
 
 
+def drift_pairs(orders: DataFrame) -> DataFrame:
+    """(is_ref, feature, category) exploded rows for the drift audit —
+    shared by the batch audit (dq_drift) and its streaming twin
+    (streaming/upsert.py stream_drift), so both fold the identical
+    feature space."""
+    feats = [
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        (
+            "o_totalprice_bin",
+            F.floor(F.col("o_totalprice") / F.lit(DRIFT_PRICE_BIN))
+            .cast("string"),
+        ),
+    ]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("feature"), c.cast("string").alias("category")
+            )
+            for n, c in feats
+        ]
+    )
+    return orders.select(
+        (F.col("o_orderdate") < F.lit(DRIFT_PIVOT).cast("timestamp"))
+        .cast("bigint")
+        .alias("is_ref"),
+        F.explode(pairs).alias("p"),
+    ).select("is_ref", "p.feature", "p.category")
+
+
+def drift_tvd(counts: DataFrame) -> DataFrame:
+    """Finish the drift audit from (feature, category, cnt_ref,
+    cnt_cur) partials: per-feature totals, the BIGINT-exact numerator,
+    and the single final IEEE division. Mergeable by construction —
+    partial counts from any sharding (or micro-batch fold) sum to the
+    same inputs."""
+    totals = counts.groupBy("feature").agg(
+        F.sum("cnt_ref").alias("n_ref"),
+        F.sum("cnt_cur").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_categories"),
+    )
+    numer = counts.join(F.broadcast(totals), "feature").groupBy(
+        "feature"
+    ).agg(
+        F.sum(
+            F.abs(
+                F.col("cnt_ref") * F.col("n_cur")
+                - F.col("cnt_cur") * F.col("n_ref")
+            )
+        ).alias("numer")
+    )
+    return totals.join(numer, "feature").select(
+        "feature",
+        "n_ref",
+        "n_cur",
+        "n_categories",
+        (
+            F.col("numer")
+            / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
+        ).alias("tvd"),
+    )
+
+
 def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift audit between two snapshots of a table — the
     monitor a training-data pipeline runs before accepting a new drop
@@ -255,59 +318,13 @@ def dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_features pre-shuffle (dq_profile's expand caveat applies: keep
     feature sets per-audit, not per-column-of-everything).
     """
-    o = table(spark, sf_dir, "orders")
-    feats = [
-        ("o_orderstatus", F.col("o_orderstatus")),
-        ("o_orderpriority", F.col("o_orderpriority")),
-        (
-            "o_totalprice_bin",
-            F.floor(F.col("o_totalprice") / F.lit(DRIFT_PRICE_BIN))
-            .cast("string"),
-        ),
-    ]
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(n).alias("feature"), c.cast("string").alias("category")
-            )
-            for n, c in feats
-        ]
-    )
-    base = o.select(
-        (F.col("o_orderdate") < F.lit(DRIFT_PIVOT).cast("timestamp"))
-        .cast("bigint")
-        .alias("is_ref"),
-        F.explode(pairs).alias("p"),
-    ).select("is_ref", "p.feature", "p.category")
-    counts = base.groupBy("feature", "category").agg(
+    counts = drift_pairs(table(spark, sf_dir, "orders")).groupBy(
+        "feature", "category"
+    ).agg(
         F.sum("is_ref").alias("cnt_ref"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("cnt_cur"),
     )
-    totals = counts.groupBy("feature").agg(
-        F.sum("cnt_ref").alias("n_ref"),
-        F.sum("cnt_cur").alias("n_cur"),
-        F.count(F.lit(1)).alias("n_categories"),
-    )
-    numer = counts.join(F.broadcast(totals), "feature").groupBy(
-        "feature"
-    ).agg(
-        F.sum(
-            F.abs(
-                F.col("cnt_ref") * F.col("n_cur")
-                - F.col("cnt_cur") * F.col("n_ref")
-            )
-        ).alias("numer")
-    )
-    return totals.join(numer, "feature").select(
-        "feature",
-        "n_ref",
-        "n_cur",
-        "n_categories",
-        (
-            F.col("numer")
-            / (F.lit(2.0) * F.col("n_ref") * F.col("n_cur"))
-        ).alias("tvd"),
-    )
+    return drift_tvd(counts)
 
 
 ORACLE_DQ_DRIFT = f"""

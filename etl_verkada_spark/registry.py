@@ -65,7 +65,8 @@ def spec(
 #      (real PPM codec, replaces the rows-only mm_decode_stub),
 #      llm_dedup_substring (stride-1 sliding-window span dedup),
 #      mm_resize (real-codec resample), llm_sim_ann_pq (product-
-#      quantization ADC ANN), dq_drift (snapshot TVD drift audit);
+#      quantization ADC ANN), dq_drift (snapshot TVD drift audit),
+#      stream_drift (streaming drift monitor, oracle = dq_drift's SQL);
 #   3. ALL 37 queries whose newest hash-green row is round 1 (computed
 #      from CORRECTNESS_r01-r05: green in r1, displaced and unchanged
 #      since) — after r6 every registered query's newest row is >= r3;
@@ -119,6 +120,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "mm_resize",
     "llm_sim_ann_pq",
     "dq_drift",
+    "stream_drift",
     # -- 3. newest green row is round 1 (all 37; code unchanged since) --
     "agg_count",
     "agg_count_distinct",
@@ -165,7 +167,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_large",
     "llm_dedup_exact",
     "ts_gapfill",
-    "win_sessionize",
 )
 
 

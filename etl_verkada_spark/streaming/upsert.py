@@ -309,6 +309,125 @@ def _mv_oracle() -> str:
     return ORACLE_AGG_INCREMENTAL_MERGE
 
 
+#: drift monitor micro-batch chunks (one landed file per trigger)
+DRIFT_CHUNKS = 4
+
+
+def drift_fold(state_dir: str):
+    """foreachBatch fold for the streaming drift monitor: merge the
+    batch's (feature, category, cnt_ref, cnt_cur) count partials into
+    the parquet state table. Same replay discipline as mv_fold: counts
+    are not idempotent and foreachBatch is at-least-once, so the state
+    carries ``last_bid`` and a replayed batch_id is a no-op.
+    """
+    from ..operators.quality import drift_pairs
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        state = _read_state(bspark, state_dir)
+        if state is not None:
+            last_bid = state.agg(F.max("last_bid")).first()[0]
+            if last_bid is not None and batch_id <= last_bid:
+                return  # at-least-once replay: already folded, skip
+        part = drift_pairs(batch_df).groupBy("feature", "category").agg(
+            F.sum("is_ref").alias("cnt_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cnt_cur"),
+        )
+        merged = (
+            part
+            if state is None
+            else state.select("feature", "category", "cnt_ref", "cnt_cur")
+            .unionByName(part)
+            .groupBy("feature", "category")
+            .agg(
+                F.sum("cnt_ref").alias("cnt_ref"),
+                F.sum("cnt_cur").alias("cnt_cur"),
+            )
+        ).withColumn("last_bid", F.lit(batch_id))
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    return _fold
+
+
+def stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor — the streaming twin of ``dq_drift``:
+    order rows arrive as micro-batches (one landed chunk file per
+    trigger), a foreachBatch sink folds each batch's (feature,
+    category) count partials into a parquet state table, and the final
+    TVD computed FROM THE FOLDED STATE must equal the batch audit's
+    from-scratch answer — the oracle IS ``ORACLE_DQ_DRIFT``, so the
+    driver's hash check proves no micro-batch boundary lost or
+    double-counted a category.
+
+    This is the production shape of drift monitoring: the reference
+    window's counts are state, each arriving drop updates them
+    incrementally, and the alert statistic is recomputed from
+    metadata-sized partials — never by rescanning history. TVD's
+    integer-exact numerator is what makes the streaming fold
+    hash-comparable to the batch recompute (a PSI fold would
+    accumulate float error per batch).
+
+    At 100 TB: state is |feature x category| rows; per refresh cost is
+    one aggregate over the arriving partition plus a state-table
+    overwrite, exactly like stream_mv_refresh.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.quality import drift_tvd
+    from ..operators.scans import _land_dir
+    from ..session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    land = _land_dir(sf_dir, "drift_chunks")
+    state_dir = land + "_state"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    # landing is the "drops arriving" fixture (see stream_mv_refresh):
+    # build once per sf_dir, reuse across calls; the fold is fresh.
+    done = os.path.join(land, "_LANDED")
+    if not os.path.exists(done):
+        shutil.rmtree(land, ignore_errors=True)
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderstatus",
+            "o_orderpriority", "o_totalprice",
+        )
+        for c in range(DRIFT_CHUNKS):
+            o.filter(F.col("o_orderkey") % DRIFT_CHUNKS == c).coalesce(
+                1
+            ).write.mode("append").parquet(land)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, o_orderdate timestamp, o_orderstatus string, "
+            "o_orderpriority string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(drift_fold(state_dir))
+        .queryName(f"drift_{uuid.uuid4().hex[:12]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = spark.read.parquet(state_dir).select(
+        "feature", "category", "cnt_ref", "cnt_cur"
+    )
+    return drift_tvd(counts)
+
+
+def _drift_oracle() -> str:
+    from ..operators.quality import ORACLE_DQ_DRIFT
+
+    return ORACLE_DQ_DRIFT
+
+
 QUERIES = {
     "upsert_merge": spec(
         upsert_merge, ORACLE_UPSERT_MERGE, "reference:S9",
@@ -318,5 +437,10 @@ QUERIES = {
         stream_mv_refresh, _mv_oracle(), "beyond",
         doc="streaming incremental MV: foreachBatch partial folds == "
             "full recompute (oracle is the rescan)",
+    ),
+    "stream_drift": spec(
+        stream_drift, _drift_oracle(), "beyond",
+        doc="streaming drift monitor: micro-batch count folds -> TVD "
+            "== batch dq_drift recompute (oracle is dq_drift's SQL)",
     ),
 }

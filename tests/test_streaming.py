@@ -498,3 +498,59 @@ def test_read_state_propagates_non_missing_errors(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"not parquet at all")
     with pytest.raises(Exception):
         _read_state(spark, str(bad)).collect()
+
+
+def test_stream_drift_equals_batch_audit(spark):
+    """The streaming drift monitor's folded-state TVD must equal the
+    batch dq_drift recompute exactly — including the integer-exact
+    numerator path — across >= DRIFT_CHUNKS micro-batches."""
+    import glob
+
+    from etl_verkada_spark.operators.quality import dq_drift
+    from etl_verkada_spark.operators.scans import _land_dir
+    from etl_verkada_spark.streaming.upsert import DRIFT_CHUNKS, stream_drift
+    from .conftest import SF_SMALL
+
+    got = {
+        r["feature"]: (r["n_ref"], r["n_cur"], r["n_categories"], r["tvd"])
+        for r in stream_drift(spark, SF_SMALL).collect()
+    }
+    files = glob.glob(_land_dir(SF_SMALL, "drift_chunks") + "/part-*.parquet")
+    assert len(files) >= DRIFT_CHUNKS
+    want = {
+        r["feature"]: (r["n_ref"], r["n_cur"], r["n_categories"], r["tvd"])
+        for r in dq_drift(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_drift_fold_skips_replayed_batch(spark, tmp_path):
+    """At-least-once replay of a drift batch must not double-count any
+    (feature, category) cell."""
+    from etl_verkada_spark.streaming.upsert import drift_fold
+
+    fold = drift_fold(str(tmp_path / "state"))
+    schema = (
+        "o_orderkey long, o_orderdate timestamp, o_orderstatus string, "
+        "o_orderpriority string, o_totalprice double"
+    )
+    import datetime as dt
+    early = dt.datetime(1994, 1, 1)
+    late = dt.datetime(1996, 1, 1)
+    b0 = spark.createDataFrame(
+        [(1, early, "O", "1-URGENT", 100.0), (2, late, "F", "2-HIGH", 200.0)],
+        schema,
+    )
+    b1 = spark.createDataFrame([(3, late, "O", "1-URGENT", 300.0)], schema)
+    fold(b0, 0)
+    fold(b0, 0)  # replay
+    fold(b1, 1)
+    fold(b1, 1)  # replay of newest
+    state = spark.read.parquet(str(tmp_path / "state"))
+    row = {
+        (r["feature"], r["category"]): (r["cnt_ref"], r["cnt_cur"])
+        for r in state.collect()
+    }
+    assert row[("o_orderstatus", "O")] == (1, 1)
+    assert row[("o_orderstatus", "F")] == (0, 1)
+    assert row[("o_totalprice_bin", "0")] == (1, 2)
