@@ -162,11 +162,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # -- 4. implementation changed in round 6 --
     "upsert_merge",
     "scan_manifest_log",
+    "llm_sim_search",     # mapInArrow flat-buffer kernel rewrite
+    "stream_mv_refresh",  # landing-fixture cache + fold replay guard
     # -- 5. fill: oldest round-3 evidence rows --
     "dedup_lastwins",
     "join_large",
-    "llm_dedup_exact",
-    "ts_gapfill",
 )
 
 
