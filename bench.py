@@ -410,6 +410,100 @@ def _err(e: Exception) -> str:
     return f"{head} | cause: {cause}" if cause else head
 
 
+# The driver captures only the LAST 2000 BYTES of bench stdout and
+# parses the final line as JSON. BENCH_r02-r06 were all parsed:null
+# because the final line outgrew that window (r6's 3800-byte cap was
+# still ~2x too generous). Everything printed here must fit the budget
+# below with the trailing newline; full detail goes to the detail file.
+STDOUT_LINE_BUDGET = 1900
+
+
+def compact_stdout_line(
+    value: float,
+    sf: float,
+    timings: dict,
+    floor_s: float,
+    duck: dict,
+    sf1: dict | None,
+    detail_path: str,
+    partial: bool = False,
+) -> str:
+    """One JSON line <= STDOUT_LINE_BUDGET bytes: the driver contract.
+
+    Keeps (in drop order, least essential first): sf1 cold/spark_only/
+    unstable extras, then the sf1 ratio dict, then the per-query sf0.1
+    timings. The sf0.1 per-query DuckDB ratios never ride the line —
+    they are recomputable from queries/duckdb in the detail file; an
+    aggregate ratio scalar stays.
+    """
+    sf1_summary: dict | None = None
+    if isinstance(sf1, dict):
+        sf1_summary = {}
+        if "ratio_floor_adjusted" in sf1:
+            sf1_summary["ratio"] = {
+                k: round(v, 1)
+                for k, v in sf1["ratio_floor_adjusted"].items()
+            }
+        for k in ("unstable", "skipped", "error"):
+            if sf1.get(k):
+                sf1_summary[k] = sf1[k]
+        if "free_disk_gb_at_start" in sf1:
+            sf1_summary["free_gb"] = round(sf1["free_disk_gb_at_start"], 1)
+        if "errors" in sf1:
+            sf1_summary["n_errors"] = len(sf1["errors"])
+        if "spark_only" in sf1:
+            sf1_summary["spark_only"] = {
+                k: round(v, 2) for k, v in sf1["spark_only"].items()
+            }
+        if "cold_sec" in sf1:
+            sf1_summary["cold"] = {
+                k: round(v, 1) for k, v in sf1["cold_sec"].items()
+            }
+    duck_total = sum(duck.values())
+    covered = [n for n in duck if n in timings]
+    final = {
+        "metric": f"headline query wall-clock, noop sink, min-of-{N_RUNS}",
+        "value": value,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "spark_fixed_overhead_sec": floor_s,
+        "duckdb_total_sec": round(duck_total, 3),
+        "ratio_agg_floor_adjusted": (
+            round(
+                max(
+                    sum(timings[n] for n in covered)
+                    - floor_s * len(covered),
+                    0.0,
+                )
+                / duck_total,
+                2,
+            )
+            if duck_total > 0
+            else None
+        ),
+        "sf1": sf1_summary,
+        "detail_file": detail_path,
+    }
+    if partial:
+        final["partial"] = True
+        final.pop("sf1", None)
+    line = json.dumps(final, separators=(",", ":"))
+    for drop in ("cold", "spark_only", "unstable"):
+        if len(line) < STDOUT_LINE_BUDGET:
+            break
+        if sf1_summary:
+            sf1_summary.pop(drop, None)
+        line = json.dumps(final, separators=(",", ":"))
+    for drop in ("sf1", "queries"):
+        if len(line) < STDOUT_LINE_BUDGET:
+            break
+        final.pop(drop, None)
+        final["dropped_for_size"] = final.get("dropped_for_size", []) + [drop]
+        line = json.dumps(final, separators=(",", ":"))
+    return line
+
+
 def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
     """Spark-vs-DuckDB timings for the worst-ratio set at the synthesized
     sf1 (min-of-5: host steal-time spikes of 5-20x were measured on this
@@ -659,10 +753,17 @@ def main() -> None:
         # the final record (ADVICE r5 #3)
         "partial": True,
     }
-    # the sf1 section runs for tens of minutes; print (and flush) the
-    # headline line FIRST so a harness timeout mid-sf1 still records
-    # the sf0.1 results — the final line below supersedes this one.
-    print(json.dumps(headline), flush=True)
+    # the sf1 section runs for tens of minutes; print (and flush) a
+    # COMPACT headline line FIRST so a harness timeout mid-sf1 still
+    # records a parseable sf0.1 record — the final line supersedes it.
+    print(
+        compact_stdout_line(
+            headline["value"], sf, timings, floor_s, duck, None,
+            os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_full.json"),
+            partial=True,
+        ),
+        flush=True,
+    )
 
     # sf1 crossover section (disable with SPARK_GRAFT_SF1=0); never let
     # it break the headline JSON line. It runs in a FRESH SUBPROCESS
@@ -729,48 +830,12 @@ def main() -> None:
     except OSError:
         pass
 
-    sf1_summary: dict | None = None
-    if isinstance(sf1, dict):
-        sf1_summary = {
-            k: v
-            for k, v in sf1.items()
-            if k
-            in (
-                "ratio_floor_adjusted",
-                "spark_only",
-                "cold_sec",
-                "cold_duckdb_sec",
-                "unstable",
-                "skipped",
-                "error",
-                "free_disk_gb_at_start",
-            )
-        }
-        if "errors" in sf1:
-            sf1_summary["n_errors"] = len(sf1["errors"])
-    final = {
-        "metric": headline["metric"],
-        "value": headline["value"],
-        "unit": "sec",
-        "sf": sf,
-        "queries": timings,
-        "spark_fixed_overhead_sec": floor_s,
-        "ratio_floor_adjusted": ratios,
-        "sf1": sf1_summary,
-        "detail_file": detail_path,
-    }
-    line = json.dumps(final, separators=(",", ":"))
-    # hard cap with graceful degradation: drop optional fields until the
-    # line fits the capture window — sf1 ratios last (they are the r6
-    # deliverable), per-query sf0.1 dicts first (recoverable from the
-    # detail file)
-    for drop in ("ratio_floor_adjusted", "queries", "sf1"):
-        if len(line) <= 3800:
-            break
-        final.pop(drop, None)
-        final["dropped_for_size"] = final.get("dropped_for_size", []) + [drop]
-        line = json.dumps(final, separators=(",", ":"))
-    print(line, flush=True)
+    print(
+        compact_stdout_line(
+            headline["value"], sf, timings, floor_s, duck, sf1, detail_path
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

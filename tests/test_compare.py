@@ -110,3 +110,56 @@ def test_clean_tmp_never_touches_spark_dirs_mid_run(tmp_path, monkeypatch):
     bench._clean_tmp(patterns=(str(duck),), prune_spark_dirs=True)
     assert not old_dir.exists(), "startup prune must drop stale dirs"
     assert new_dir.exists(), "startup prune must keep fresh dirs"
+
+
+def test_bench_stdout_line_fits_driver_capture():
+    """The driver captures only the last 2000 bytes of bench stdout and
+    parses the final line as JSON; BENCH_r02-r06 were parsed:null
+    because the final line outgrew that window. Pin the budget against
+    the REAL round-6 record (the worst case observed), plus a synthetic
+    2x-larger registry to prove graceful degradation never overflows."""
+    import json
+    import os
+
+    import bench
+
+    full_path = os.path.join(os.path.dirname(bench.__file__), "BENCH_FULL.json")
+    with open(full_path) as f:
+        full = json.load(f)
+    line = bench.compact_stdout_line(
+        full["value"], full["sf"], full["queries"],
+        full["spark_fixed_overhead_sec"], full["duckdb"], full["sf1"],
+        "/tmp/bench_full.json",
+    )
+    assert len(line) < bench.STDOUT_LINE_BUDGET <= 1950
+    rec = json.loads(line)
+    assert rec["queries"] and rec["sf1"]["ratio"], (
+        "real-size record must keep both the driver-contract queries "
+        "dict and the sf1 crossover ratios"
+    )
+
+    # partial (pre-sf1) line: also parseable and within budget
+    pline = bench.compact_stdout_line(
+        full["value"], full["sf"], full["queries"],
+        full["spark_fixed_overhead_sec"], full["duckdb"], None,
+        "/tmp/bench_full.json", partial=True,
+    )
+    assert len(pline) < bench.STDOUT_LINE_BUDGET
+    assert json.loads(pline)["partial"] is True
+
+    # 2x registry growth: degradation drops fields, never overflows
+    big_t = {f"very_long_query_name_number_{i:03d}": 1.234 for i in range(80)}
+    big_sf1 = {
+        "ratio_floor_adjusted": {k: 3.21 for k in big_t},
+        "unstable": list(big_t)[:10],
+        "spark_only": {k: 1.0 for k in list(big_t)[:10]},
+        "cold_sec": {k: 2.0 for k in list(big_t)[:5]},
+        "free_disk_gb_at_start": 80.0,
+        "errors": {"x": "y"},
+    }
+    bline = bench.compact_stdout_line(
+        99.9, 1.0, big_t, 0.03, {k: 0.5 for k in big_t}, big_sf1, "/tmp/x.json",
+    )
+    assert len(bline) < bench.STDOUT_LINE_BUDGET
+    brec = json.loads(bline)
+    assert brec.get("dropped_for_size"), "oversized record must record drops"
