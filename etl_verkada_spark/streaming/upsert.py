@@ -190,41 +190,82 @@ MV_CHUNKS = 4
 MV_DAY_US = 86_400_000_000
 
 
+def _mv_latest_version(state_dir: str) -> int | None:
+    """Highest COMMITTED state version under ``state_dir`` (a ``v{bid}``
+    subdirectory with Spark's ``_SUCCESS`` marker), or None. Pure
+    driver-side directory listing — no Spark job."""
+    import os
+
+    best = None
+    try:
+        names = os.listdir(state_dir)
+    except OSError:
+        return None
+    for nm in names:
+        if nm.startswith("v") and os.path.exists(
+            os.path.join(state_dir, nm, "_SUCCESS")
+        ):
+            try:
+                bid = int(nm[1:])
+            except ValueError:
+                continue
+            best = bid if best is None or bid > best else best
+    return best
+
+
 def mv_fold(state_dir: str):
     """Build the foreachBatch fold for incremental MV maintenance:
     merge the batch's (event_type, count, scaled-sum) partials into the
     parquet state table.
 
-    Replay safety: sums are not idempotent and foreachBatch is
-    at-least-once, so the state carries ``last_bid`` — the highest
-    batch_id folded so far; a batch at or below it is skipped. The
-    overwrite replaces state and watermark together, atomically per
-    batch.
+    State is VERSIONED: fold N writes ``state_dir/v{batch_id}``; the
+    current state is the highest committed (``_SUCCESS``-marked)
+    version. This buys three things over the previous overwrite-in-
+    place fold: (1) replay detection (sums are not idempotent and
+    foreachBatch is at-least-once) is a driver-side directory listing
+    instead of a ``max(last_bid)`` Spark job per batch; (2) writing to
+    a fresh directory removes the read-then-overwrite-same-path
+    conflict, so the eager ``localCheckpoint`` job per batch goes away
+    too — together those two jobs were ~40% of the sf1 wall-clock;
+    (3) a fold that dies mid-write leaves no ``_SUCCESS``, so the next
+    replay folds from the last committed version — the overwrite form
+    could destroy state it was still reading from. Superseded versions
+    are pruned after commit (production would vacuum asynchronously).
     """
+    import os
+    import shutil
+
     from ..operators.aggregates import scaled_long
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
-        state = _read_state(bspark, state_dir)
-        if state is not None:
-            last_bid = state.agg(F.max("last_bid")).first()[0]
-            if last_bid is not None and batch_id <= last_bid:
-                return  # at-least-once replay: already folded, skip
+        latest = _mv_latest_version(state_dir)
+        if latest is not None and batch_id <= latest:
+            return  # at-least-once replay: already folded, skip
         part = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(scaled_long("value")).alias("c"),
         )
-        merged = (
-            part
-            if state is None
-            else state.select("event_type", "n", "c")
-            .unionByName(part)
-            .groupBy("event_type")
-            .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
-        ).withColumn("last_bid", F.lit(batch_id))
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
+        if latest is not None:
+            state = bspark.read.parquet(
+                os.path.join(state_dir, f"v{latest}")
+            )
+            part = (
+                state.unionByName(part)
+                .groupBy("event_type")
+                .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+            )
+        # state cardinality == |event_type| (metadata-sized): one file
+        # avoids 32 near-empty write tasks per fold. A grid-sized MV
+        # (millions of groups) would drop the coalesce and keep the
+        # aggregate's partitioning.
+        part.coalesce(1).write.parquet(
+            os.path.join(state_dir, f"v{batch_id}")
         )
+        if latest is not None:
+            shutil.rmtree(
+                os.path.join(state_dir, f"v{latest}"), ignore_errors=True
+            )
 
     return _fold
 
@@ -242,12 +283,13 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mergeability discipline: the state stores associative partials
     (n, c), never finals. A fold (sum) is NOT naturally idempotent the
     way last-wins MERGE is, and foreachBatch is at-least-once — a
-    replayed batch_id would double-count. The state therefore records
-    the last folded batch_id (``last_bid``): a batch at or below it is
-    skipped, making replay a no-op (ADVICE r5). The write replaces
-    state atomically per batch (localCheckpoint breaks lineage before
-    the read-modify-write overwrite, same as foreach_batch_merge), so
-    state and watermark always move together.
+    replayed batch_id would double-count. State is therefore versioned
+    by batch_id (see ``mv_fold``): a replayed batch at or below the
+    highest committed version is a no-op (ADVICE r5), detection is a
+    driver directory listing (no Spark job), and each fold writes a
+    FRESH version directory — no read-modify-overwrite, so no eager
+    localCheckpoint to break lineage. At sf1 those two per-batch jobs
+    were ~40% of wall-clock (4.64 s -> see SCALE.md §18).
 
     At 100 TB: state is |group| rows (metadata-sized); each refresh
     touches only the arriving partition — the streaming form of "never
@@ -296,7 +338,10 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(state_dir).select(
+    final_v = _mv_latest_version(state_dir)
+    return spark.read.parquet(
+        os.path.join(state_dir, f"v{final_v}")
+    ).select(
         "event_type",
         F.col("n").alias("n_events"),
         unscale(F.col("c"), 2).alias("sum_value"),

@@ -466,11 +466,18 @@ def test_mv_refresh_folds_multiple_microbatches(spark):
 
 def test_mv_fold_skips_replayed_batch(spark, tmp_path):
     """foreachBatch is at-least-once: re-delivering an already-folded
-    batch_id must be a no-op (the state records last_bid), while the
-    next batch_id folds normally."""
-    from etl_verkada_spark.streaming.upsert import mv_fold
+    batch_id must be a no-op (state versions are keyed by batch_id),
+    while the next batch_id folds normally and prunes the superseded
+    version."""
+    import os
 
-    fold = mv_fold(str(tmp_path / "state"))
+    from etl_verkada_spark.streaming.upsert import (
+        _mv_latest_version,
+        mv_fold,
+    )
+
+    state = str(tmp_path / "state")
+    fold = mv_fold(state)
     b0 = spark.createDataFrame(
         [("a", 1.0), ("a", 2.0)], "event_type string, value double"
     )
@@ -481,8 +488,15 @@ def test_mv_fold_skips_replayed_batch(spark, tmp_path):
     fold(b0, 0)  # replay: must not double-count
     fold(b1, 1)
     fold(b1, 1)  # replay of the newest batch too
-    row = spark.read.parquet(str(tmp_path / "state")).collect()[0]
-    assert (row.event_type, row.n, row.last_bid) == ("a", 3, 1)
+    assert _mv_latest_version(state) == 1
+    row = spark.read.parquet(os.path.join(state, "v1")).collect()[0]
+    assert (row.event_type, row.n) == ("a", 3)
+    assert not os.path.exists(os.path.join(state, "v0")), (
+        "superseded version must be pruned after commit"
+    )
+    # an uncommitted (no _SUCCESS) version must be invisible
+    os.makedirs(os.path.join(state, "v7"))
+    assert _mv_latest_version(state) == 1
 
 
 def test_read_state_propagates_non_missing_errors(spark, tmp_path):
