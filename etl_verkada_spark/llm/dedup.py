@@ -82,6 +82,47 @@ GROUP BY 1
 """
 
 
+def llm_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: keep EVERY document, but emit a sampling weight
+    1/|duplicate cluster| so repeated content contributes once in
+    expectation (the reweighting alternative to hard removal —
+    SoftDeDup-style down-weighting instead of llm_dedup_exact's
+    keep-min-id drop; hard dedup loses paraphrase diversity, soft
+    dedup keeps it at unchanged effective epochs).
+
+    Plan: digest map-side (text never crosses the wire), then ONE
+    shuffle on the digest with a partition-frame window count — no
+    groupBy+join-back (which would shuffle the corpus twice). Weight is
+    a single IEEE double division, bit-identical in both engines. At
+    100 TB: shuffle payload is (digest, doc_id) = ~24 B/doc, and a
+    pathological mega-cluster is just a big count — no row explosion.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    return (
+        d.select(F.md5(normalized_text()).alias("content_hash"), "doc_id")
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .select(
+            "doc_id",
+            "n_copies",
+            (F.lit(1.0) / F.col("n_copies")).alias("weight"),
+        )
+    )
+
+
+ORACLE_LLM_DEDUP_SOFT = """
+SELECT
+  doc_id,
+  COUNT(*) OVER (
+    PARTITION BY md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))))
+  ) AS n_copies,
+  CAST(1 AS DOUBLE) / COUNT(*) OVER (
+    PARTITION BY md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g'))))
+  ) AS weight
+FROM documents
+"""
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct — the set representation."""
     return with_shingles(docs).select(
@@ -928,6 +969,10 @@ QUERIES = {
     "llm_dedup_exact": spec(
         llm_dedup_exact, ORACLE_LLM_DEDUP_EXACT, "llm",
         doc="exact dedup via content hash, keep min doc_id",
+    ),
+    "llm_dedup_soft": spec(
+        llm_dedup_soft, ORACLE_LLM_DEDUP_SOFT, "llm",
+        doc="soft dedup: 1/|cluster| sampling weights, no row dropped",
     ),
     "llm_dedup_minhash": spec(
         llm_dedup_minhash, ORACLE_LLM_DEDUP_MINHASH, "llm",

@@ -116,6 +116,101 @@ def llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ensemble weights / caps — chosen so every band occurs at every SF
+#: (measured score distribution at sf0.001/0.01/0.1: min ~0.21,
+#: p20 ~0.34, p80 ~0.43, max ~0.53)
+ENS_LEN_CAP = 100
+ENS_STOP_CAP = 0.5
+ENS_HIGH = 0.43
+ENS_MID = 0.34
+
+
+def llm_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal fusion: one 0-1 score per document from three
+    normalized signals (length, stopword density, lexical diversity),
+    banded into high/mid/low — the "combine weak classifiers into one
+    sampling score" stage that follows the individual C4/Gopher-style
+    rules (llm_quality, llm_quality_repetition).
+
+    The fusion is deliberately LINEAR (weighted sum of capped ratios,
+    no transcendentals): every term is a single IEEE-double op that
+    both engines evaluate identically, so the driver's hash check
+    covers the scoring math bit-for-bit — a logistic link would differ
+    in the last ulp between java.lang.Math.exp and libm. Pure
+    per-row projection over one split: no explode, no shuffle,
+    embarrassingly parallel at 100 TB; the score feeds
+    llm_sample_importance-style weighted sampling downstream.
+    """
+    d = table(spark, sf_dir, "documents")
+    ws = _words()
+    n_tok = F.size(ws)
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin(*EN_STOPWORDS)))
+    len_norm = F.least(n_tok, F.lit(ENS_LEN_CAP)).cast("double") / F.lit(
+        float(ENS_LEN_CAP)
+    )
+    stop_norm = (
+        F.least(
+            stop_hits.cast("double") / n_tok.cast("double"),
+            F.lit(ENS_STOP_CAP),
+        )
+        / F.lit(ENS_STOP_CAP)
+    )
+    uniq_ratio = F.size(F.array_distinct(ws)).cast("double") / n_tok.cast(
+        "double"
+    )
+    score = (
+        F.lit(0.35) * len_norm
+        + F.lit(0.35) * stop_norm
+        + F.lit(0.30) * uniq_ratio
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        F.when(score >= ENS_HIGH, F.lit("high"))
+        .when(score >= ENS_MID, F.lit("mid"))
+        .otherwise(F.lit("low"))
+        .alias("band"),
+    )
+
+
+ORACLE_LLM_QUALITY_ENSEMBLE = f"""
+WITH f AS (
+  SELECT
+    doc_id,
+    string_split(text, ' ') AS ws,
+    LEN(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT
+    doc_id,
+    CAST(LEAST(n_tok, {ENS_LEN_CAP}) AS DOUBLE)
+      / CAST({ENS_LEN_CAP} AS DOUBLE) AS len_norm,
+    LEAST(
+      CAST(LEN(list_filter(ws,
+          w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+        / CAST(n_tok AS DOUBLE),
+      CAST({ENS_STOP_CAP} AS DOUBLE)
+    ) / CAST({ENS_STOP_CAP} AS DOUBLE) AS stop_norm,
+    CAST(LEN(list_distinct(ws)) AS DOUBLE)
+      / CAST(n_tok AS DOUBLE) AS uniq_ratio
+  FROM f
+),
+sc AS (
+  SELECT doc_id,
+    CAST(0.35 AS DOUBLE) * len_norm
+      + CAST(0.35 AS DOUBLE) * stop_norm
+      + CAST(0.30 AS DOUBLE) * uniq_ratio AS score
+  FROM s
+)
+SELECT doc_id, ROUND(score, 6) AS score,
+  CASE WHEN score >= {ENS_HIGH} THEN 'high'
+       WHEN score >= {ENS_MID} THEN 'mid'
+       ELSE 'low' END AS band
+FROM sc
+"""
+
+
 ORACLE_LLM_QUALITY = """
 WITH f AS (
   SELECT
@@ -938,6 +1033,10 @@ QUERIES = {
     "llm_quality": spec(
         llm_quality, ORACLE_LLM_QUALITY, "llm",
         doc="quality scoring with keep/drop verdict",
+    ),
+    "llm_quality_ensemble": spec(
+        llm_quality_ensemble, ORACLE_LLM_QUALITY_ENSEMBLE, "llm",
+        doc="linear fusion of quality signals -> 0-1 score + band",
     ),
     "llm_quality_repetition": spec(
         llm_quality_repetition, ORACLE_LLM_QUALITY_REPETITION, "llm",

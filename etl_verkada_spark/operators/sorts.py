@@ -84,6 +84,52 @@ SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 20 OFFSET 5
 """
 
 
+#: rows kept per (lang, source) group
+TOPN_PER_KEY = 5
+
+
+def sort_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N rows per key — "keep the 5 longest documents per
+    (lang, source)", the standard curation shape for per-source caps in
+    training-data pipelines (and the grouped cousin of ``topk``).
+
+    Expressed as a rank-filtered window, which Spark compiles to
+    WindowGroupLimit: each map task keeps only N rows per key BEFORE
+    the shuffle (Spark 3.5+ rank-limit pushdown), so the exchange
+    carries at most N*keys*partitions rows instead of the table —
+    the grouped analogue of TakeOrderedAndProject's per-partition
+    heap. Verified in the plan (tests/test_relational.py): a
+    ``WindowGroupLimit`` node appears below the Exchange. The ordering
+    is total ((n_chars DESC, doc_id) — doc_id is unique), so the kept
+    set is deterministic.
+
+    At 100 TB: no global sort, no skew trap — a hot key still sends
+    only N rows per map task. Contrast with groupBy+collect_list+
+    slice, which shuffles every row of the hot key to one reducer.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPN_PER_KEY)
+    )
+
+
+ORACLE_SORT_TOPN_PER_KEY = f"""
+SELECT doc_id, lang, source, n_chars, rn FROM (
+  SELECT
+    doc_id, lang, source, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang, source ORDER BY n_chars DESC, doc_id
+    ) AS rn
+  FROM documents
+) WHERE rn <= {TOPN_PER_KEY}
+"""
+
+
 QUERIES = {
     "sort_orderby": spec(
         sort_orderby, ORACLE_SORT_ORDERBY, "beyond",
@@ -96,5 +142,9 @@ QUERIES = {
     "limit_offset": spec(
         limit_offset, ORACLE_LIMIT_OFFSET, "reference:L1",
         doc="page-size limit/offset, task.ts:119",
+    ),
+    "sort_topn_per_key": spec(
+        sort_topn_per_key, ORACLE_SORT_TOPN_PER_KEY, "beyond",
+        doc="top-N per key via WindowGroupLimit (map-side rank pushdown)",
     ),
 }

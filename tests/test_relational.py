@@ -1284,3 +1284,30 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_topn_per_key_pushes_group_limit_below_exchange(spark):
+    """sort_topn_per_key's rank filter must compile to WindowGroupLimit
+    on BOTH sides of the exchange (Spark 3.5+ rank-limit pushdown): the
+    map-side partial keeps N rows per key before the shuffle, so a hot
+    key ships N rows per task, never the whole group."""
+    from etl_verkada_spark.operators.sorts import (
+        TOPN_PER_KEY,
+        sort_topn_per_key,
+    )
+
+    df = sort_topn_per_key(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert plan.count("WindowGroupLimit") == 2, plan[:1500]
+    assert "Partial" in plan.split("WindowGroupLimit")[2][:200] or (
+        "Final" in plan
+    ), plan[:1500]
+    # and the result honors the cap
+    import pyspark.sql.functions as SF
+    over = (
+        df.groupBy("lang", "source")
+        .count()
+        .filter(SF.col("count") > TOPN_PER_KEY)
+        .count()
+    )
+    assert over == 0
