@@ -821,12 +821,16 @@ def main() -> None:
         with open(detail_path, "w") as f:
             json.dump(full, f, indent=1)
         # a copy inside the repo survives the sandbox via the driver's
-        # end-of-round commit (the /tmp copy does not)
-        repo_copy = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-        )
-        with open(repo_copy, "w") as f:
-            json.dump(full, f, indent=1)
+        # end-of-round commit (the /tmp copy does not). Skipped for
+        # sf1-disabled smoke runs so they cannot clobber the last full
+        # record with an sf1:null one.
+        if sf1 is not None:
+            repo_copy = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL.json",
+            )
+            with open(repo_copy, "w") as f:
+                json.dump(full, f, indent=1)
     except OSError:
         pass
 

@@ -151,6 +151,15 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the table. At 100 TB both snapshots shuffle once on the key;
     with both stored bucketed on the key (join_bucketed's layout) the
     diff is exchange-free.
+
+    Rewrites tried and REJECTED (round 7, same-session sf1 A/B,
+    min-of-5): tag-union + single-exchange groupBy(key) diff — both
+    the max(when(side, struct)) form (SortAggregate, 1.19-1.29 s) and
+    the scalar max(when)+min/max(side) form (HashAggregate,
+    1.10-1.22 s) lose to this full-outer SMJ (0.89-1.00 s). Halving
+    the exchanges does not pay for building a |keys|-sized hash/sort
+    agg state: the SMJ streams both sorted sides with O(1) state,
+    and nearly-unique keys make partial aggregation pure overhead.
     """
     old, new = _snapshots(spark, sf_dir)
     o = old.alias("o")
