@@ -73,6 +73,11 @@ HEADLINE = [
     # (measured 524x — a statement about the oracle, not the plan).
     "mm_decode",
     "llm_dedup_substring",
+    # round-7 additions: WindowGroupLimit top-N, digest-window soft
+    # dedup, linear quality fusion
+    "sort_topn_per_key",
+    "llm_dedup_soft",
+    "llm_quality_ensemble",
 ]
 
 
@@ -235,6 +240,10 @@ SF1_QUERIES = [
     "llm_sim_ann_pq",
     "dq_drift",
     "stream_drift",
+    # round-7: map-side rank pushdown and digest-window reweighting at
+    # 100x documents
+    "sort_topn_per_key",
+    "llm_dedup_soft",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's
