@@ -58,115 +58,98 @@ def spec(
 # entries of build_registry() (verified round 1: CORRECTNESS_r01.json ==
 # first 50 names exactly).
 #
-# ROUND-6 WINDOW (r5 verdict #6: rotate toward the oldest evidence —
-# "no registered query's newest driver row older than r2"):
-#   1. flagship (always slot 1);
-#   2. the round-6 additions, oracle-paired from birth: mm_decode
-#      (real PPM codec, replaces the rows-only mm_decode_stub),
-#      llm_dedup_substring (stride-1 sliding-window span dedup),
-#      mm_resize (real-codec resample), llm_sim_ann_pq (product-
-#      quantization ADC ANN), dq_drift (snapshot TVD drift audit),
-#      stream_drift (streaming drift monitor, oracle = dq_drift's SQL);
-#   3. ALL 37 queries whose newest hash-green row is round 1 (computed
-#      from CORRECTNESS_r01-r05: green in r1, displaced and unchanged
-#      since) — after r6 every registered query's newest row is >= r3;
-#   4. queries whose implementation changes this round: upsert_merge
-#      (state-fold batch_id idempotency fix) and scan_manifest_log
-#      (numeric version sort fix);
-#   5. remaining slots filled with the oldest r3-evidence rows.
-# Past slot 50: driver-green from an earlier round with unchanged code.
+# ROTATION POLICY (stable since r5; each round's window recorded in that
+# round's CORRECTNESS_r0N.json): slot 1 is the flagship; then (a) queries
+# that have never had a driver row (this round's additions), (b) queries
+# whose IMPLEMENTATION or oracle changed this round (comment-only edits
+# don't count), (c) fill with the oldest-evidence rows. Past slot 50:
+# driver-green from an earlier round with unchanged code, plus full
+# parity coverage via tools/parity_check.py.
 #
-# Round-5 policy (kept for history; the r5 window it describes is in
-# CORRECTNESS_r05.json) — the slots are ROTATED each round, in priority
-# order:
-#   1. queries that have never had a driver row (the 13 late round-4
-#      additions — ALL in this round's window, so after r5 every one of
-#      the 134 registered queries has driver evidence from some round),
-#   2. the twenty-three round-5 additions (oracle-paired from birth, never
-#      checked: sketch merge, dq profile, passage dedup, int8 quantize,
-#      z-order audit, frame sampling from session 1; triangle count,
-#      EWMA, z-score anomaly gate, RAG chunking, bigram doc scoring,
-#      random projection, k-means assignment + 3-iteration training,
-#      relative-rank windows, schema-evolution scan, count-min sketch,
-#      manifest/log-head scan, importance sampling, incremental MV
-#      merge batch + streaming, running count-distinct, FILTER-clause
-#      aggregates from session 2),
-#   3. queries whose implementation or oracle changed this round
-#      (flagship_features to_json surface + oracle, minhash threshold,
-#      LSH ANN oracle, maintain_compact fingerprint, simhash rebuilt
-#      on cross-engine md5 hashes and oracle-ified — displacing
-#      agg_salted, the fill with the freshest prior row, r4-green),
-#   4. the round-5 perf-workstream targets — all four were REWRITTEN
-#      this round (split-view token counting), so their green rows
-#      must be re-earned,
-#   5. oldest-evidence rows: queries last checked in round 1 (the 12
-#      semantically richest fill the remaining slots — left out, all
-#      r1-green with code unchanged since r1: set_* x5, limit_offset,
-#      sort_orderby, filter_* x3, enrich_when, project_struct,
-#      subquery_in, scan_cursor, scan_page, unpivot, validate_failfast,
-#      validate_json, win_first_last, and — displaced by the session-2
-#      additions — agg_count, agg_count_distinct, agg_cube,
-#      agg_distinct, agg_grouping_sets, agg_percentile, agg_rollup,
-#      dedup_exact_rows, join_anti, join_asof, join_semi,
-#      join_sortmerge, subquery_exists, subquery_scalar, win_lag,
-#      win_ntile, win_range_interval).
-# Past slot 50: driver-green from an earlier round with unchanged code.
+# ROUND-7 WINDOW. Evidence state after r6 (from CORRECTNESS_r01-r06):
+# every registered query's newest hash-green row is >= r3; 24 queries
+# sit at r3 and 41 at r4. This window:
+#   1. flagship;
+#   2. the three round-7 additions (never checked, oracle-paired from
+#      birth): sort_topn_per_key (WindowGroupLimit top-N per key),
+#      llm_dedup_soft (1/|cluster| reweighting), llm_quality_ensemble
+#      (linear quality-signal fusion);
+#   3. changed this round: stream_mv_refresh (versioned-state fold —
+#      replay guard via committed version dirs, no localCheckpoint);
+#      cdc_snapshot_diff is NOT re-windowed: the union-agg rewrite was
+#      reverted after the A/B, leaving the r6-green plan byte-identical
+#      (docstring-only delta);
+#   4. ALL 24 r3-evidence rows (validate_expectations, scan_csv_land,
+#      project_struct_nested, agg_approx/stats/collect, win_sessionize,
+#      ts_gapfill, the r3 llm family, mm_binary_stats, mm_resize_stub,
+#      mm_feature_extract);
+#   5. fill: 21 of the 41 r4-evidence rows, preferring the operators
+#      whose behavior is most coupled to code that keeps moving — the
+#      whole streaming family (7), the fx_* scalar surface (9),
+#      udf_pandas/udtf_bigrams, and the perf-workstream trio
+#      join_range/ts_ohlc/join_salted. The 20 r4 rows left out
+#      (scan_partition_pruned, scan_json/orc_land, join_bucketed,
+#      agg_approx_percentile, agg_mode, win_funnel, ts_interpolate,
+#      subquery_lateral, dq_referential, llm_dedup_fuzzy/semantic,
+#      llm_sim_ann_ivf, llm_quality_repetition, llm_sample_*,
+#      llm_shard, llm_mix_weights, llm_pack_sequences,
+#      mm_feature_extract_arrow) are the r8 rotation's oldest cohort.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 2. round-6 additions (never checked, oracle-paired from birth) --
-    "mm_decode",
-    "llm_dedup_substring",
-    "mm_resize",
-    "llm_sim_ann_pq",
-    "dq_drift",
-    "stream_drift",
-    # -- 3. newest green row is round 1 (all 37; code unchanged since) --
-    "agg_count",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_salted",
-    "dedup_exact_rows",
-    "enrich_when",
-    "filter_conj",
-    "filter_isin",
-    "filter_nullsafe",
-    "join_anti",
-    "join_asof",
-    "join_semi",
-    "join_sortmerge",
-    "limit_offset",
-    "project_struct",
-    "scan_cursor",
-    "scan_page",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union",
-    "sort_orderby",
-    "subquery_exists",
-    "subquery_in",
-    "subquery_scalar",
-    "unpivot",
-    "validate_failfast",
-    "validate_json",
-    "win_first_last",
-    "win_lag",
-    "win_ntile",
-    "win_range_interval",
-    # -- 4. implementation changed in round 6 --
-    "upsert_merge",
-    "scan_manifest_log",
-    "llm_sim_search",     # mapInArrow flat-buffer kernel rewrite
-    "stream_mv_refresh",  # landing-fixture cache + fold replay guard
-    # -- 5. fill: oldest round-3 evidence rows --
-    "dedup_lastwins",
-    "join_large",
+    # -- 2. round-7 additions (never checked) --
+    "sort_topn_per_key",
+    "llm_dedup_soft",
+    "llm_quality_ensemble",
+    # -- 3. implementation changed in round 7 --
+    "stream_mv_refresh",
+    # -- 4. all 24 round-3 evidence rows --
+    "validate_expectations",
+    "scan_csv_land",
+    "project_struct_nested",
+    "agg_approx",
+    "agg_stats",
+    "agg_collect",
+    "win_sessionize",
+    "ts_gapfill",
+    "llm_dedup_exact",
+    "llm_dedup_ngram",
+    "llm_dedup_cc",
+    "llm_sim_pairs",
+    "llm_dedup_embed",
+    "llm_lang_id",
+    "llm_quality",
+    "llm_token_count",
+    "llm_fingerprint",
+    "llm_tfidf",
+    "llm_clean_pipeline",
+    "llm_pii_scrub",
+    "llm_decontaminate",
+    "mm_binary_stats",
+    "mm_resize_stub",
+    "mm_feature_extract",
+    # -- 5. fill: 21 oldest round-4 evidence rows --
+    "stream_tumble",
+    "stream_slide",
+    "stream_session",
+    "stream_stateful",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_dedup",
+    "fx_string",
+    "fx_date",
+    "fx_math",
+    "fx_array",
+    "fx_json",
+    "fx_map",
+    "fx_regex",
+    "fx_cond",
+    "fx_hash",
+    "udf_pandas",
+    "udtf_bigrams",
+    "join_range",
+    "ts_ohlc",
+    "join_salted",
 )
 
 
