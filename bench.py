@@ -498,11 +498,18 @@ def compact_stdout_line(
         final["partial"] = True
         final.pop("sf1", None)
     line = json.dumps(final, separators=(",", ":"))
-    for drop in ("cold", "spark_only", "unstable"):
+    for drop in ("cold", "spark_only"):
         if len(line) < STDOUT_LINE_BUDGET:
             break
         if sf1_summary:
             sf1_summary.pop(drop, None)
+        line = json.dumps(final, separators=(",", ":"))
+    # the unstable list is adjudication-critical (it marks which ratios
+    # NOT to trust) — degrade it to a count rather than dropping it
+    if len(line) >= STDOUT_LINE_BUDGET and sf1_summary and (
+        "unstable" in sf1_summary
+    ):
+        sf1_summary["n_unstable"] = len(sf1_summary.pop("unstable"))
         line = json.dumps(final, separators=(",", ":"))
     for drop in ("sf1", "queries"):
         if len(line) < STDOUT_LINE_BUDGET:

@@ -258,8 +258,12 @@ def mv_fold(state_dir: str):
         # state cardinality == |event_type| (metadata-sized): one file
         # avoids 32 near-empty write tasks per fold. A grid-sized MV
         # (millions of groups) would drop the coalesce and keep the
-        # aggregate's partitioning.
-        part.coalesce(1).write.parquet(
+        # aggregate's partitioning. mode=overwrite because a fold that
+        # died MID-WRITE leaves an uncommitted (no _SUCCESS) v{bid}
+        # directory behind — the replay must be able to rewrite it, and
+        # overwriting an uncommitted version is safe by construction
+        # (nothing ever reads a version without its _SUCCESS marker).
+        part.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}")
         )
         if latest is not None:

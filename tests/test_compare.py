@@ -163,3 +163,23 @@ def test_bench_stdout_line_fits_driver_capture():
     assert len(bline) < bench.STDOUT_LINE_BUDGET
     brec = json.loads(bline)
     assert brec.get("dropped_for_size"), "oversized record must record drops"
+
+    # mid-size record (slightly over budget, no cold/spark_only to
+    # shed): the unstable LIST must degrade to a COUNT — never vanish —
+    # before any adjudication-critical dict is dropped
+    mid_t = {f"query_name_{i:03d}": 1.234 for i in range(36)}
+    mid_sf1 = {
+        "ratio_floor_adjusted": {k: 3.21 for k in mid_t},
+        "unstable": list(mid_t)[:12],
+        "free_disk_gb_at_start": 80.0,
+    }
+    mline = bench.compact_stdout_line(
+        9.9, 1.0, mid_t, 0.03, {k: 0.5 for k in mid_t}, mid_sf1, "/tmp/x.json",
+    )
+    mrec = json.loads(mline)
+    assert len(mline) < bench.STDOUT_LINE_BUDGET
+    assert "sf1" in mrec and "queries" in mrec, mrec.get("dropped_for_size")
+    if "unstable" not in mrec["sf1"]:
+        assert mrec["sf1"]["n_unstable"] == 12, (
+            "shedding must keep at least the unstable COUNT"
+        )

@@ -568,3 +568,35 @@ def test_drift_fold_skips_replayed_batch(spark, tmp_path):
     assert row[("o_orderstatus", "O")] == (1, 1)
     assert row[("o_orderstatus", "F")] == (0, 1)
     assert row[("o_totalprice_bin", "0")] == (1, 2)
+
+
+def test_mv_fold_recovers_from_mid_write_crash(spark, tmp_path):
+    """A fold that died mid-write leaves an uncommitted v{bid} dir (no
+    _SUCCESS). The replay of that batch_id must rewrite it and commit —
+    not fail on the existing path, not skip the batch."""
+    import os
+
+    from etl_verkada_spark.streaming.upsert import (
+        _mv_latest_version,
+        mv_fold,
+    )
+
+    state = str(tmp_path / "state")
+    fold = mv_fold(state)
+    b0 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "event_type string, value double"
+    )
+    fold(b0, 0)
+    # simulate a crash during fold 1: partial dir, no _SUCCESS
+    crashed = os.path.join(state, "v1")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-garbage.parquet"), "w") as f:
+        f.write("torn write")
+    assert _mv_latest_version(state) == 0
+    b1 = spark.createDataFrame(
+        [("a", 4.0)], "event_type string, value double"
+    )
+    fold(b1, 1)  # the at-least-once redelivery
+    assert _mv_latest_version(state) == 1
+    row = spark.read.parquet(os.path.join(state, "v1")).collect()[0]
+    assert (row.event_type, row.n) == ("a", 3)
