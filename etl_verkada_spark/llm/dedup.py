@@ -123,6 +123,55 @@ FROM documents
 """
 
 
+#: canonical-pick packing: quality * 10^12 - doc_id keeps
+#: (quality DESC, doc_id ASC) as ONE bigint max (n_chars < 10^6 and
+#: doc_id < 10^12 by generator contract, so no overflow)
+KEEP_BEST_PACK = 1_000_000_000_000
+
+
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the best-quality copy per cluster instead of
+    llm_dedup_exact's min-id: the canonical-document selection step of
+    corpus pipelines (near-identical crawls keep the longest/cleanest
+    capture, not an arbitrary one).
+
+    The pick is ``max_by`` over a packed BIGINT (quality DESC, doc_id
+    ASC as one scalar), so the aggregate stays a whole-stage
+    HashAggregate — a struct ordering key would fall back to
+    SortAggregate (measured on cdc_snapshot_diff, same round). Quality
+    here is document length (n_chars); any scalar score — e.g.
+    llm_quality_ensemble's — slots into the same packing. One
+    digest-keyed shuffle, text never ships.
+    """
+    d = table(spark, sf_dir, "documents")
+    packed = F.col("n_chars") * F.lit(KEEP_BEST_PACK) - F.col("doc_id")
+    return (
+        d.select(
+            F.md5(normalized_text()).alias("content_hash"),
+            "doc_id",
+            "n_chars",
+            packed.alias("pick"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.max_by("doc_id", F.col("pick")).alias("keep_id"),
+            F.max("n_chars").alias("kept_chars"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE_LLM_DEDUP_KEEP_BEST = f"""
+SELECT
+  md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+  ARG_MAX(doc_id, n_chars * {KEEP_BEST_PACK} - doc_id) AS keep_id,
+  MAX(n_chars) AS kept_chars,
+  COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct — the set representation."""
     return with_shingles(docs).select(
@@ -973,6 +1022,10 @@ QUERIES = {
     "llm_dedup_soft": spec(
         llm_dedup_soft, ORACLE_LLM_DEDUP_SOFT, "llm",
         doc="soft dedup: 1/|cluster| sampling weights, no row dropped",
+    ),
+    "llm_dedup_keep_best": spec(
+        llm_dedup_keep_best, ORACLE_LLM_DEDUP_KEEP_BEST, "llm",
+        doc="exact dedup keeping the best-quality copy (packed max_by)",
     ),
     "llm_dedup_minhash": spec(
         llm_dedup_minhash, ORACLE_LLM_DEDUP_MINHASH, "llm",

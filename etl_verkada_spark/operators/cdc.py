@@ -27,6 +27,49 @@ from ..catalog import table
 from ..registry import spec
 
 
+def _scd2_intervals(ev: DataFrame, weighted: bool = False) -> DataFrame:
+    """Gaps-and-islands core shared by scd2_build and scd2_apply.
+
+    ``ev`` columns: user_id, event_type, us, event_id [, w]. With
+    ``weighted`` each row contributes ``w`` to its run's n_events —
+    scd2_apply uses this to fold an already-aggregated open interval
+    in as a single seed row.
+    """
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = ev.withColumn(
+        "is_start",
+        F.when(
+            F.lag("event_type").over(order).isNull()
+            | (F.lag("event_type").over(order) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("is_start").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n_events = (
+        F.sum("w") if weighted else F.count(F.lit(1))
+    )
+    intervals = run.groupBy("user_id", "run_id").agg(
+        # all rows in a run share one state by construction; MIN (not
+        # first()) keeps the aggregate deterministic and oracle-equal
+        F.min("event_type").alias("state"),
+        F.min("us").alias("valid_from"),
+        n_events.alias("n_events"),
+    )
+    nxt = Window.partitionBy("user_id").orderBy("run_id")
+    return intervals.select(
+        "user_id",
+        "run_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+        "n_events",
+    )
+
+
 def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 intervals of each user's event_type state.
 
@@ -45,36 +88,7 @@ def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
         "event_id",
     )
-    order = Window.partitionBy("user_id").orderBy("us", "event_id")
-    run = ev.withColumn(
-        "is_start",
-        F.when(
-            F.lag("event_type").over(order).isNull()
-            | (F.lag("event_type").over(order) != F.col("event_type")),
-            1,
-        ).otherwise(0),
-    ).withColumn(
-        "run_id",
-        F.sum("is_start").over(
-            order.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    intervals = run.groupBy("user_id", "run_id").agg(
-        # all rows in a run share one state by construction; MIN (not
-        # first()) keeps the aggregate deterministic and oracle-equal
-        F.min("event_type").alias("state"),
-        F.min("us").alias("valid_from"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    nxt = Window.partitionBy("user_id").orderBy("run_id")
-    return intervals.select(
-        "user_id",
-        "run_id",
-        "state",
-        "valid_from",
-        F.lead("valid_from").over(nxt).alias("valid_to"),
-        "n_events",
-    )
+    return _scd2_intervals(ev)
 
 
 ORACLE_SCD2_BUILD = """
@@ -116,6 +130,82 @@ SELECT
   n_events
 FROM intervals
 """
+
+
+#: scd2_apply history/delta split: events span 2024-01-01..01-30 at
+#: every SF; the last week is the "arriving" batch.
+SCD2_SPLIT_US = 1_706_054_400_000_000  # 2024-01-24T00:00:00Z, micros
+
+
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 maintenance: fold a batch of newly-arrived
+    events into an existing type-2 history WITHOUT rescanning closed
+    history — and prove the fold exact, because the oracle is the
+    full-recompute SQL (the same "incremental == recompute" discipline
+    as agg_incremental_merge / stream_mv_refresh, applied to the
+    warehouse's core dimension-history op).
+
+    Mechanics: history = intervals built from events before
+    SCD2_SPLIT_US; delta = events at/after it (event time is a clean
+    split, so every delta event sorts after every history event).
+    Users absent from the delta pass their intervals through
+    UNTOUCHED. For touched users, only the OPEN interval (valid_to
+    IS NULL — by construction each user's last) can change: it is
+    re-encoded as one weighted seed row (its state at its valid_from
+    carrying n_events as weight) and the gaps-and-islands core reruns
+    over seed + delta rows alone; recomputed run ids are then shifted
+    by the open run's position so numbering matches the recompute.
+    Closed intervals are never recomputed, resorted, or even re-read
+    beyond the pass-through — at 100 TB the work is |delta| +
+    |touched open intervals| (one row per touched user), while the
+    full recompute resorts the entire history. The oracle equality is
+    exactly the statement that this shortcut loses nothing.
+    """
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_id",
+    )
+    hist = _scd2_intervals(ev.filter(F.col("us") < SCD2_SPLIT_US))
+    delta = ev.filter(F.col("us") >= SCD2_SPLIT_US)
+
+    touched = delta.select("user_id").distinct()
+    untouched = hist.join(touched, "user_id", "left_anti")
+    h_touched = hist.join(touched, "user_id", "left_semi")
+    closed = h_touched.filter(F.col("valid_to").isNotNull())
+    opened = h_touched.filter(F.col("valid_to").isNull())
+
+    seed = opened.select(
+        "user_id",
+        F.col("state").alias("event_type"),
+        F.col("valid_from").alias("us"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.col("n_events").alias("w"),
+    )
+    merged = seed.unionByName(
+        delta.withColumn("w", F.lit(1).cast("long"))
+    )
+    recomputed = _scd2_intervals(merged, weighted=True)
+    bases = opened.select(
+        "user_id", (F.col("run_id") - 1).alias("base_run")
+    )
+    recomputed = (
+        recomputed.join(bases, "user_id", "left")
+        .withColumn(
+            "run_id",
+            F.col("run_id") + F.coalesce(F.col("base_run"), F.lit(0)),
+        )
+        .drop("base_run")
+    )
+    cols = ["user_id", "run_id", "state", "valid_from", "valid_to",
+            "n_events"]
+    return (
+        untouched.select(*cols)
+        .unionByName(closed.select(*cols))
+        .unionByName(recomputed.select(*cols))
+    )
 
 
 #: deterministic synthetic "old snapshot" perturbation: rows dropped
@@ -230,5 +320,10 @@ QUERIES = {
     "cdc_snapshot_diff": spec(
         cdc_snapshot_diff, ORACLE_CDC_SNAPSHOT_DIFF, "beyond",
         doc="keyed snapshot diff -> insert/update/delete changeset",
+    ),
+    "scd2_apply": spec(
+        scd2_apply, ORACLE_SCD2_BUILD, "beyond",
+        doc="incremental SCD2 fold of arriving events == full recompute "
+            "(oracle is the rescan)",
     ),
 }

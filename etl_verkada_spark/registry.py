@@ -70,30 +70,34 @@ def spec(
 # every registered query's newest hash-green row is >= r3; 24 queries
 # sit at r3 and 41 at r4. This window:
 #   1. flagship;
-#   2. the three round-7 additions (never checked, oracle-paired from
+#   2. the five round-7 additions (never checked, oracle-paired from
 #      birth): sort_topn_per_key (WindowGroupLimit top-N per key),
 #      llm_dedup_soft (1/|cluster| reweighting), llm_quality_ensemble
-#      (linear quality-signal fusion);
+#      (linear quality-signal fusion), scd2_apply (incremental SCD2
+#      fold == full recompute), llm_dedup_keep_best (canonical-pick
+#      dedup via packed max_by);
 #   3. changed this round: stream_mv_refresh (versioned-state fold —
-#      replay guard via committed version dirs, no localCheckpoint);
-#      cdc_snapshot_diff is NOT re-windowed: the union-agg rewrite was
-#      reverted after the A/B, leaving the r6-green plan byte-identical
-#      (docstring-only delta);
+#      replay guard via committed version dirs, no localCheckpoint) and
+#      scd2_build (gaps-and-islands core extracted to _scd2_intervals,
+#      shared with scd2_apply); cdc_snapshot_diff is NOT re-windowed:
+#      the union-agg rewrite was reverted after the A/B, leaving the
+#      r6-green plan byte-identical (docstring-only delta);
 #   4. ALL 24 r3-evidence rows (validate_expectations, scan_csv_land,
 #      project_struct_nested, agg_approx/stats/collect, win_sessionize,
 #      ts_gapfill, the r3 llm family, mm_binary_stats, mm_resize_stub,
 #      mm_feature_extract);
-#   5. fill: 21 of the 41 r4-evidence rows, preferring the operators
+#   5. fill: 18 of the 41 r4-evidence rows, preferring the operators
 #      whose behavior is most coupled to code that keeps moving — the
-#      whole streaming family (7), the fx_* scalar surface (9),
-#      udf_pandas/udtf_bigrams, and the perf-workstream trio
-#      join_range/ts_ohlc/join_salted. The 20 r4 rows left out
+#      whole streaming family (7), most of the fx_* scalar surface
+#      (7), udf_pandas/udtf_bigrams, and the perf-workstream pair
+#      join_range/ts_ohlc. The 23 r4 rows left out
 #      (scan_partition_pruned, scan_json/orc_land, join_bucketed,
-#      agg_approx_percentile, agg_mode, win_funnel, ts_interpolate,
-#      subquery_lateral, dq_referential, llm_dedup_fuzzy/semantic,
-#      llm_sim_ann_ivf, llm_quality_repetition, llm_sample_*,
-#      llm_shard, llm_mix_weights, llm_pack_sequences,
-#      mm_feature_extract_arrow) are the r8 rotation's oldest cohort.
+#      join_salted, agg_approx_percentile, agg_mode, win_funnel,
+#      ts_interpolate, subquery_lateral, dq_referential, fx_cond,
+#      fx_hash, llm_dedup_fuzzy/semantic, llm_sim_ann_ivf,
+#      llm_quality_repetition, llm_sample_*, llm_shard,
+#      llm_mix_weights, llm_pack_sequences, mm_feature_extract_arrow)
+#      are the r8 rotation's oldest cohort.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -101,8 +105,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "sort_topn_per_key",
     "llm_dedup_soft",
     "llm_quality_ensemble",
+    "scd2_apply",
+    "llm_dedup_keep_best",
     # -- 3. implementation changed in round 7 --
     "stream_mv_refresh",
+    "scd2_build",
     # -- 4. all 24 round-3 evidence rows --
     "validate_expectations",
     "scan_csv_land",
@@ -143,13 +150,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "fx_json",
     "fx_map",
     "fx_regex",
-    "fx_cond",
-    "fx_hash",
     "udf_pandas",
     "udtf_bigrams",
     "join_range",
     "ts_ohlc",
-    "join_salted",
 )
 
 
