@@ -86,18 +86,18 @@ def spec(
 #      project_struct_nested, agg_approx/stats/collect, win_sessionize,
 #      ts_gapfill, the r3 llm family, mm_binary_stats, mm_resize_stub,
 #      mm_feature_extract);
-#   5. fill: 18 of the 41 r4-evidence rows, preferring the operators
+#   5. fill: 16 of the 41 r4-evidence rows, preferring the operators
 #      whose behavior is most coupled to code that keeps moving — the
 #      whole streaming family (7), most of the fx_* scalar surface
-#      (7), udf_pandas/udtf_bigrams, and the perf-workstream pair
-#      join_range/ts_ohlc. The 23 r4 rows left out
+#      (7), udf_pandas, and the perf-workstream pair
+#      join_range/ts_ohlc. The 25 r4 rows left out
 #      (scan_partition_pruned, scan_json/orc_land, join_bucketed,
 #      join_salted, agg_approx_percentile, agg_mode, win_funnel,
 #      ts_interpolate, subquery_lateral, dq_referential, fx_cond,
-#      fx_hash, llm_dedup_fuzzy/semantic, llm_sim_ann_ivf,
-#      llm_quality_repetition, llm_sample_*, llm_shard,
-#      llm_mix_weights, llm_pack_sequences, mm_feature_extract_arrow)
-#      are the r8 rotation's oldest cohort.
+#      fx_hash, udtf_bigrams, llm_dedup_fuzzy/semantic,
+#      llm_sim_ann_ivf, llm_quality_repetition, llm_sample_*,
+#      llm_shard, llm_mix_weights, llm_pack_sequences,
+#      mm_feature_extract_arrow) are the r8 rotation's oldest cohort.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -110,6 +110,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # -- 3. implementation changed in round 7 --
     "stream_mv_refresh",
     "scd2_build",
+    "agg_salted",     # 1-column salt (2 fewer scanned columns)
     # -- 4. all 24 round-3 evidence rows --
     "validate_expectations",
     "scan_csv_land",
@@ -135,7 +136,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "mm_binary_stats",
     "mm_resize_stub",
     "mm_feature_extract",
-    # -- 5. fill: 21 oldest round-4 evidence rows --
+    # -- 5. fill: 16 oldest round-4 evidence rows --
     "stream_tumble",
     "stream_slide",
     "stream_session",
@@ -151,7 +152,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "fx_map",
     "fx_regex",
     "udf_pandas",
-    "udtf_bigrams",
     "join_range",
     "ts_ohlc",
 )
