@@ -615,6 +615,116 @@ LIMIT 20
 """
 
 
+#: prefix-filter Jaccard threshold. Lower than MINHASH_THRESHOLD on
+#: purpose: the prefix filter is EXACT at any tau (candidates are a
+#: superset of all qualifying pairs by construction), so it can afford
+#: the recall-sensitive regime where LSH banding would need many more
+#: bands.
+PF_TAU = 0.5
+
+
+def prefix_filter_pairs(docs: DataFrame, tau: float = PF_TAU) -> DataFrame:
+    """AllPairs/PPJoin-style candidate generation: index only each
+    document's PREFIX — its ``|S| - ceil(tau*|S|) + 1`` globally rarest
+    shingles — instead of the full inverted index.
+
+    Why this is lossless: J(a,b) >= tau implies |a n b| >= tau*|a| (and
+    tau*|b|), so at most ``|S| - ceil(tau*|S|)`` of a document's
+    shingles can be missing from the other document. Order every
+    document's shingles by one GLOBAL total order (document frequency
+    ascending, then shingle value); if two documents shared no prefix
+    token, each would need all its matches outside its prefix — more
+    misses than the bound allows. Hence every qualifying pair collides
+    on >= 1 prefix token.
+
+    Why it scales where the plain inverted-index join does not: the
+    join fan-out of a token is df^2, and the full index pays that for
+    the COMMON shingles (df in the millions at corpus scale). The
+    df-ascending prefix keeps each document's rarest tokens, so the
+    candidate join runs almost entirely on the long tail where df is
+    single digits; the head tokens that dominate the full join's cost
+    are exactly the ones the prefix drops. Index size shrinks to
+    ~(1-tau) of the corpus shingle count, and text never ships — only
+    (shingle, doc_id, df) triples.
+    """
+    sh = _doc_shingles(docs)
+    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df_, "s")
+        .withColumn("sz", F.count(F.lit(1)).over(by_doc))
+        .withColumn("r", F.row_number().over(by_doc.orderBy("df", "s")))
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
+    ).select("doc_id", "s")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def llm_dedup_prefixfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact similarity join via prefix filtering: all pairs with
+    4-gram Jaccard >= PF_TAU, computed WITHOUT the all-shingle
+    inverted-index join (prefix_filter_pairs above) and verified with
+    exact Jaccard — so the output is bit-identical to brute force,
+    which is precisely what the DuckDB oracle recomputes.
+
+    Complements the probabilistic family: MinHash/LSH trades recall
+    for index size at high tau; prefix filtering keeps recall = 1 at
+    ANY tau and wins whenever the exactness contract matters
+    (compliance-grade dedup, eval-set decontamination).
+    """
+    docs = table(spark, sf_dir, "documents")
+    cands = prefix_filter_pairs(docs)
+    verified = exact_jaccard(cands, _doc_shingles(docs))
+    return verified.filter(F.col("jaccard") >= PF_TAU).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+#: brute-force exact-Jaccard twin at PF_TAU (same shingle CTE as
+#: ORACLE_LLM_DEDUP_NGRAM) — identical output because prefix filtering
+#: is lossless and the verify step discards every false candidate.
+ORACLE_LLM_DEDUP_PREFIXFILTER = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(ws[i:i+3], ' ')
+                   for i in generate_series(1, LEN(ws) - 3)]) AS s
+    FROM w WHERE LEN(ws) >= 4
+    UNION ALL
+    SELECT doc_id, text AS s FROM w WHERE LEN(ws) < 4
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  i.doc_a,
+  i.doc_b,
+  ROUND(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON i.doc_a = za.doc_id
+JOIN sizes zb ON i.doc_b = zb.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= {PF_TAU}
+"""
+
+
 CC_THRESHOLD = 0.5
 CC_MAX_ITER = 20
 
@@ -1031,6 +1141,11 @@ QUERIES = {
         llm_dedup_minhash, ORACLE_LLM_DEDUP_MINHASH, "llm",
         doc="MinHash 128-perm + 32-band LSH, exact-Jaccard verified "
             "(oracle: brute-force exact Jaccard >= 0.75)",
+    ),
+    "llm_dedup_prefixfilter": spec(
+        llm_dedup_prefixfilter, ORACLE_LLM_DEDUP_PREFIXFILTER, "llm",
+        doc="exact Jaccard join via PPJoin-style prefix filtering "
+            "(recall 1 by construction; oracle: brute force >= 0.5)",
     ),
     "llm_dedup_fuzzy": spec(
         llm_dedup_fuzzy, ORACLE_LLM_DEDUP_FUZZY, "llm",

@@ -146,6 +146,89 @@ WHERE sample_rank <= CEIL({STRAT_FRAC} * n_stratum)
 """
 
 
+#: length-bucket width in whitespace tokens. Docs are batched only with
+#: peers from the same bucket, so in-batch padding is bounded by the
+#: bucket width regardless of corpus length distribution.
+BUCKET_TOKENS = 16
+
+#: documents per padded batch inside a bucket
+BATCH_DOCS = 16
+
+
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly + padding-waste accounting — the
+    OTHER batching strategy next to llm_pack_sequences' concat-stream:
+    variable-length fine-tuning/inference batches pad every sequence to
+    the batch max, so batching like-sized docs together is what keeps
+    the pad overhead down. Bucketing by ``n_tok div BUCKET_TOKENS``
+    bounds in-batch length spread by construction.
+
+    Output is the per-batch manifest: doc count, padded length (batch
+    max), real tokens, and wasted pad tokens — the quantity this
+    strategy exists to minimize (n_docs * pad_len - sum_tok).
+
+    Deterministic: batch membership is a pure function of (bucket,
+    doc_id order), so re-runs and task retries rebuild identical
+    batches — same selector discipline as the sampling family.
+
+    At 100 TB the bucket key alone is too coarse a partition key
+    (~dozens of buckets, arbitrarily many docs each); production runs
+    the identical window per (bucket, shard) with shard = a doc_id
+    range, which keeps determinism and bounds partition state — the
+    same note as llm_pack_sequences' per-lang stream. The manifest
+    output is batches-sized, ~1/BATCH_DOCS of the input rows, counts
+    only, no text.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    toks = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+    ).withColumn("bucket", F.expr(f"n_tok div {BUCKET_TOKENS}"))
+    batched = toks.withColumn(
+        "batch_id",
+        F.expr(f"(row_number() over (partition by bucket order by doc_id)"
+               f" - 1) div {BATCH_DOCS}"),
+    )
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tok").alias("pad_len"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+        .withColumn(
+            "waste_tok",
+            F.col("n_docs") * F.col("pad_len") - F.col("sum_tok"),
+        )
+    )
+
+
+ORACLE_LLM_LENGTH_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         LEN(string_split(text, ' ')) AS n_tok,
+         LEN(string_split(text, ' ')) // {BUCKET_TOKENS} AS bucket
+  FROM documents
+),
+batched AS (
+  SELECT *,
+         (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+           // {BATCH_DOCS} AS batch_id
+  FROM toks
+)
+SELECT
+  bucket,
+  batch_id,
+  COUNT(*) AS n_docs,
+  MAX(n_tok) AS pad_len,
+  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+  COUNT(*) * MAX(n_tok) - CAST(SUM(n_tok) AS BIGINT) AS waste_tok
+FROM batched
+GROUP BY bucket, batch_id
+"""
+
+
 QUERIES = {
     "llm_pack_sequences": spec(
         llm_pack_sequences, ORACLE_LLM_PACK_SEQUENCES, "llm",
@@ -154,5 +237,9 @@ QUERIES = {
     "llm_sample_stratified": spec(
         llm_sample_stratified, ORACLE_LLM_SAMPLE_STRATIFIED, "llm",
         doc="exact-size per-stratum sample by content-stable md5 rank",
+    ),
+    "llm_length_buckets": spec(
+        llm_length_buckets, ORACLE_LLM_LENGTH_BUCKETS, "llm",
+        doc="length-bucketed batch manifest with padding-waste accounting",
     ),
 }

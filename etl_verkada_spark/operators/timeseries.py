@@ -609,6 +609,64 @@ WHERE n >= {ZSCORE_MIN_N}
 """
 
 
+def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands engagement metric (habit scoring, retention
+    features). A day counts once no matter how many events it holds;
+    a streak is a maximal run of adjacent calendar days.
+
+    Construction: collapse events to distinct (user, day) — the big
+    shuffle, and the only one that sees event-scale data — then the
+    classic island key ``day - row_number()`` (consecutive days share
+    an anchor because both sides step by one), one count per island,
+    and a per-user rollup. No self-join, no explode: O(active-days)
+    state after the first collapse.
+
+    At 100 TB: the distinct is a mergeable pre-aggregate (map-side
+    combine collapses each partition's duplicate days before the
+    exchange); the window partitions are per-user day lists (bounded
+    by the calendar, not by event volume), so no skewed-reducer risk
+    — the same scale contract as ts_cohort_retention. Reference scope:
+    beyond (task.ts has no sessionization/streak analytics).
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    islands = days.select("user_id", "d", F.date_sub("d", rn).alias("anchor"))
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("best_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+ORACLE_TS_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len
+  FROM islands GROUP BY user_id, anchor
+)
+SELECT
+  user_id,
+  MAX(len) AS best_streak,
+  COUNT(*) AS n_streaks,
+  CAST(SUM(len) AS BIGINT) AS n_active_days
+FROM streaks
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
@@ -637,5 +695,9 @@ QUERIES = {
     "ts_anomaly_zscore": spec(
         ts_anomaly_zscore, ORACLE_TS_ANOMALY_ZSCORE, "beyond",
         doc="rolling z-score outlier gate, sqrt-free integer predicate",
+    ),
+    "ts_streaks": spec(
+        ts_streaks, ORACLE_TS_STREAKS, "beyond",
+        doc="longest consecutive-day streak per user (gaps-and-islands)",
     ),
 }

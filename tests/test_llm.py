@@ -633,3 +633,88 @@ def test_pq_ann_matches_numpy_adc(spark):
         for r in llm_sim_ann_pq(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_prefix_filter_candidates_cover_all_qualifying_pairs(spark):
+    """The PPJoin prefix lemma, pinned: candidate pairs from the
+    rarest-shingle prefixes must be a SUPERSET of every pair whose
+    exact Jaccard clears PF_TAU (recall 1 is the operator's whole
+    contract; the verify step only ever removes rows)."""
+    from .conftest import SF_SMALL
+    from etl_verkada_spark.catalog import table
+    from etl_verkada_spark.llm.dedup import (
+        PF_TAU,
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = table(spark, SF_SMALL, "documents")
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_pairs(docs).collect()
+    }
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs)
+        .filter(F.col("jaccard") >= PF_TAU)
+        .collect()
+    }
+    assert truth <= cands, sorted(truth - cands)[:5]
+    # and the filter actually filters: the candidate set must be much
+    # smaller than the all-pairs cross product of docs sharing a shingle
+    assert len(cands) < 10 * max(len(truth), 1)
+
+
+def test_bpe_pair_count_matches_corpus_recount(spark):
+    """Word-frequency-weighted pair counts == naive per-occurrence
+    recount over the raw corpus (the vocabulary collapse must be a pure
+    optimization, never a semantic change)."""
+    from etl_verkada_spark.llm.bpe import llm_bpe_pair_count
+
+    rows = [
+        (0, "aaa ab"),        # 'aa' twice in one word occurrence
+        (1, "aaa aaa"),       # the same word twice -> weight 2
+        (2, "xy"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    naive: dict[str, int] = {}
+    for _, text in rows:
+        for w in text.split(" "):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    p = w[i : i + 2]
+                    naive[p] = naive.get(p, 0) + 1
+
+    import etl_verkada_spark.llm.bpe as bpe_mod
+    import etl_verkada_spark.catalog as cat
+
+    orig = cat.table
+    try:
+        cat_table = lambda s, d, t: docs  # noqa: E731
+        bpe_mod.table = cat_table
+        got = {r["pair"]: r["n"] for r in llm_bpe_pair_count(spark, "x").collect()}
+    finally:
+        bpe_mod.table = orig
+    assert got == naive  # 3 distinct words -> well under BPE_TOP
+    assert got["aa"] == 6  # 2 per 'aaa' occurrence x 3 occurrences
+
+
+def test_length_buckets_invariants(spark):
+    """Every batch honors the geometry: <= BATCH_DOCS docs, pad_len in
+    the batch's own bucket, non-negative waste, and doc conservation."""
+    from .conftest import SF_SMALL
+    from etl_verkada_spark.catalog import table
+    from etl_verkada_spark.llm.packing import (
+        BATCH_DOCS,
+        BUCKET_TOKENS,
+        llm_length_buckets,
+    )
+
+    out = llm_length_buckets(spark, SF_SMALL).collect()
+    n_docs_total = table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs_total
+    for r in out:
+        assert 1 <= r["n_docs"] <= BATCH_DOCS
+        assert r["pad_len"] // BUCKET_TOKENS == r["bucket"]
+        assert r["waste_tok"] >= 0
+        assert r["n_docs"] * r["pad_len"] == r["sum_tok"] + r["waste_tok"]

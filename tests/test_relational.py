@@ -1311,3 +1311,33 @@ def test_topn_per_key_pushes_group_limit_below_exchange(spark):
         .count()
     )
     assert over == 0
+
+
+def test_streaks_match_pandas_recount(spark):
+    """Gaps-and-islands streaks equal a per-user pandas recount of
+    consecutive-day runs (and the internal identity best <= total)."""
+    import pandas as pd
+
+    from etl_verkada_spark.catalog import table
+    from etl_verkada_spark.operators.timeseries import ts_streaks
+
+    got = {
+        r["user_id"]: (r["best_streak"], r["n_streaks"], r["n_active_days"])
+        for r in ts_streaks(spark, SF_SMALL).collect()
+    }
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .selectExpr("user_id", "to_date(ts) AS d")
+        .distinct()
+        .toPandas()
+    )
+    for uid, days in ev.groupby("user_id")["d"]:
+        ds = sorted(days)
+        runs = [1]
+        for prev, cur in zip(ds, ds[1:]):
+            if (cur - prev).days == 1:
+                runs[-1] += 1
+            else:
+                runs.append(1)
+        assert got[uid] == (max(runs), len(runs), len(ds)), uid
+    assert set(got) == set(ev["user_id"].unique())
