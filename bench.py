@@ -81,6 +81,13 @@ HEADLINE = [
     "llm_quality_ensemble",
     "llm_dedup_keep_best",
     "scd2_apply",
+    # round-7 session-2 additions: vocabulary-collapsed BPE pair
+    # counting, prefix-filter exact similarity join, length-bucket
+    # batch manifests, gaps-and-islands streaks
+    "llm_bpe_pair_count",
+    "llm_dedup_prefixfilter",
+    "llm_length_buckets",
+    "ts_streaks",
 ]
 
 
@@ -249,6 +256,12 @@ SF1_QUERIES = [
     "sort_topn_per_key",
     "llm_dedup_soft",
     "scd2_apply",
+    # round-7 session 2: the vocabulary-collapse (BPE) and prefix-
+    # filter (quadratic-tail) claims are exactly the ones that need a
+    # 100x-documents measurement; streaks rides the 40x events table
+    "llm_bpe_pair_count",
+    "llm_dedup_prefixfilter",
+    "ts_streaks",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's
