@@ -88,6 +88,9 @@ HEADLINE = [
     "llm_dedup_prefixfilter",
     "llm_length_buckets",
     "ts_streaks",
+    "llm_vocab_coverage",
+    "graph_degree_hist",
+    "graph_label_propagation",
 ]
 
 
@@ -262,6 +265,8 @@ SF1_QUERIES = [
     "llm_bpe_pair_count",
     "llm_dedup_prefixfilter",
     "ts_streaks",
+    "llm_vocab_coverage",
+    "graph_label_propagation",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's

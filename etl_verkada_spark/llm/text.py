@@ -1009,6 +1009,89 @@ GROUP BY p.doc_id
 """
 
 
+#: vocabulary size for the coverage audit. 256 keeps the vocab
+#: broadcast-trivial at any corpus size (the top-K cut is where Zipf
+#: mass concentrates; production would use the real tokenizer vocab).
+VOCAB_K = 256
+
+
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary audit against the corpus top-K
+    word vocabulary — the tokenizer-coverage question every corpus +
+    vocab pairing gets asked (how much text falls outside the vocab,
+    and which documents are worst).
+
+    Two aggregates: (1) the vocabulary itself — word counts collapse
+    corpus-scale tokens to vocabulary-scale with map-side combine, and
+    the top-K cut is totally ordered (count DESC, word ASC) so the
+    vocab is deterministic; (2) the per-doc rollup — tokens left-join
+    the BROADCAST vocab (K rows, never a shuffle) and count misses.
+
+    Exactness: the rate is integer ppm (``n_oov * 1e6 div n_tok``) —
+    a float division then ROUND would hit the half-boundary rule
+    divergence at power-of-two token counts (e.g. 128 tokens, odd
+    misses: odd*7812.5 is exactly representable and the engines round
+    it differently).
+
+    At 100 TB: vocab is kilobytes regardless of corpus size; the only
+    corpus-scale exchanges are the word-count collapse and the per-doc
+    rollup, both mergeable hash aggregates. Reference scope: beyond
+    (tag "llm").
+    """
+    from pyspark.sql.functions import broadcast
+
+    docs = table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tok").alias("oov_ppm"),
+        )
+    )
+
+
+ORACLE_LLM_VOCAB_COVERAGE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS n FROM words GROUP BY w
+  ) ORDER BY n DESC, w LIMIT {VOCAB_K}
+),
+per AS (
+  SELECT wo.doc_id,
+         COUNT(*) AS n_tok,
+         CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM words wo LEFT JOIN vocab v ON wo.w = v.w
+  GROUP BY wo.doc_id
+)
+SELECT doc_id, n_tok, n_oov,
+       n_oov * 1000000 // n_tok AS oov_ppm
+FROM per
+"""
+
+
 QUERIES = {
     "llm_text_stats": spec(
         llm_text_stats, ORACLE_LLM_TEXT_STATS, "llm",
@@ -1069,5 +1152,9 @@ QUERIES = {
     "llm_decontaminate": spec(
         llm_decontaminate, ORACLE_LLM_DECONTAMINATE, "llm",
         doc="benchmark decontamination via broadcast shingle anti-join",
+    ),
+    "llm_vocab_coverage": spec(
+        llm_vocab_coverage, ORACLE_LLM_VOCAB_COVERAGE, "llm",
+        doc="per-doc OOV audit vs corpus top-K vocab (integer-ppm rate)",
     ),
 }

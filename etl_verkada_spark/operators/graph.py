@@ -252,6 +252,141 @@ GROUP BY node
 """
 
 
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bipartite part<->supplier graph —
+    the first diagnostic anyone runs on a graph (skew detection: a
+    heavy-tail histogram is the signal to switch joins to the salted /
+    degree-ordered variants this repo already ships).
+
+    Two mergeable hash aggregates back to back (degree per node, then
+    nodes per (type, degree)); output is histogram-sized. At 100 TB
+    both stages are map-side combined and the second one's cardinality
+    is bounded by max-degree x 2, independent of edge count.
+    """
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        deg.groupBy(
+            F.when(F.col("src") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            "deg",
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+ORACLE_GRAPH_DEGREE_HIST = """
+WITH edges AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+  FROM lineitem
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+SELECT
+  CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+  deg,
+  COUNT(*) AS n_nodes
+FROM deg
+GROUP BY 1, 2
+"""
+
+
+#: packed (count DESC, label ASC) comparison key for the LPA vote:
+#: cnt * 2^33 - lbl is a single BIGINT max (node ids < 2^25 even at
+#: the sf1 replica key spans; counts < n_nodes < 2^25 -> pack < 2^58).
+LPA_PACK = 1 << 33
+LPA_ITERS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) made
+    hash-checkable: every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label — a deterministic total order, so Spark and the
+    unrolled DuckDB CTE agree bit-for-bit after any fixed number of
+    rounds (the same exactness discipline as graph_pagerank's integer
+    ranks; classic mode-based LPA is tie-nondeterministic, which is
+    why naive ports can't be oracle-checked).
+
+    Per round: one shuffle join of the label vector against the edge
+    list + two aggregates, with the vote pick as ``max_by`` over a
+    packed BIGINT (count DESC, label ASC as one scalar — keeps the
+    aggregate a HashAggregate; a struct ordering key would fall back
+    to SortAggregate). ``localCheckpoint`` per round keeps plan depth
+    O(1) in rounds. At 100 TB: same cost model as PageRank — edges
+    partition once, the label vector is node-sized; co-partitioning on
+    the join key removes the per-round label shuffle on a real
+    cluster.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    labels = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(edges["dst"], F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.max_by(
+                    "lbl", F.col("cnt") * F.lit(LPA_PACK) - F.col("lbl")
+                ).alias("lbl")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        F.col("lbl").alias("community"),
+    )
+
+
+def _lpa_oracle() -> str:
+    """Unrolled fixed-round twin of graph_label_propagation; the vote
+    pick mirrors the packed max_by token for token (ARG_MAX over
+    cnt * LPA_PACK - lbl)."""
+    sql = """
+WITH edges AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+  FROM lineitem
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"""
+    for i in range(LPA_ITERS):
+        sql += f""",
+c{i + 1} AS (
+  SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+  FROM edges e JOIN l{i} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+l{i + 1} AS (
+  SELECT node, ARG_MAX(lbl, cnt * {LPA_PACK} - lbl) AS lbl
+  FROM c{i + 1} GROUP BY node
+)"""
+    sql += f"""
+SELECT
+  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+  node // 2 AS node_key,
+  lbl AS community
+FROM l{LPA_ITERS}
+"""
+    return sql
+
+
+ORACLE_GRAPH_LABEL_PROPAGATION = _lpa_oracle()
+
+
 QUERIES = {
     "graph_pagerank": spec(
         graph_pagerank, ORACLE_GRAPH_PAGERANK, "beyond",
@@ -260,5 +395,13 @@ QUERIES = {
     "graph_triangle_count": spec(
         graph_triangle_count, ORACLE_GRAPH_TRIANGLE_COUNT, "beyond",
         doc="per-node triangles via canonical-orientation wedge join",
+    ),
+    "graph_degree_hist": spec(
+        graph_degree_hist, ORACLE_GRAPH_DEGREE_HIST, "beyond",
+        doc="degree distribution per node type (two mergeable aggs)",
+    ),
+    "graph_label_propagation": spec(
+        graph_label_propagation, ORACLE_GRAPH_LABEL_PROPAGATION, "beyond",
+        doc="deterministic synchronous LPA, packed max_by vote, 3 rounds",
     ),
 }

@@ -70,7 +70,7 @@ def spec(
 # every registered query's newest hash-green row is >= r3; 24 queries
 # sit at r3 and 41 at r4. This window:
 #   1. flagship;
-#   2. the nine round-7 additions (never checked, oracle-paired from
+#   2. the twelve round-7 additions (never checked, oracle-paired from
 #      birth): sort_topn_per_key (WindowGroupLimit top-N per key),
 #      llm_dedup_soft (1/|cluster| reweighting), llm_quality_ensemble
 #      (linear quality-signal fusion), scd2_apply (incremental SCD2
@@ -78,7 +78,10 @@ def spec(
 #      dedup via packed max_by), llm_dedup_prefixfilter (PPJoin-style
 #      exact similarity join), llm_bpe_pair_count (BPE merge-step over
 #      the word-frequency table), llm_length_buckets (length-bucketed
-#      batch manifest), ts_streaks (gaps-and-islands streaks);
+#      batch manifest), ts_streaks (gaps-and-islands streaks),
+#      llm_vocab_coverage (OOV audit, integer-ppm), graph_degree_hist
+#      (degree distribution), graph_label_propagation (deterministic
+#      synchronous LPA);
 #   3. changed this round: stream_mv_refresh (versioned-state fold —
 #      replay guard via committed version dirs, no localCheckpoint) and
 #      scd2_build (gaps-and-islands core extracted to _scd2_intervals,
@@ -89,18 +92,18 @@ def spec(
 #      project_struct_nested, agg_approx/stats/collect, win_sessionize,
 #      ts_gapfill, the r3 llm family, mm_binary_stats, mm_resize_stub,
 #      mm_feature_extract);
-#   5. fill: 12 of the 41 r4-evidence rows, preferring the operators
+#   5. fill: 9 of the 41 r4-evidence rows, preferring the operators
 #      whose behavior is most coupled to code that keeps moving — the
-#      whole streaming family (7), fx_string/date/math/array, and the
-#      perf-workstream pair join_range/ts_ohlc. The 29 r4 rows left
-#      out (scan_partition_pruned, scan_json/orc_land, join_bucketed,
-#      join_salted, agg_approx_percentile, agg_mode, win_funnel,
-#      ts_interpolate, subquery_lateral, dq_referential, fx_cond,
-#      fx_hash, fx_json, fx_map, fx_regex, udf_pandas, udtf_bigrams,
-#      llm_dedup_fuzzy/semantic, llm_sim_ann_ivf,
-#      llm_quality_repetition, llm_sample_*, llm_shard,
-#      llm_mix_weights, llm_pack_sequences, mm_feature_extract_arrow)
-#      are the r8 rotation's oldest cohort.
+#      whole streaming family (7), fx_string as the scalar-surface
+#      canary, and the perf-workstream pair join_range/ts_ohlc. The 32
+#      r4 rows left out (scan_partition_pruned, scan_json/orc_land,
+#      join_bucketed, join_salted, agg_approx_percentile, agg_mode,
+#      win_funnel, ts_interpolate, subquery_lateral, dq_referential,
+#      fx_cond, fx_hash, fx_json, fx_map, fx_regex, fx_date, fx_math,
+#      fx_array, udf_pandas, udtf_bigrams, llm_dedup_fuzzy/semantic,
+#      llm_sim_ann_ivf, llm_quality_repetition, llm_sample_*,
+#      llm_shard, llm_mix_weights, llm_pack_sequences,
+#      mm_feature_extract_arrow) are the r8 rotation's oldest cohort.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -114,6 +117,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_bpe_pair_count",
     "llm_length_buckets",
     "ts_streaks",
+    "llm_vocab_coverage",
+    "graph_degree_hist",
+    "graph_label_propagation",
     # -- 3. implementation changed in round 7 --
     "stream_mv_refresh",
     "scd2_build",
@@ -152,9 +158,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_stream_join",
     "stream_dedup",
     "fx_string",
-    "fx_date",
-    "fx_math",
-    "fx_array",
     "join_range",
     "ts_ohlc",
 )

