@@ -90,9 +90,281 @@ LIMIT {BPE_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Full BPE training loop (round 8): K greedy merge iterations, exactly
+# the textbook algorithm, checked against an unrolled relational twin —
+# the llm_kmeans_train discipline applied to tokenizer training.
+#
+# The greedy left-to-right pair merge has a sequential dependency inside
+# each word ("aaa" with merge (a,a) -> "aa a", never "a aa"), which is
+# why naive string replace() is WRONG (it can match across symbol
+# boundaries once symbols are multi-char, and adjacent overlapping
+# occurrences resolve differently). The relational formulation that is
+# exact AND parallel: a pair-match at position i overlaps a match at
+# i+1 only inside runs of consecutive matches (possible only when
+# a == b), and greedy selection takes every OTHER position of each run
+# starting at its head. So: match positions -> runs via the
+# gaps-and-islands key (i - row_number) -> keep (i - run_start) % 2 == 0
+# -> emit merged symbol at selected positions, drop the consumed
+# right-neighbors, re-join. Pure windows over the word-position table.
+#
+# Scale: after the corpus-scale word-frequency collapse (the ONLY
+# exchange that sees corpus data, identical to llm_bpe_pair_count),
+# every iteration runs over the DISTINCT vocabulary — per-word windows
+# are word-length sized, the top-pair pick is a 1-row
+# TakeOrderedAndProject broadcast back, and localCheckpoint per step
+# keeps plan depth O(1) in iterations.
+# ---------------------------------------------------------------------------
+
+#: merge iterations the trainer runs (each = one pass over the vocab).
+BPE_TRAIN_ITERS = 3
+#: how many (most frequent) words llm_bpe_encode reports segmented.
+BPE_ENCODE_TOP = 30
+
+_WORD_RE = "^[a-z]{2,}$"  # ASCII-only: sidesteps engine Unicode-split divergence
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> (w, wn, seq): word frequencies with each word exploded
+    to a space-joined character sequence (the BPE initial state)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike(_WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .withColumn(
+            "seq", F.rtrim(F.regexp_replace("w", "(.)", "$1 "))
+        )
+    )
+
+
+def _positions(words: DataFrame) -> DataFrame:
+    """(w, wn, seq) -> one row per symbol position: (w, wn, i, sym, nxt)."""
+    s = F.split("seq", " ")
+    return (
+        words.select("w", "wn", s.alias("s"))
+        .select("w", "wn", "s", F.posexplode("s").alias("i0", "sym"))
+        .select(
+            "w",
+            "wn",
+            (F.col("i0") + 1).alias("i"),
+            "sym",
+            F.when(
+                F.col("i0") + 2 <= F.size("s"),
+                F.element_at("s", F.col("i0") + 2),
+            ).alias("nxt"),
+        )
+    )
+
+
+def _merge_step(pos: DataFrame, top1: DataFrame) -> DataFrame:
+    """Apply one greedy merge of top1's (a, b) to the position table,
+    returning the re-joined (w, wn, seq) vocabulary state."""
+    from pyspark.sql import Window
+
+    matches = (
+        pos.join(
+            F.broadcast(top1.select("a", "b")),
+            (F.col("sym") == F.col("a")) & (F.col("nxt") == F.col("b")),
+        )
+        .select("w", "i")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("w").orderBy("i")),
+        )
+    )
+    selected = (
+        matches.withColumn(
+            "run_start",
+            F.min("i").over(
+                Window.partitionBy("w", F.col("i") - F.col("rn"))
+            ),
+        )
+        .filter((F.col("i") - F.col("run_start")) % 2 == 0)
+        .select(F.col("w").alias("sw"), F.col("i").alias("si"))
+    )
+    flagged = (
+        pos.join(
+            selected,
+            (F.col("w") == F.col("sw")) & (F.col("i") == F.col("si")),
+            "left",
+        )
+        .select("w", "wn", "i", "sym", "nxt", F.col("si").isNotNull().alias("sel"))
+        .withColumn(
+            "consumed",
+            F.coalesce(
+                F.lag("sel").over(Window.partitionBy("w").orderBy("i")),
+                F.lit(False),
+            ),
+        )
+    )
+    rows = flagged.select(
+        "w", "wn", F.struct("i", "sym", "nxt", "sel", "consumed").alias("x")
+    )
+    return rows.groupBy("w", "wn").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list("x")),
+                lambda x: (
+                    F.when(x["sel"], F.concat(x["sym"], x["nxt"]))
+                    .when(~x["consumed"], x["sym"])
+                ),
+            ),
+        ).alias("seq")
+    )
+
+
+def _bpe_train_state(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Run BPE_TRAIN_ITERS greedy merges; returns (final vocab state,
+    per-step 1-row merge tables)."""
+    words = _bpe_words(spark, sf_dir).localCheckpoint(eager=False)
+    merges: list[DataFrame] = []
+    for step in range(1, BPE_TRAIN_ITERS + 1):
+        pos = _positions(words)
+        top1 = (
+            pos.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.sum("wn").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        merges.append(top1.withColumn("step", F.lit(step)))
+        words = _merge_step(pos, top1).localCheckpoint(eager=False)
+    return words, merges
+
+
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_TRAIN_ITERS iterations of textbook BPE training: each step
+    counts adjacent symbol pairs over the word-frequency table (weighted,
+    per-position) and greedily merges the (count DESC, pair ASC) winner
+    throughout the vocabulary. Returns the learned merge table."""
+    _, merges = _bpe_train_state(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select(
+        "step", "a", "b", F.concat("a", "b").alias("merged"), "n"
+    ).orderBy("step")
+
+
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the freshly-trained merges: the BPE_ENCODE_TOP most
+    frequent words with their final segmentation and token counts — the
+    apply half of the tokenizer, sharing the training loop's state (the
+    final vocab table IS the encoded form; no re-scan)."""
+    words, _ = _bpe_train_state(spark, sf_dir)
+    return (
+        words.select(
+            "w",
+            "wn",
+            F.col("seq").alias("tokens"),
+            F.size(F.split("seq", " ")).alias("n_tokens"),
+        )
+        .orderBy(F.col("wn").desc(), "w")
+        .limit(BPE_ENCODE_TOP)
+    )
+
+
+def _oracle_iter_ctes(k: int) -> str:
+    """One merge iteration's CTE chain (input W{k-1} -> T{k}, W{k}) —
+    the relational twin of _positions + _merge_step."""
+    return f"""
+P{k} AS (
+  SELECT w, wn, g.i AS i, s[g.i] AS sym,
+         CASE WHEN g.i < LEN(s) THEN s[g.i + 1] END AS nxt
+  FROM (SELECT w, wn, string_split(seq, ' ') AS s FROM W{k - 1}),
+       unnest(generate_series(1, LEN(s))) AS g(i)
+),
+T{k} AS (
+  SELECT sym AS a, nxt AS b, CAST(SUM(wn) AS BIGINT) AS n
+  FROM P{k} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY n DESC, a, b LIMIT 1
+),
+M{k} AS (
+  SELECT p.w, p.i, ROW_NUMBER() OVER (PARTITION BY p.w ORDER BY p.i) AS rn
+  FROM P{k} p, T{k} t
+  WHERE p.sym = t.a AND p.nxt = t.b
+),
+S{k} AS (
+  SELECT w, i FROM (
+    SELECT w, i, MIN(i) OVER (PARTITION BY w, i - rn) AS run_start
+    FROM M{k}
+  ) WHERE (i - run_start) % 2 = 0
+),
+E{k} AS (
+  SELECT p.w, p.wn, p.i, p.sym, p.nxt,
+         (s.i IS NOT NULL) AS sel,
+         COALESCE(LAG(s.i IS NOT NULL) OVER (
+            PARTITION BY p.w ORDER BY p.i), FALSE) AS consumed
+  FROM P{k} p LEFT JOIN S{k} s ON s.w = p.w AND s.i = p.i
+),
+W{k} AS (
+  SELECT w, wn,
+         STRING_AGG(CASE WHEN sel THEN sym || nxt
+                         WHEN NOT consumed THEN sym END,
+                    ' ' ORDER BY i) AS seq
+  FROM E{k} GROUP BY w, wn
+)"""
+
+
+_ORACLE_BPE_BASE = """
+WITH words AS (
+  SELECT w, COUNT(*) AS wn
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]{2,}$')
+  GROUP BY w
+),
+W0 AS (
+  SELECT w, wn, rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+  FROM words
+)"""
+
+
+ORACLE_LLM_BPE_TRAIN = (
+    _ORACLE_BPE_BASE
+    + ","
+    + ",".join(_oracle_iter_ctes(k) for k in range(1, BPE_TRAIN_ITERS + 1))
+    + f"""
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT {k} AS step, a, b, a || b AS merged, n FROM T{k}"
+      for k in range(1, BPE_TRAIN_ITERS + 1)
+  )}
+) ORDER BY step
+"""
+)
+
+
+ORACLE_LLM_BPE_ENCODE = (
+    _ORACLE_BPE_BASE
+    + ","
+    + ",".join(_oracle_iter_ctes(k) for k in range(1, BPE_TRAIN_ITERS + 1))
+    + f"""
+SELECT w, wn, seq AS tokens,
+       CAST(LEN(string_split(seq, ' ')) AS INTEGER) AS n_tokens
+FROM W{BPE_TRAIN_ITERS}
+ORDER BY wn DESC, w LIMIT {BPE_ENCODE_TOP}
+"""
+)
+
+
 QUERIES = {
     "llm_bpe_pair_count": spec(
         llm_bpe_pair_count, ORACLE_LLM_BPE_PAIR_COUNT, "llm",
         doc="BPE merge-step pair counts over the word-frequency table",
+    ),
+    "llm_bpe_train": spec(
+        llm_bpe_train, ORACLE_LLM_BPE_TRAIN, "llm",
+        doc="3-iteration textbook BPE training vs an unrolled relational twin",
+    ),
+    "llm_bpe_encode": spec(
+        llm_bpe_encode, ORACLE_LLM_BPE_ENCODE, "llm",
+        doc="tokenize the top words with the freshly-trained BPE merges",
     ),
 }

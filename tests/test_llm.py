@@ -731,3 +731,47 @@ def test_vocab_coverage_invariants(spark):
     for r in rows:
         assert 0 <= r["n_oov"] <= r["n_tok"]
         assert r["oov_ppm"] == r["n_oov"] * 1_000_000 // r["n_tok"]
+
+
+# -- BPE training loop (round 8) --------------------------------------------
+
+
+def test_bpe_greedy_merge_textbook_edges(spark):
+    """The greedy left-to-right pair merge must resolve overlapping
+    matches the way every real BPE trainer does: within a run of
+    consecutive matches, every other position starting at the head.
+    'aaa' + (a,a) -> 'aa a' (never 'a aa'); 'abab' + (a,b) -> 'ab ab';
+    'aab' -> 'a ab'."""
+    from pyspark.sql import functions as F
+
+    from etl_verkada_spark.llm.bpe import _merge_step, _positions
+
+    words = spark.createDataFrame(
+        [("aaa", 1, "a a a"), ("abab", 1, "a b a b"), ("aab", 1, "a a b"),
+         ("aaaa", 1, "a a a a"), ("ba", 1, "b a")],
+        "w string, wn long, seq string",
+    )
+    for pair, expect in [
+        (("a", "a"), {"aaa": "aa a", "abab": "a b a b", "aab": "aa b",
+                      "aaaa": "aa aa", "ba": "b a"}),
+        (("a", "b"), {"aaa": "a a a", "abab": "ab ab", "aab": "a ab",
+                      "aaaa": "a a a a", "ba": "b a"}),
+    ]:
+        top1 = spark.createDataFrame([pair], "a string, b string")
+        got = {
+            r["w"]: r["seq"]
+            for r in _merge_step(_positions(words), top1).collect()
+        }
+        assert got == expect, (pair, got)
+
+
+def test_bpe_train_merges_are_ordered_and_disjoint(spark):
+    """Each training step's winning pair must be composed of symbols
+    that exist after the previous merges; counts are positive and the
+    step column is 1..K."""
+    from etl_verkada_spark.llm.bpe import BPE_TRAIN_ITERS, llm_bpe_train
+
+    rows = llm_bpe_train(spark, "/root/testdata/sf0.001").collect()
+    assert [r["step"] for r in rows] == list(range(1, BPE_TRAIN_ITERS + 1))
+    assert all(r["n"] > 0 for r in rows)
+    assert all(r["merged"] == r["a"] + r["b"] for r in rows)
