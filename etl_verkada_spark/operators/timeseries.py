@@ -667,6 +667,196 @@ GROUP BY user_id
 """
 
 
+#: half-open activity span attributed to each event for interval
+#: coalescing: [ts, ts + 30 min).
+SPAN_US = 30 * 60 * 1_000_000
+
+
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce each user's overlapping activity intervals into maximal
+    islands — the interval-union operator behind availability windows,
+    on-call coverage, and session stitching with a fixed lease. Each
+    event opens a [ts, ts+30min) span; spans that overlap (or touch)
+    merge transitively.
+
+    Classic running-max construction, one window pass + one aggregate:
+    ``prev_max_end = max(end) OVER (user ORDER BY start ROWS .. 1
+    PRECEDING)``; a row opens a new island iff its start exceeds every
+    earlier end; the island id is the running sum of those breaks.
+    All arithmetic is integer microseconds — no float, no timezone.
+
+    At 100 TB: the window partitions per user (bounded by one user's
+    events, the same skew contract as win_sessionize); output is
+    islands, not events. No self-join — the naive overlap-join
+    formulation is O(n^2) per user and was never on the table.
+    """
+    e = table(spark, sf_dir, "events")
+    spans = e.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("s_us"),
+        (F.expr("unix_micros(cast(ts as timestamp))") + F.lit(SPAN_US)).alias(
+            "e_us"
+        ),
+    )
+    order = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = spans.withColumn(
+        "brk",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy("user_id", "island").agg(
+        F.min("s_us").alias("start_us"),
+        F.max("e_us").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_TS_INTERVAL_MERGE = f"""
+WITH spans AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + {SPAN_US} AS e_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s_us, e_us,
+    CASE WHEN MAX(e_us) OVER (
+           PARTITION BY user_id ORDER BY s_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) IS NULL
+      OR s_us > MAX(e_us) OVER (
+           PARTITION BY user_id ORDER BY s_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         )
+    THEN 1 ELSE 0 END AS brk,
+    event_id
+  FROM spans
+),
+islands AS (
+  SELECT user_id, s_us, e_us,
+    CAST(SUM(brk) OVER (
+      PARTITION BY user_id ORDER BY s_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS island
+  FROM flagged
+)
+SELECT user_id, island,
+  MIN(s_us) AS start_us,
+  MAX(e_us) AS end_us,
+  COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, island
+"""
+
+
+def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous-aggregate hierarchy: hourly partials
+    rolled up to 6-hour and daily grids by re-aggregating the HOURLY
+    result — events are scanned exactly once, the coarser levels are
+    derived from the finer one (the hypertable continuous-aggregate /
+    materialized-rollup cascade).
+
+    Everything in the partial is mergeable (count, integer-cent sum,
+    min/max picks), which is the precondition for the cascade: avg at
+    any level is derived sum/count, never an average of averages. At
+    100 TB each level's input is the previous GRID (series x slots),
+    not the corpus — the hourly aggregate is the only event-scale
+    exchange, and the 6h/1d rollups are metadata-sized.
+
+    The hourly partial is localCheckpointed: it is grid-sized, and the
+    checkpoint makes "scan once" literal rather than relying on
+    exchange reuse across the three union branches.
+    """
+    e = table(spark, sf_dir, "events")
+    hour = (
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+        * F.lit(HOUR_US)
+    )
+    hourly = (
+        e.groupBy(F.col("event_type"), hour.alias("bucket_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(scaled_long("value")).alias("sum_c"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _level(df: DataFrame, label: str, width_us: int) -> DataFrame:
+        bucket = (F.col("bucket_us") - F.col("bucket_us") % width_us)
+        return (
+            df.groupBy("event_type", bucket.alias("bucket_us"))
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_c").alias("sum_c"),
+                F.min("min_val").alias("min_val"),
+                F.max("max_val").alias("max_val"),
+            )
+            .withColumn("level", F.lit(label))
+        )
+
+    out = (
+        hourly.withColumn("level", F.lit("1h"))
+        .unionByName(_level(hourly, "6h", 6 * HOUR_US))
+        .unionByName(_level(hourly, "1d", 24 * HOUR_US))
+    )
+    return out.select(
+        "level",
+        "event_type",
+        "bucket_us",
+        "n_events",
+        unscale(F.col("sum_c")).alias("sum_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+ORACLE_TS_ROLLUP_HIERARCHY = f"""
+WITH hourly AS (
+  SELECT event_type,
+    (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS bucket_us,
+    COUNT(*) AS n_events,
+    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_c,
+    MIN(value) AS min_val,
+    MAX(value) AS max_val
+  FROM events
+  GROUP BY 1, 2
+),
+levels AS (
+  SELECT '1h' AS level, event_type, bucket_us, n_events, sum_c,
+         min_val, max_val
+  FROM hourly
+  UNION ALL
+  SELECT '6h', event_type,
+         bucket_us - bucket_us % {6 * HOUR_US},
+         CAST(SUM(n_events) AS BIGINT), CAST(SUM(sum_c) AS BIGINT),
+         MIN(min_val), MAX(max_val)
+  FROM hourly GROUP BY 2, 3
+  UNION ALL
+  SELECT '1d', event_type,
+         bucket_us - bucket_us % {24 * HOUR_US},
+         CAST(SUM(n_events) AS BIGINT), CAST(SUM(sum_c) AS BIGINT),
+         MIN(min_val), MAX(max_val)
+  FROM hourly GROUP BY 2, 3
+)
+SELECT level, event_type, bucket_us, n_events,
+  CAST(CAST(sum_c AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sum_val,
+  min_val, max_val
+FROM levels
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
@@ -699,5 +889,13 @@ QUERIES = {
     "ts_streaks": spec(
         ts_streaks, ORACLE_TS_STREAKS, "beyond",
         doc="longest consecutive-day streak per user (gaps-and-islands)",
+    ),
+    "ts_interval_merge": spec(
+        ts_interval_merge, ORACLE_TS_INTERVAL_MERGE, "beyond",
+        doc="coalesce overlapping per-user activity intervals (running max)",
+    ),
+    "ts_rollup_hierarchy": spec(
+        ts_rollup_hierarchy, ORACLE_TS_ROLLUP_HIERARCHY, "beyond",
+        doc="1h->6h->1d continuous-aggregate cascade from mergeable partials",
     ),
 }

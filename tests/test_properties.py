@@ -160,3 +160,43 @@ def test_documents_text_ascii():
                     f"{sf}: non-ASCII text would break the byte==char "
                     "assumption in ORACLE_MM_FRAME_SAMPLE"
                 )
+
+
+def test_interval_merge_islands_disjoint(spark):
+    """Coalesced intervals per user must be pairwise disjoint (no two
+    islands overlap or touch) and each must span >= one event lease."""
+    from etl_verkada_spark.operators.timeseries import (
+        SPAN_US,
+        ts_interval_merge,
+    )
+
+    rows = (
+        ts_interval_merge(spark, "/root/testdata/sf0.001")
+        .orderBy("user_id", "start_us")
+        .collect()
+    )
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        assert r["end_us"] - r["start_us"] >= SPAN_US
+        assert r["n_events"] >= 1
+        prev = by_user.get(r["user_id"])
+        if prev is not None:
+            assert r["start_us"] > prev, (r["user_id"], prev, r["start_us"])
+        by_user[r["user_id"]] = r["end_us"]
+
+
+def test_rollup_hierarchy_levels_consistent(spark):
+    """Each coarser level's totals must equal the sum of its finer
+    children — the mergeable-partial invariant the cascade relies on."""
+    from etl_verkada_spark.operators.timeseries import ts_rollup_hierarchy
+
+    df = ts_rollup_hierarchy(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    totals = {}
+    for r in rows:
+        t = totals.setdefault(r["level"], [0, 0.0])
+        t[0] += r["n_events"]
+        t[1] += r["sum_val"]
+    assert totals["1h"][0] == totals["6h"][0] == totals["1d"][0]
+    assert abs(totals["1h"][1] - totals["1d"][1]) < 1e-6
