@@ -100,9 +100,133 @@ GROUP BY cell_x, cell_y
 """
 
 
+GEO_KNN_RADIUS_DEG = 5  # search radius == cell size: 3x3 block suffices
+_CELL_E4 = GEO_KNN_RADIUS_DEG * 10_000
+_R2_E4 = _CELL_E4 * _CELL_E4
+_LON_SHIFT_CELLS = 200  # same negative-floor shift as geo_density
+
+
+def geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest site (supplier) within GEO_KNN_RADIUS_DEG of each camera
+    (customer) — the radius-bounded nearest-neighbor join behind
+    "attach every camera to its closest gateway".
+
+    Grid blocking with cell size == radius makes the 3x3 neighborhood a
+    PROOF, not a heuristic: euclidean distance <= R bounds each axis
+    delta by R, i.e. by one cell. The small side (sites) is exploded x9
+    into its neighbor cells and broadcast; the probe side joins on its
+    own cell id — the big side never fans out, never shuffles (the
+    join_range_banded trick in two dimensions). The winner per camera
+    is one mergeable min(struct(d2, site)) aggregate.
+
+    All coordinates are e-4-degree integers (the geo_density scaling),
+    so distances are exact BIGINTs and the (d2, suppkey) tie-break is
+    total — the oracle brute-forces all pairs and must agree
+    bit-for-bit. Cameras with no site in radius drop (inner semantics).
+    """
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    shift = _LON_SHIFT_CELLS * _CELL_E4
+
+    def _pts(df: DataFrame, key: str, nat: str, bal: str) -> DataFrame:
+        return df.select(
+            F.col(key).alias(f"{key}"),
+            (F.col(nat).cast("long") * 10_000).alias("lat_e4"),
+            scaled_long(F.col(bal)).alias("lon_e4"),
+        ).select(
+            key,
+            "lat_e4",
+            "lon_e4",
+            F.expr(f"(lon_e4 + {shift}) div {_CELL_E4}").alias("cx"),
+            F.expr(f"(lat_e4 + {shift}) div {_CELL_E4}").alias("cy"),
+        )
+
+    cams = _pts(c, "c_custkey", "c_nationkey", "c_acctbal")
+    sites = (
+        _pts(s, "s_suppkey", "s_nationkey", "s_acctbal")
+        .select(
+            F.col("s_suppkey"),
+            F.col("lat_e4").alias("s_lat"),
+            F.col("lon_e4").alias("s_lon"),
+            "cx",
+            "cy",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.col("cx") + F.col("dx")).alias("scx"),
+            "cy",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"),
+        )
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            "scx",
+            (F.col("cy") + F.col("dy")).alias("scy"),
+        )
+    )
+    d2 = (
+        (F.col("lat_e4") - F.col("s_lat")) * (F.col("lat_e4") - F.col("s_lat"))
+        + (F.col("lon_e4") - F.col("s_lon"))
+        * (F.col("lon_e4") - F.col("s_lon"))
+    )
+    cand = (
+        cams.join(
+            F.broadcast(sites),
+            (F.col("cx") == F.col("scx")) & (F.col("cy") == F.col("scy")),
+        )
+        .select("c_custkey", "s_suppkey", d2.alias("d2"))
+        .filter(F.col("d2") <= _R2_E4)
+    )
+    best = cand.groupBy("c_custkey").agg(
+        F.min(F.struct("d2", "s_suppkey")).alias("b")
+    )
+    return best.select(
+        "c_custkey",
+        F.col("b.s_suppkey").alias("s_suppkey"),
+        F.col("b.d2").alias("d2_e8"),
+    )
+
+
+ORACLE_GEO_KNN = f"""
+WITH cams AS (
+  SELECT c_custkey,
+    CAST(c_nationkey AS BIGINT) * 10000 AS lat_e4,
+    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS lon_e4
+  FROM customer
+),
+sites AS (
+  SELECT s_suppkey,
+    CAST(s_nationkey AS BIGINT) * 10000 AS lat_e4,
+    CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) AS lon_e4
+  FROM supplier
+),
+pairs AS (
+  SELECT c.c_custkey, s.s_suppkey,
+    (c.lat_e4 - s.lat_e4) * (c.lat_e4 - s.lat_e4)
+      + (c.lon_e4 - s.lon_e4) * (c.lon_e4 - s.lon_e4) AS d2
+  FROM cams c CROSS JOIN sites s
+),
+best AS (
+  SELECT c_custkey, MIN({{'d2': d2, 's': s_suppkey}}) AS b
+  FROM pairs
+  WHERE d2 <= {_R2_E4}
+  GROUP BY c_custkey
+)
+SELECT c_custkey, b.s AS s_suppkey, b.d2 AS d2_e8 FROM best
+"""
+
+
 QUERIES = {
     "geo_density": spec(
         geo_density, ORACLE_GEO_DENSITY, "beyond",
         doc="5-degree grid density of cameras (integer-exact cell ids)",
+    ),
+    "geo_knn": spec(
+        geo_knn, ORACLE_GEO_KNN, "beyond",
+        doc="radius-bounded nearest-site join via 3x3 grid blocking",
     ),
 }

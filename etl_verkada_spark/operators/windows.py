@@ -484,6 +484,67 @@ FROM f
 """
 
 
+#: regex over per-user event-initial sequences: a view, any number of
+#: clicks, then a purchase — the regex generalization of win_funnel's
+#: fixed adjacent transition (MATCH_RECOGNIZE's PATTERN clause shape).
+SEQ_PATTERN = "VC*P"
+
+
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching per user: encode each user's event-time
+    ordered history as a character string (event-type initials — all
+    five types have distinct initials) and count non-overlapping regex
+    matches of SEQ_PATTERN. MATCH_RECOGNIZE semantics for patterns a
+    lag-chain can't express (unbounded repetition between anchors).
+
+    Both engines scan leftmost-first with greedy quantifiers, and the
+    pattern has no alternation whose priority could differ — match
+    counts are engine-identical (and the per-user sequence is built on
+    the same (ts, event_id) total order on both sides).
+
+    At 100 TB: one shuffle on user_id; each group reduces to one bounded
+    string (a user's event count), then the regex scan is per-group
+    linear work — the same skew contract as sessionization. The string
+    never leaves the executor; output is one row per user.
+    """
+    e = table(spark, sf_dir, "events")
+    ch = F.upper(F.substring("event_type", 1, 1))
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", ch.alias("ch")))
+            ),
+            lambda x: x["ch"],
+        ),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("seq_len"),
+            F.regexp_count("seq", F.lit(SEQ_PATTERN)).alias("n_matches"),
+        )
+    )
+
+
+ORACLE_WIN_PATTERN_MATCH = f"""
+WITH seqs AS (
+  SELECT user_id,
+         STRING_AGG(UPPER(SUBSTRING(event_type, 1, 1)), ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+  CAST(LEN(seq) AS INTEGER) AS seq_len,
+  CAST(LEN(regexp_extract_all(seq, '{SEQ_PATTERN}')) AS INTEGER)
+    AS n_matches
+FROM seqs
+"""
+
+
 QUERIES = {
     "win_rownum": spec(
         win_rownum, ORACLE_WIN_ROWNUM, "beyond", "reference:J2",
@@ -528,5 +589,9 @@ QUERIES = {
     "win_running_distinct": spec(
         win_running_distinct, ORACLE_WIN_RUNNING_DISTINCT, "beyond",
         doc="exact running count-distinct via first-occurrence flags",
+    ),
+    "win_pattern_match": spec(
+        win_pattern_match, ORACLE_WIN_PATTERN_MATCH, "beyond",
+        doc="regex sequence matching over per-user event histories",
     ),
 }
