@@ -66,48 +66,36 @@ def spec(
 # driver-green from an earlier round with unchanged code, plus full
 # parity coverage via tools/parity_check.py.
 #
-# ROUND-7 WINDOW. Evidence state after r6 (from CORRECTNESS_r01-r06):
-# every registered query's newest hash-green row is >= r3; 24 queries
-# sit at r3 and 41 at r4. This window:
+# ROUND-9 WINDOW. Rounds 7 and 8 produced no driver correctness run
+# (no CORRECTNESS_r07/r08 files exist), so the r7 window never executed
+# and 18 queries added in those rounds have NEVER had a driver row.
+# Evidence state from CORRECTNESS_r01-r06: 24 queries' newest green is
+# r3, 41 at r4, rest r5/r6. This window:
 #   1. flagship;
-#   2. the twelve round-7 additions (never checked, oracle-paired from
-#      birth): sort_topn_per_key (WindowGroupLimit top-N per key),
-#      llm_dedup_soft (1/|cluster| reweighting), llm_quality_ensemble
-#      (linear quality-signal fusion), scd2_apply (incremental SCD2
-#      fold == full recompute), llm_dedup_keep_best (canonical-pick
-#      dedup via packed max_by), llm_dedup_prefixfilter (PPJoin-style
-#      exact similarity join), llm_bpe_pair_count (BPE merge-step over
-#      the word-frequency table), llm_length_buckets (length-bucketed
-#      batch manifest), ts_streaks (gaps-and-islands streaks),
-#      llm_vocab_coverage (OOV audit, integer-ppm), graph_degree_hist
-#      (degree distribution), graph_label_propagation (deterministic
-#      synchronous LPA);
-#   3. changed this round: stream_mv_refresh (versioned-state fold —
-#      replay guard via committed version dirs, no localCheckpoint) and
-#      scd2_build (gaps-and-islands core extracted to _scd2_intervals,
-#      shared with scd2_apply); cdc_snapshot_diff is NOT re-windowed:
-#      the union-agg rewrite was reverted after the A/B, leaving the
-#      r6-green plan byte-identical (docstring-only delta);
-#   4. ALL 24 r3-evidence rows (validate_expectations, scan_csv_land,
+#   2. the 18 never-checked r7/r8 additions, oracle-paired from birth:
+#      sort_topn_per_key, llm_dedup_soft, llm_quality_ensemble,
+#      scd2_apply, llm_dedup_keep_best, llm_dedup_prefixfilter,
+#      llm_bpe_pair_count, llm_length_buckets, ts_streaks,
+#      llm_vocab_coverage, graph_degree_hist, graph_label_propagation
+#      (round 7); win_pattern_match, ts_interval_merge,
+#      ts_rollup_hierarchy, geo_knn, llm_bpe_train, llm_bpe_encode
+#      (round 8);
+#   3. ALL 24 r3-evidence rows (validate_expectations, scan_csv_land,
 #      project_struct_nested, agg_approx/stats/collect, win_sessionize,
 #      ts_gapfill, the r3 llm family, mm_binary_stats, mm_resize_stub,
 #      mm_feature_extract);
-#   5. fill: 9 of the 41 r4-evidence rows, preferring the operators
-#      whose behavior is most coupled to code that keeps moving — the
-#      whole streaming family (7), fx_string as the scalar-surface
-#      canary, and the perf-workstream pair join_range/ts_ohlc. The 32
-#      r4 rows left out (scan_partition_pruned, scan_json/orc_land,
-#      join_bucketed, join_salted, agg_approx_percentile, agg_mode,
-#      win_funnel, ts_interpolate, subquery_lateral, dq_referential,
-#      fx_cond, fx_hash, fx_json, fx_map, fx_regex, fx_date, fx_math,
-#      fx_array, udf_pandas, udtf_bigrams, llm_dedup_fuzzy/semantic,
-#      llm_sim_ann_ivf, llm_quality_repetition, llm_sample_*,
-#      llm_shard, llm_mix_weights, llm_pack_sequences,
-#      mm_feature_extract_arrow) are the r8 rotation's oldest cohort.
+#   4. fill: 7 of the 41 r4-evidence rows (join_bucketed, join_salted,
+#      agg_approx_percentile, agg_mode, dq_referential,
+#      subquery_lateral, win_funnel). Remaining r4 rows (the fx_*
+#      scalar family, scan_json/orc_land, scan_partition_pruned,
+#      ts_interpolate, udf_pandas, udtf_bigrams, the r4 llm sampling
+#      family, mm_feature_extract_arrow) are the r10 rotation's oldest
+#      cohort. Round-9 additions and implementation changes displace
+#      fills as they land.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 2. round-7 additions (never checked) --
+    # -- 2. round-7/8 additions (never driver-checked) --
     "sort_topn_per_key",
     "llm_dedup_soft",
     "llm_quality_ensemble",
@@ -120,11 +108,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_vocab_coverage",
     "graph_degree_hist",
     "graph_label_propagation",
-    # -- 3. implementation changed in round 7 --
-    "stream_mv_refresh",
-    "scd2_build",
-    "agg_salted",     # 1-column salt (2 fewer scanned columns)
-    # -- 4. all 24 round-3 evidence rows --
+    "win_pattern_match",
+    "ts_interval_merge",
+    "ts_rollup_hierarchy",
+    "geo_knn",
+    "llm_bpe_train",
+    "llm_bpe_encode",
+    # -- 3. all 24 round-3 evidence rows --
     "validate_expectations",
     "scan_csv_land",
     "project_struct_nested",
@@ -149,17 +139,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "mm_binary_stats",
     "mm_resize_stub",
     "mm_feature_extract",
-    # -- 5. fill: 16 oldest round-4 evidence rows --
-    "stream_tumble",
-    "stream_slide",
-    "stream_session",
-    "stream_stateful",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_dedup",
-    "fx_string",
-    "join_range",
-    "ts_ohlc",
+    # -- 4. fill: 7 oldest round-4 evidence rows --
+    "join_bucketed",
+    "join_salted",
+    "agg_approx_percentile",
+    "agg_mode",
+    "dq_referential",
+    "subquery_lateral",
+    "win_funnel",
 )
 
 
