@@ -91,6 +91,15 @@ HEADLINE = [
     "llm_vocab_coverage",
     "graph_degree_hist",
     "graph_label_propagation",
+    # round-8 additions: regex-free sequence matching, interval-union
+    # islands, once-scanned rollup cascade, grid-blocked kNN join, and
+    # the 3-iteration relational BPE trainer/encoder
+    "win_pattern_match",
+    "ts_interval_merge",
+    "ts_rollup_hierarchy",
+    "geo_knn",
+    "llm_bpe_train",
+    "llm_bpe_encode",
 ]
 
 
@@ -267,6 +276,15 @@ SF1_QUERIES = [
     "ts_streaks",
     "llm_vocab_coverage",
     "graph_label_propagation",
+    # round-8: interval islands + rollup cascade ride the 40x events
+    # table; the BPE trainer's vocabulary-collapse claim needs the
+    # 100x-documents measurement; geo_knn's grid blocking bounds the
+    # candidate pairs at 100x
+    "ts_interval_merge",
+    "ts_rollup_hierarchy",
+    "geo_knn",
+    "llm_bpe_train",
+    "win_pattern_match",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's
