@@ -100,6 +100,17 @@ HEADLINE = [
     "geo_knn",
     "llm_bpe_train",
     "llm_bpe_encode",
+    # round-9 additions: MERGE-with-deletes apply, forward as-of,
+    # histogram weighted median, frontier BFS, integer Simpson
+    # diversity, histogram-CDF perplexity gate, boilerplate coverage
+    "cdc_merge_ops",
+    "join_asof_fwd",
+    "agg_weighted_median",
+    "graph_bfs_levels",
+    "llm_lexical_diversity",
+    "llm_perplexity_filter",
+    "llm_boilerplate_coverage",
+    "stream_mv_apply",
 ]
 
 
@@ -285,6 +296,18 @@ SF1_QUERIES = [
     "geo_knn",
     "llm_bpe_train",
     "win_pattern_match",
+    # round-9: the changeset apply and forward as-of ride the 10x/40x
+    # tables; the three document ops ride 100x documents — the
+    # histogram-CDF and interval-union claims need the big measurement
+    "cdc_merge_ops",
+    "join_asof_fwd",
+    "agg_weighted_median",
+    "llm_lexical_diversity",
+    "llm_perplexity_filter",
+    "llm_boilerplate_coverage",
+    # the number stream_mv_refresh's 4x-replay ratio obscures: one
+    # delta-only refresh step vs DuckDB's full recompute
+    "stream_mv_apply",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's

@@ -1092,6 +1092,303 @@ FROM per
 """
 
 
+def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity quality signals: type-token ratio
+    and Simpson diversity index — the repetitive/templated-text
+    detectors that complement llm_quality_repetition's n-gram form.
+
+    Simpson is chosen over Shannon entropy DELIBERATELY: its index
+    1 - sum((c_i/n)^2) has the integer-exact form
+    ``(n^2 - sum(c_i^2)) * 1e6 div n^2``, so both engines agree
+    bit-for-bit, where Shannon's sum of c*ln(c) is an order-sensitive
+    float fold that diverges in the last ulp under shuffle reordering.
+    Monotone-comparable for filtering: both rank templated text low.
+
+    Two mergeable hash aggregates — (doc, word) counts, then the
+    per-doc rollup; the (doc, word) exchange is the same wire cost as
+    TF-IDF's. No windows, no UDFs, everything codegen.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.expr("n_distinct * 1000000 div n_tokens").alias("ttr_ppm"),
+        F.expr(
+            "(n_tokens * n_tokens - sum_c2) * 1000000"
+            " div (n_tokens * n_tokens)"
+        ).alias("simpson_ppm"),
+    )
+
+
+ORACLE_LLM_LEXICAL_DIVERSITY = """
+WITH counts AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  GROUP BY doc_id, w
+),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       n_distinct * 1000000 // n_tokens AS ttr_ppm,
+       (n_tokens * n_tokens - sum_c2) * 1000000
+         // (n_tokens * n_tokens) AS simpson_ppm
+FROM per
+"""
+
+
+#: perplexity-gate drop fraction: the worst quarter by LM score goes
+PERPLEXITY_DROP_DEN = 4
+
+
+def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold quality gate on the corpus-LM fluency score —
+    'drop the worst 25% of documents by bigram-LM score', the
+    perplexity-filter pass of every large pretraining pipeline, with
+    EXACT count semantics (ties broken by doc_id, so the kept set is
+    bit-deterministic across engines, retries and partitionings).
+
+    The global rank is computed WITHOUT a global row sort: documents
+    collapse to the score-value histogram first, a cumulative-count
+    window over the DISTINCT score values (histogram-sized) gives each
+    value its rank offset, and a per-value row_number (window
+    partitioned BY VALUE — bounded by the largest tie class) finishes
+    the rank. rank = cum_before(value) + tie_rank; drop iff
+    rank <= n div 4. Scores are the integer fixed-point
+    ``score_s6_sum div n_bigrams`` — no float anywhere in the decision.
+
+    At 100 TB: the histogram window's width is the distinct-score
+    count, not the doc count (production would additionally quantize
+    scores to bound it a priori); everything else is hash joins against
+    a broadcast histogram.
+    """
+    scored = llm_bigram_score(spark, sf_dir).select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("score_s6_sum div n_bigrams").alias("avg_s6"),
+    )
+    hist = scored.groupBy("avg_s6").agg(F.count(F.lit(1)).alias("cnt"))
+    hw = Window.orderBy("avg_s6")
+    cum = hist.select(
+        "avg_s6",
+        F.coalesce(
+            F.sum("cnt").over(
+                hw.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+        F.sum("cnt")
+        .over(hw.rowsBetween(Window.unboundedPreceding,
+                             Window.unboundedFollowing))
+        .alias("n_total"),
+    )
+    tie = Window.partitionBy("avg_s6").orderBy("doc_id")
+    ranked = (
+        scored.join(F.broadcast(cum), "avg_s6")
+        .withColumn("tie_rank", F.row_number().over(tie))
+        .withColumn("rank", F.col("cum_before") + F.col("tie_rank"))
+    )
+    return ranked.filter(
+        F.col("rank") > F.expr(f"n_total div {PERPLEXITY_DROP_DEN}")
+    ).select("doc_id", "n_bigrams", "avg_s6")
+
+
+ORACLE_LLM_PERPLEXITY_FILTER = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+pairs AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2
+  FROM toks, UNNEST(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(z)
+),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+),
+uni AS (
+  SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_w1 FROM bi GROUP BY w1
+),
+model AS (
+  SELECT b.w1, b.w2,
+         b.n_pair * {BIGRAM_SCORE_SCALE} // u.n_w1 AS r_s6
+  FROM bi b JOIN uni u USING (w1)
+),
+scored AS (
+  SELECT p.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(m.r_s6) AS BIGINT) // COUNT(*) AS avg_s6
+  FROM pairs p JOIN model m USING (w1, w2)
+  GROUP BY p.doc_id
+),
+hist AS (
+  SELECT avg_s6, COUNT(*) AS cnt FROM scored GROUP BY avg_s6
+),
+cum AS (
+  SELECT avg_s6,
+    CAST(COALESCE(SUM(cnt) OVER (ORDER BY avg_s6
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before,
+    CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
+  FROM hist
+),
+ranked AS (
+  SELECT s.doc_id, s.n_bigrams, s.avg_s6,
+         c.cum_before
+           + ROW_NUMBER() OVER (PARTITION BY s.avg_s6 ORDER BY s.doc_id)
+           AS rank,
+         c.n_total
+  FROM scored s JOIN cum c USING (avg_s6)
+)
+SELECT doc_id, n_bigrams, avg_s6
+FROM ranked WHERE rank > n_total // {PERPLEXITY_DROP_DEN}
+"""
+
+
+#: boilerplate shingle width (words) and the cross-document frequency
+#: at which a shingle counts as boilerplate
+BOILER_K = 4
+BOILER_MIN_DOCS = 3
+
+
+def llm_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate coverage per document — the RefinedWeb/CCNet-style
+    template-text audit: a {BOILER_K}-word shingle that appears in >=
+    {BOILER_MIN_DOCS} distinct documents is boilerplate (nav bars,
+    license footers, scaffold text), and each document reports how much
+    of it is covered by such shingles.
+
+    Relational end to end, sharing llm_dedup_substring's machinery:
+    stride-1 shingles with positions (posexplode over one
+    sequence/slice transform), an exact distinct-doc count per shingle
+    digest picks the boilerplate set, matched positions become
+    intervals [p, p+K) and the classic lead()-gap arithmetic unions
+    them WITHOUT an interval self-join — covered tokens = sum of
+    min(next_start - start, K, tail). coverage_ppm is integer
+    (``covered * 1e6 div n_tokens``), bit-equal across engines.
+
+    At 100 TB: only (digest, doc_id, position) tuples shuffle — never
+    text; the boilerplate set is frequency-pruned (Zipf: tiny relative
+    to the shingle universe) so the match join's build side stays
+    small; the coverage window sorts within documents only.
+    """
+    K = BOILER_K
+    d = table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.greatest(F.size(ws) - K + 1, F.lit(1)).cast("long")
+        .alias("n_windows"),
+        ws.alias("w"),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), (F.col("n_windows") - 1).cast("int")),
+        lambda i: F.array_join(F.slice("w", i + 1, K), " "),
+    )
+    occ = base.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode(wins).alias("w_idx", "win"),
+    ).select("doc_id", "n_tokens", "w_idx", F.md5("win").alias("h"))
+    boiler = (
+        occ.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("h")
+    )
+    matched = occ.join(F.broadcast(boiler), "h")
+    seq = Window.partitionBy("doc_id").orderBy("w_idx")
+    covered = F.least(
+        F.coalesce(F.lead("w_idx").over(seq) - F.col("w_idx"), F.lit(K)),
+        F.lit(K),
+        (F.col("n_tokens") - F.col("w_idx")).cast("int"),
+    )
+    per_doc = (
+        matched.withColumn("covered", covered)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_boiler_windows"),
+            F.sum("covered").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_boiler_windows", F.lit(0))
+            .alias("n_boiler_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.expr(
+                "coalesce(covered_tokens, 0) * 1000000 div n_tokens"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+ORACLE_LLM_BOILERPLATE_COVERAGE = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(LEN(w) AS BIGINT) AS n_tokens,
+         CAST(GREATEST(LEN(w) - {BOILER_K} + 1, 1) AS BIGINT)
+           AS n_windows,
+         w
+  FROM ws
+),
+occ AS (
+  SELECT doc_id, n_tokens, i AS w_idx,
+         md5(array_to_string(w[i+1:i+{BOILER_K}], ' ')) AS h
+  FROM base, UNNEST(range(n_windows)) AS t(i)
+),
+boiler AS (
+  SELECT h FROM occ GROUP BY h
+  HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+),
+matched AS (
+  SELECT o.* FROM occ o JOIN boiler USING (h)
+),
+spans AS (
+  SELECT doc_id,
+         LEAST(
+           COALESCE(LEAD(w_idx) OVER (PARTITION BY doc_id ORDER BY w_idx)
+                      - w_idx, {BOILER_K}),
+           {BOILER_K},
+           n_tokens - w_idx
+         ) AS covered
+  FROM matched
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_boiler_windows,
+         CAST(SUM(covered) AS BIGINT) AS covered_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(p.n_boiler_windows, 0) AS n_boiler_windows,
+       COALESCE(p.covered_tokens, 0) AS covered_tokens,
+       COALESCE(p.covered_tokens, 0) * 1000000 // b.n_tokens
+         AS coverage_ppm
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "llm_text_stats": spec(
         llm_text_stats, ORACLE_LLM_TEXT_STATS, "llm",
@@ -1156,5 +1453,19 @@ QUERIES = {
     "llm_vocab_coverage": spec(
         llm_vocab_coverage, ORACLE_LLM_VOCAB_COVERAGE, "llm",
         doc="per-doc OOV audit vs corpus top-K vocab (integer-ppm rate)",
+    ),
+    "llm_lexical_diversity": spec(
+        llm_lexical_diversity, ORACLE_LLM_LEXICAL_DIVERSITY, "llm",
+        doc="type-token ratio + integer-exact Simpson diversity per doc",
+    ),
+    "llm_perplexity_filter": spec(
+        llm_perplexity_filter, ORACLE_LLM_PERPLEXITY_FILTER, "llm",
+        doc="drop worst quartile by LM score — exact histogram-CDF rank, "
+            "no global row sort",
+    ),
+    "llm_boilerplate_coverage": spec(
+        llm_boilerplate_coverage, ORACLE_LLM_BOILERPLATE_COVERAGE, "llm",
+        doc="cross-doc frequent-shingle (boilerplate) coverage per doc, "
+            "interval-union via lead() gaps",
     ),
 }

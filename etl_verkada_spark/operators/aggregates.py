@@ -930,6 +930,95 @@ GROUP BY event_type
 """
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group — quantity-weighted median unit
+    price per return flag (the robust central-tendency statistic
+    percentile_approx cannot certify and plain median gets wrong when
+    rows carry different weights).
+
+    Histogram-first construction so the sort never sees row-scale data:
+
+    1. one hash aggregate collapses lineitem to the (flag, price_cent)
+       value histogram with summed weights — the only corpus-scale
+       exchange, mergeable partials;
+    2. a cumulative-weight window over the DISTINCT VALUES of each
+       group (histogram-sized, not row-sized) finds the lower weighted
+       median: the smallest value v with 2 * cumw(v) >= total_w.
+
+    Exactness: prices ride as integer cents (scaled_long), weights as
+    integer quantity units, and the median test ``2*cumw >= total`` is
+    pure BIGINT — both engines agree bit-for-bit; the only float is the
+    final unscale division.
+
+    At 100 TB: the window partitions by group and sorts only distinct
+    values per group (price domain, not row count); a pathological
+    all-distinct column degrades to the per-group sort every exact
+    median pays. No global window, no collect.
+    """
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            "l_returnflag",
+            scaled_long("l_extendedprice").alias("price_c"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "price_c")
+        .agg(F.sum("w").alias("wv"))
+    )
+    win = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wv").over(win).alias("cumw"),
+        F.sum("wv").over(tot).alias("totw"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            unscale(F.min("price_c"), 2).alias("weighted_median_price"),
+            F.min("totw").alias("total_weight"),
+        )
+    )
+
+
+ORACLE_AGG_WEIGHTED_MEDIAN = """
+WITH hist AS (
+  SELECT
+    l_returnflag,
+    CAST(CAST(l_extendedprice AS DECIMAL(28,2)) * 100 AS BIGINT)
+      AS price_c,
+    SUM(CAST(l_quantity AS BIGINT)) AS wv
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT
+    l_returnflag,
+    price_c,
+    SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cumw,
+    SUM(wv) OVER (PARTITION BY l_returnflag) AS totw
+  FROM hist
+)
+SELECT
+  l_returnflag,
+  CAST(CAST(MIN(price_c) AS DECIMAL(38,0)) / 100 AS DOUBLE)
+    AS weighted_median_price,
+  CAST(MIN(totw) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_count": spec(
         agg_count, ORACLE_AGG_COUNT, "reference:A1",
@@ -982,6 +1071,11 @@ QUERIES = {
     "agg_mode": spec(
         agg_mode, ORACLE_AGG_MODE, "beyond",
         doc="MODE with deterministic tie-break (count rank over groups)",
+    ),
+    "agg_weighted_median": spec(
+        agg_weighted_median, ORACLE_AGG_WEIGHTED_MEDIAN, "beyond",
+        doc="exact weighted median per group (histogram + cumulative "
+            "weight, integer cents)",
     ),
     "agg_collect": spec(
         agg_collect, ORACLE_AGG_COLLECT, "beyond",

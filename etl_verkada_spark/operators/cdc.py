@@ -333,6 +333,44 @@ WHERE op IS NOT NULL
 """
 
 
+def cdc_merge_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an insert/update/delete changeset to a snapshot — the batch
+    MERGE-with-deletes that upsert_merge (update/insert only) does not
+    cover. Proof obligation by construction: applying
+    ``cdc_snapshot_diff(old, new)`` onto ``old`` must reproduce ``new``
+    exactly, so the oracle is simply the new-snapshot definition — the
+    driver's hash check certifies the apply semantics end-to-end
+    (deletes removed, updates replaced, inserts present, untouched rows
+    carried unchanged).
+
+    Plan: one left-anti join of the snapshot against the changeset keys
+    (drops deleted AND updated rows) + a union of the insert/update
+    images. Both sides hash-partition on the key — at 100 TB with the
+    snapshot stored bucketed on o_orderkey (join_bucketed's layout) the
+    anti join is exchange-free and only the changeset (churn-sized, not
+    table-sized) shuffles. This is the DataFrame form of the
+    ``MERGE WHEN MATCHED [AND op='delete'] THEN DELETE`` statement
+    lakehouse table formats execute.
+    """
+    old, _ = _snapshots(spark, sf_dir)
+    ops = cdc_snapshot_diff(spark, sf_dir)
+    upserts = ops.filter(F.col("op") != "delete").select(
+        "o_orderkey",
+        F.col("new_status").alias("o_orderstatus"),
+        F.col("new_totalprice").alias("o_totalprice"),
+    )
+    touched = ops.select("o_orderkey")
+    return old.join(touched, "o_orderkey", "left_anti").unionByName(upserts)
+
+
+#: the applied table must equal the new snapshot by definition
+ORACLE_CDC_MERGE_OPS = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_orderkey % {CDC_DEL_MOD} <> 0
+"""
+
+
 QUERIES = {
     "scd2_build": spec(
         scd2_build, ORACLE_SCD2_BUILD, "beyond",
@@ -346,5 +384,10 @@ QUERIES = {
         scd2_apply, ORACLE_SCD2_BUILD, "beyond",
         doc="incremental SCD2 fold of arriving events == full recompute "
             "(oracle is the rescan)",
+    ),
+    "cdc_merge_ops": spec(
+        cdc_merge_ops, ORACLE_CDC_MERGE_OPS, "beyond",
+        doc="apply insert/update/delete changeset to a snapshot "
+            "(MERGE with deletes; oracle is the target snapshot)",
     ),
 }

@@ -387,6 +387,86 @@ FROM l{LPA_ITERS}
 ORACLE_GRAPH_LABEL_PROPAGATION = _lpa_oracle()
 
 
+#: BFS source: node 2 == part key 1 (present at every SF) in the packed
+#: bipartite encoding (part p -> 2p, supplier s -> 2s+1)
+BFS_SOURCE = 2
+BFS_MAX_LEVEL = 4
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search levels from one source over the bipartite
+    part<->supplier graph — the shortest-unweighted-path primitive
+    (reachability tiers, blast-radius analysis, the recursive-CTE
+    workload relational engines express with WITH RECURSIVE).
+
+    Frontier iteration, not edge-power: each superstep joins only the
+    CURRENT frontier (nodes first reached last step) against the edge
+    list, dedups the successors, and anti-joins the visited set — so a
+    node is assigned the MINIMAL level by construction and each edge is
+    traversed at most twice overall. ``localCheckpoint`` per level keeps
+    the plan O(1) in depth (the Pregel discipline shared with
+    graph_pagerank / graph_label_propagation); the level cap matches
+    the oracle's recursion bound.
+
+    At 100 TB: per superstep one shuffle join frontier x edges (edges
+    pre-partitioned by src and checkpointed, so only the frontier —
+    monotonically shrinking after the expansion peak — moves) plus a
+    distinct and a broadcast-able anti join against visited. The
+    textbook distributed-BFS cost model; no global structure anywhere.
+    """
+    edges = (
+        _edges(spark, sf_dir)
+        .repartition(64, "src")
+        .localCheckpoint(eager=True)
+    )
+    visited = spark.createDataFrame(
+        [(BFS_SOURCE, 0)], "node long, level int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for lvl in range(1, BFS_MAX_LEVEL + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("level", F.lit(lvl))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        F.when(F.col("node") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node div 2").alias("node_key"),
+        F.col("level").cast("int").alias("level"),
+    )
+
+
+ORACLE_GRAPH_BFS_LEVELS = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+  FROM lineitem
+),
+bfs(node, level) AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT) AS node, 0 AS level
+  UNION
+  SELECT e.dst AS node, b.level + 1 AS level
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.level < {BFS_MAX_LEVEL}
+)
+SELECT
+  CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+  node // 2 AS node_key,
+  CAST(MIN(level) AS INTEGER) AS level
+FROM bfs
+GROUP BY node
+"""
+
+
 QUERIES = {
     "graph_pagerank": spec(
         graph_pagerank, ORACLE_GRAPH_PAGERANK, "beyond",
@@ -403,5 +483,9 @@ QUERIES = {
     "graph_label_propagation": spec(
         graph_label_propagation, ORACLE_GRAPH_LABEL_PROPAGATION, "beyond",
         doc="deterministic synchronous LPA, packed max_by vote, 3 rounds",
+    ),
+    "graph_bfs_levels": spec(
+        graph_bfs_levels, ORACLE_GRAPH_BFS_LEVELS, "beyond",
+        doc="frontier BFS levels from one source (oracle: WITH RECURSIVE)",
     ),
 }

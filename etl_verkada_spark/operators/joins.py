@@ -344,6 +344,90 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+#: forward as-of tolerance: the follow-up click must land within 1 hour
+ASOF_FWD_TOL_US = 3_600 * 1_000_000
+
+
+def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: FORWARD as-of join with tolerance — for each
+    purchase, the earliest same-user click at-or-after it, kept only if
+    it lands within one hour (the post-purchase-engagement attribution
+    shape; ``pandas.merge_asof(direction='forward', tolerance=...)``).
+
+    Same union + one-window construction as the backward
+    :func:`join_asof`, mirrored: sort within user by (ts, is_p DESC) —
+    the purchase sorts before any same-timestamp click, so the
+    CURRENT ROW -> UNBOUNDED FOLLOWING frame's ``min(click ts)`` is
+    exactly the at-or-after click. One shuffle on user_id, no range
+    cross-join, O(1) window state per row streaming backward. The
+    tolerance is a post-window null-out, not a join predicate, so the
+    plan shape is independent of the tolerance width.
+
+    At 100 TB: identical cost model to join_asof — each event shuffles
+    once on the session key; skew is bounded by the busiest user.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.lit(1).alias("is_p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"), F.col("is_p").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = clicks.unionByName(purchases).withColumn(
+        "next_us",
+        F.min(F.when(F.col("is_p") == 0, F.col("us"))).over(w),
+    )
+    within = F.when(
+        F.col("next_us") - F.col("us") <= ASOF_FWD_TOL_US, F.col("next_us")
+    )
+    return carried.filter(F.col("is_p") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("ts_us"),
+        within.alias("next_click_us"),
+        (within - F.col("us")).alias("wait_us"),
+    )
+
+
+ORACLE_JOIN_ASOF_FWD = f"""
+WITH u AS (
+  SELECT NULL::BIGINT AS event_id, user_id, epoch_us(ts) AS us, 0 AS is_p
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, user_id, epoch_us(ts) AS us, 1 AS is_p
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT *,
+    MIN(CASE WHEN is_p = 0 THEN us END) OVER (
+      PARTITION BY user_id ORDER BY us, is_p DESC
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+    ) AS next_us
+  FROM u
+)
+SELECT
+  event_id,
+  user_id,
+  us AS ts_us,
+  CASE WHEN next_us - us <= {ASOF_FWD_TOL_US} THEN next_us END
+    AS next_click_us,
+  CASE WHEN next_us - us <= {ASOF_FWD_TOL_US} THEN next_us - us END
+    AS wait_us
+FROM c WHERE is_p = 1
+"""
+
+
 BAND_S = 600  # range-join band width = the range bound (10 minutes)
 
 
@@ -484,6 +568,10 @@ QUERIES = {
     "join_asof": spec(
         join_asof, ORACLE_JOIN_ASOF, "beyond",
         doc="as-of join via union + running max (no range explosion)",
+    ),
+    "join_asof_fwd": spec(
+        join_asof_fwd, ORACLE_JOIN_ASOF_FWD, "beyond",
+        doc="forward as-of join with 1h tolerance (union + running min)",
     ),
     "join_range": spec(
         join_range, ORACLE_JOIN_RANGE, "beyond",

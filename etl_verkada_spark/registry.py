@@ -80,18 +80,28 @@ def spec(
 #      (round 7); win_pattern_match, ts_interval_merge,
 #      ts_rollup_hierarchy, geo_knn, llm_bpe_train, llm_bpe_encode
 #      (round 8);
-#   3. ALL 24 r3-evidence rows (validate_expectations, scan_csv_land,
-#      project_struct_nested, agg_approx/stats/collect, win_sessionize,
-#      ts_gapfill, the r3 llm family, mm_binary_stats, mm_resize_stub,
+#   3. 23 of the 24 r3-evidence rows (validate_expectations,
+#      scan_csv_land, project_struct_nested, agg_approx/stats/collect,
+#      win_sessionize, ts_gapfill, the r3 llm family, mm_binary_stats,
 #      mm_feature_extract);
-#   4. fill: 7 of the 41 r4-evidence rows (join_bucketed, join_salted,
-#      agg_approx_percentile, agg_mode, dq_referential,
-#      subquery_lateral, win_funnel). Remaining r4 rows (the fx_*
-#      scalar family, scan_json/orc_land, scan_partition_pruned,
-#      ts_interpolate, udf_pandas, udtf_bigrams, the r4 llm sampling
-#      family, mm_feature_extract_arrow) are the r10 rotation's oldest
-#      cohort. Round-9 additions and implementation changes displace
-#      fills as they land.
+#   4. the seven round-9 additions (never checked, oracle-paired from
+#      birth): cdc_merge_ops (apply I/U/D changeset == target
+#      snapshot), join_asof_fwd (forward as-of with tolerance),
+#      agg_weighted_median (histogram + cumulative weight),
+#      graph_bfs_levels (frontier BFS vs WITH RECURSIVE),
+#      llm_lexical_diversity (integer-exact Simpson),
+#      llm_perplexity_filter (histogram-CDF quantile gate),
+#      llm_boilerplate_coverage (frequent-shingle interval union),
+#      stream_mv_apply (delta-only MV refresh == full recompute; the
+#      scd2_apply pattern). mm_resize_stub cedes its r3 slot (its real-
+#      codec sibling mm_resize is r6-green; the stub is parity-swept
+#      locally).
+#      They displace the round-4 fills; ALL r4-evidence rows (the fx_*
+#      scalar family, join_bucketed/salted, agg_approx_percentile,
+#      agg_mode, dq_referential, subquery_lateral, win_funnel,
+#      scan_json/orc_land, scan_partition_pruned, ts_interpolate,
+#      udf_pandas, udtf_bigrams, the r4 llm sampling family,
+#      mm_feature_extract_arrow) are the r10 rotation's oldest cohort.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -114,7 +124,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "geo_knn",
     "llm_bpe_train",
     "llm_bpe_encode",
-    # -- 3. all 24 round-3 evidence rows --
+    # -- 3. 23 of the 24 round-3 evidence rows --
     "validate_expectations",
     "scan_csv_land",
     "project_struct_nested",
@@ -137,16 +147,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_pii_scrub",
     "llm_decontaminate",
     "mm_binary_stats",
-    "mm_resize_stub",
     "mm_feature_extract",
-    # -- 4. fill: 7 oldest round-4 evidence rows --
-    "join_bucketed",
-    "join_salted",
-    "agg_approx_percentile",
-    "agg_mode",
-    "dq_referential",
-    "subquery_lateral",
-    "win_funnel",
+    # -- 4. round-9 additions (never driver-checked) --
+    "cdc_merge_ops",
+    "join_asof_fwd",
+    "agg_weighted_median",
+    "graph_bfs_levels",
+    "llm_lexical_diversity",
+    "llm_perplexity_filter",
+    "llm_boilerplate_coverage",
+    "stream_mv_apply",
 )
 
 

@@ -358,6 +358,84 @@ def _mv_oracle() -> str:
     return ORACLE_AGG_INCREMENTAL_MERGE
 
 
+def stream_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE incremental MV refresh step — the delta-only cost the
+    continuous-aggregate pattern exists to buy (stream_mv_refresh's
+    batch-apply twin, exactly like scd2_apply next to scd2_build).
+
+    stream_mv_refresh replays ALL chunks through the fold, so its
+    wall-clock is full-data work plus 4x micro-batch machinery — a
+    statement about replay, not about steady-state refresh. THIS query
+    answers the production question: the MV is current through
+    yesterday (state folded from chunks 0..n-2, a cached fixture, same
+    discipline as scd2_apply's landed history), one new day-chunk
+    lands, what does bringing the MV current cost? Work = scan ONE
+    arriving chunk + merge with metadata-sized state; the oracle is the
+    from-scratch aggregate over ALL events, so the driver's hash check
+    proves the shortcut loses nothing — and the bench ratio measures
+    incremental refresh vs the full recompute a stateless engine must
+    run.
+
+    At 100 TB: this is the number that matters — refresh cost scales
+    with the arriving partition, never with history.
+    """
+    import os
+    import shutil
+
+    from ..operators.aggregates import scaled_long, unscale
+    from ..operators.scans import _land_dir
+    from ..session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    land = _land_dir(sf_dir, "mv_chunks")
+    if not os.path.exists(os.path.join(land, "_LANDED")):
+        # build the chunk landing via the streaming twin's fixture path;
+        # a fresh landing (new part-file identities) invalidates any
+        # prior-state fixture built from the old files
+        shutil.rmtree(land + "_state", ignore_errors=True)
+        shutil.rmtree(land + "_prior_state", ignore_errors=True)
+        stream_mv_refresh(spark, sf_dir)
+    files = sorted(
+        f
+        for f in os.listdir(land)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    prior, last = files[: MV_CHUNKS - 1], files[MV_CHUNKS - 1]
+    state_dir = land + "_prior_state"
+    done = os.path.join(state_dir, "_PRIMED")
+    if not os.path.exists(done):
+        # prime once per sf_dir: fold chunks 0..n-2 into the state
+        # fixture (the "MV current through yesterday" precondition)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        spark.read.parquet(*[os.path.join(land, f) for f in prior]).groupBy(
+            "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled_long("value")).alias("c"),
+        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+        with open(done, "w") as f:
+            f.write("ok")
+    part = (
+        spark.read.parquet(os.path.join(land, last))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled_long("value")).alias("c"),
+        )
+    )
+    state = spark.read.parquet(state_dir)
+    merged = (
+        state.unionByName(part)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+    )
+    return merged.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        unscale(F.col("c"), 2).alias("sum_value"),
+    )
+
+
 #: drift monitor micro-batch chunks (one landed file per trigger)
 DRIFT_CHUNKS = 4
 
@@ -486,6 +564,11 @@ QUERIES = {
         stream_mv_refresh, _mv_oracle(), "beyond",
         doc="streaming incremental MV: foreachBatch partial folds == "
             "full recompute (oracle is the rescan)",
+    ),
+    "stream_mv_apply": spec(
+        stream_mv_apply, _mv_oracle(), "beyond",
+        doc="one delta-only MV refresh step from cached state == full "
+            "recompute (the steady-state incremental cost)",
     ),
     "stream_drift": spec(
         stream_drift, _drift_oracle(), "beyond",

@@ -200,3 +200,162 @@ def test_rollup_hierarchy_levels_consistent(spark):
         t[1] += r["sum_val"]
     assert totals["1h"][0] == totals["6h"][0] == totals["1d"][0]
     assert abs(totals["1h"][1] - totals["1d"][1]) < 1e-6
+
+
+def test_bfs_levels_edge_consistency(spark):
+    """BFS levels must satisfy the triangle property: adjacent nodes'
+    levels differ by at most 1, the source is level 0, and every level
+    > 0 node has a neighbor one level closer."""
+    from etl_verkada_spark.operators.graph import (
+        BFS_SOURCE,
+        graph_bfs_levels,
+        _edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    levels = {}
+    for r in graph_bfs_levels(spark, sf).collect():
+        node = r["node_key"] * 2 + (0 if r["node_type"] == "part" else 1)
+        levels[node] = r["level"]
+    assert levels.get(BFS_SOURCE) == 0
+    edges = [(r["src"], r["dst"]) for r in _edges(spark, sf).collect()]
+    has_parent = {BFS_SOURCE}
+    for s, d in edges:
+        if s in levels and d in levels:
+            assert abs(levels[s] - levels[d]) <= 1
+            if levels.get(d) == levels.get(s, -99) + 1:
+                has_parent.add(d)
+    uncapped = {n for n, lv in levels.items() if lv < 4}
+    assert uncapped <= has_parent | {
+        n for n, lv in levels.items() if lv == 0
+    }
+
+
+def test_weighted_median_definition(spark):
+    """The reported value must be the smallest price whose cumulative
+    weight reaches half the group total (lower weighted median)."""
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.aggregates import agg_weighted_median
+    from etl_verkada_spark.catalog import table
+
+    sf = "/root/testdata/sf0.001"
+    li = table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    acc = defaultdict(list)
+    for r in li:
+        cents = int(r["l_extendedprice"] * 100 + 0.5)
+        acc[r["l_returnflag"]].append((cents, int(r["l_quantity"])))
+    got = {
+        r["l_returnflag"]: r["weighted_median_price"]
+        for r in agg_weighted_median(spark, sf).collect()
+    }
+    for flag, pairs in acc.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                assert abs(got[flag] - v / 100.0) < 1e-9, flag
+                break
+
+
+def test_boilerplate_coverage_bounds(spark):
+    """Covered tokens never exceed the doc length; zero-coverage docs
+    are present; coverage_ppm is exactly the integer ratio."""
+    from etl_verkada_spark.llm.text import llm_boilerplate_coverage
+
+    rows = llm_boilerplate_coverage(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    n_covered = 0
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert r["coverage_ppm"] == r["covered_tokens"] * 1_000_000 // (
+            r["n_tokens"]
+        )
+        n_covered += r["covered_tokens"] > 0
+    assert n_covered > 0
+
+
+def test_perplexity_filter_drops_exact_quartile(spark):
+    """Kept set size must be exactly n - n//4 of the scored docs, and
+    no kept doc may score strictly below a dropped one."""
+    from etl_verkada_spark.llm.text import (
+        llm_bigram_score,
+        llm_perplexity_filter,
+    )
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    scored = llm_bigram_score(spark, sf).select(
+        "doc_id", F.expr("score_s6_sum div n_bigrams").alias("avg_s6")
+    ).collect()
+    kept = {r["doc_id"] for r in llm_perplexity_filter(spark, sf).collect()}
+    n = len(scored)
+    assert len(kept) == n - n // 4
+    ranked = sorted(scored, key=lambda r: (r["avg_s6"], r["doc_id"]))
+    dropped_max = max(
+        (r["avg_s6"] for r in ranked[: n // 4]), default=None
+    )
+    kept_min = min(r["avg_s6"] for r in ranked if r["doc_id"] in kept)
+    if dropped_max is not None:
+        assert kept_min >= dropped_max
+
+
+def test_cdc_merge_ops_roundtrip(spark):
+    """apply(old, diff(old, new)) must reproduce new exactly."""
+    from etl_verkada_spark.operators.cdc import _snapshots, cdc_merge_ops
+
+    sf = "/root/testdata/sf0.001"
+    _, new = _snapshots(spark, sf)
+    applied = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in cdc_merge_ops(spark, sf).collect()
+    }
+    expect = {
+        r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+        for r in new.collect()
+    }
+    assert applied == expect
+
+
+def test_asof_fwd_tolerance_and_order(spark):
+    """Every matched click is at-or-after its purchase within the
+    tolerance, and is the EARLIEST such click for that user."""
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.joins import (
+        ASOF_FWD_TOL_US,
+        join_asof_fwd,
+    )
+    from etl_verkada_spark.catalog import table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    clicks = defaultdict(list)
+    ev = table(spark, sf, "events").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+    for r in ev.collect():
+        clicks[r["user_id"]].append(r["us"])
+    for c in clicks.values():
+        c.sort()
+    out = join_asof_fwd(spark, sf).collect()
+    assert out
+    n_matched = 0
+    for r in out:
+        expect = next(
+            (
+                c
+                for c in clicks.get(r["user_id"], [])
+                if c >= r["ts_us"] and c - r["ts_us"] <= ASOF_FWD_TOL_US
+            ),
+            None,
+        )
+        assert r["next_click_us"] == expect, r
+        if expect is not None:
+            assert r["wait_us"] == expect - r["ts_us"]
+            n_matched += 1
+    assert n_matched > 0
