@@ -857,6 +857,143 @@ FROM levels
 """
 
 
+#: rolling-median window width (trailing hourly buckets)
+MEDIAN_WIN = 6
+
+
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of hourly totals — the robust smoother dashboards
+    and alerting pipelines put in front of spiky series (a single
+    outlier hour moves a rolling MEAN by outlier/n; the median ignores
+    it entirely).
+
+    One hash aggregate to the hourly (event_type, bucket) grid, then
+    exact ``percentile(.., 0.5)`` over a trailing {MEDIAN_WIN}-row
+    frame. Exactness: the aggregated values are integer cents, so the
+    even-count midpoint interpolation is either an integer or an exact
+    .5 — representable in double bit-for-bit in both engines (DuckDB
+    twin: windowed ``quantile_cont``, the same lerp definition).
+
+    At 100 TB: the window runs on the GRID (series x hours), not on
+    events — the rollup is the only corpus-scale exchange. Frame state
+    is O({MEDIAN_WIN}) per row; contrast SCALE.md §16's materializing
+    engines which spill the whole partition per frame evaluation.
+    """
+    e = table(spark, sf_dir, "events")
+    bucket = F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+    hourly = (
+        e.select(bucket.alias("bucket"), scaled_long("value").alias("c"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("total_c"))
+        .withColumn("hour_us", F.col("bucket") * HOUR_US)
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(-(MEDIAN_WIN - 1), Window.currentRow)
+    )
+    # the grid has ONE row per hour (grid-sized, not event-sized), so
+    # the global orderBy window is bounded by the series length; a
+    # per-series form would partition by the series key as the rest of
+    # the ts family does
+    return hourly.select(
+        "hour_us",
+        unscale(F.col("total_c"), 2).alias("total_value"),
+        (
+            F.percentile(F.col("total_c"), F.lit(0.5)).over(w)
+            / F.lit(100.0)
+        ).alias("rolling_median"),
+    )
+
+
+ORACLE_TS_ROLLING_MEDIAN = f"""
+WITH hourly AS (
+  SELECT
+    (epoch_us(ts) // {HOUR_US}) AS bucket,
+    CAST(SUM(CAST(value AS DECIMAL(28,2)) * 100) AS BIGINT) AS total_c
+  FROM events GROUP BY 1
+)
+SELECT
+  bucket * {HOUR_US} AS hour_us,
+  CAST(CAST(total_c AS DECIMAL(38,0)) / 100 AS DOUBLE) AS total_value,
+  quantile_cont(total_c, 0.5) OVER (
+    ORDER BY bucket ROWS BETWEEN {MEDIAN_WIN - 1} PRECEDING
+    AND CURRENT ROW
+  ) / 100.0 AS rolling_median
+FROM hourly
+"""
+
+
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast audit — predict each hour with the value
+    24 hours earlier and score the error (WAPE, weighted absolute
+    percentage error) per event type: the baseline every real
+    forecasting pipeline must beat, and the drift alarm when a series
+    stops being day-periodic.
+
+    The lag join is a self-join of the hourly grid shifted by one day
+    (grid-sized on both sides — events collapse in the rollup first).
+    WAPE stays integer to the last step: ``sum|actual - forecast|`` and
+    ``sum(actual)`` are exact cent sums, the ppm ratio is one integer
+    division.
+
+    At 100 TB: one corpus-scale exchange (the rollup); the shifted
+    self-join is grid x grid on (type, bucket) — broadcast-able, and
+    exchange-free if the grid is stored bucketed by type.
+    """
+    e = table(spark, sf_dir, "events")
+    bucket = F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+    hourly = (
+        e.select(
+            "event_type",
+            bucket.alias("bucket"),
+            scaled_long("value").alias("c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("total_c"))
+    )
+    prior = hourly.select(
+        "event_type",
+        (F.col("bucket") + 24).alias("bucket"),
+        F.col("total_c").alias("forecast_c"),
+    )
+    scored = hourly.join(prior, ["event_type", "bucket"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.abs(F.col("total_c") - F.col("forecast_c"))).alias(
+            "abs_err_c"
+        ),
+        F.expr(
+            "sum(abs(total_c - forecast_c)) * 1000000"
+            " div sum(total_c)"
+        ).alias("wape_ppm"),
+    )
+
+
+ORACLE_TS_SEASONAL_BASELINE = f"""
+WITH hourly AS (
+  SELECT
+    event_type,
+    (epoch_us(ts) // {HOUR_US}) AS bucket,
+    CAST(SUM(CAST(value AS DECIMAL(28,2)) * 100) AS BIGINT) AS total_c
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT a.event_type, a.total_c, p.total_c AS forecast_c
+  FROM hourly a
+  JOIN hourly p
+    ON p.event_type = a.event_type AND p.bucket = a.bucket - 24
+)
+SELECT
+  event_type,
+  COUNT(*) AS n_hours,
+  CAST(SUM(ABS(total_c - forecast_c)) AS BIGINT) AS abs_err_c,
+  CAST(SUM(ABS(total_c - forecast_c)) AS BIGINT) * 1000000
+    // CAST(SUM(total_c) AS BIGINT) AS wape_ppm
+FROM scored
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
@@ -897,5 +1034,15 @@ QUERIES = {
     "ts_rollup_hierarchy": spec(
         ts_rollup_hierarchy, ORACLE_TS_ROLLUP_HIERARCHY, "beyond",
         doc="1h->6h->1d continuous-aggregate cascade from mergeable partials",
+    ),
+    "ts_rolling_median": spec(
+        ts_rolling_median, ORACLE_TS_ROLLING_MEDIAN, "beyond",
+        doc="rolling exact median over trailing hourly buckets "
+            "(integer cents, O(frame) state)",
+    ),
+    "ts_seasonal_baseline": spec(
+        ts_seasonal_baseline, ORACLE_TS_SEASONAL_BASELINE, "beyond",
+        doc="seasonal-naive forecast WAPE audit (grid self-join, "
+            "integer-ppm error)",
     ),
 }
