@@ -111,6 +111,8 @@ HEADLINE = [
     "llm_perplexity_filter",
     "llm_boilerplate_coverage",
     "stream_mv_apply",
+    "ts_rolling_median",
+    "ts_seasonal_baseline",
 ]
 
 
@@ -308,6 +310,10 @@ SF1_QUERIES = [
     # the number stream_mv_refresh's 4x-replay ratio obscures: one
     # delta-only refresh step vs DuckDB's full recompute
     "stream_mv_apply",
+    # rolling exact median at 40x events: the O(frame)-state window
+    # claim (SCALE.md §16) on an order-statistic frame
+    "ts_rolling_median",
+    "ts_seasonal_baseline",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's

@@ -80,10 +80,15 @@ def spec(
 #      (round 7); win_pattern_match, ts_interval_merge,
 #      ts_rollup_hierarchy, geo_knn, llm_bpe_train, llm_bpe_encode
 #      (round 8);
-#   3. 23 of the 24 r3-evidence rows (validate_expectations,
-#      scan_csv_land, project_struct_nested, agg_approx/stats/collect,
-#      win_sessionize, ts_gapfill, the r3 llm family, mm_binary_stats,
-#      mm_feature_extract);
+#   3. 21 of the 24 r3-evidence rows (validate_expectations,
+#      scan_csv_land, agg_approx/stats/collect, win_sessionize,
+#      ts_gapfill, the r3 llm family, mm_binary_stats,
+#      mm_feature_extract). Three cede slots to round-9 additions:
+#      mm_resize_stub (real-codec sibling mm_resize is r6-green),
+#      project_struct_nested (the flagship checks the nested-struct
+#      serialization surface every round), llm_clean_pipeline (a
+#      composition of individually-windowed primitives); all three
+#      stay parity-swept locally;
 #   4. the seven round-9 additions (never checked, oracle-paired from
 #      birth): cdc_merge_ops (apply I/U/D changeset == target
 #      snapshot), join_asof_fwd (forward as-of with tolerance),
@@ -93,9 +98,8 @@ def spec(
 #      llm_perplexity_filter (histogram-CDF quantile gate),
 #      llm_boilerplate_coverage (frequent-shingle interval union),
 #      stream_mv_apply (delta-only MV refresh == full recompute; the
-#      scd2_apply pattern). mm_resize_stub cedes its r3 slot (its real-
-#      codec sibling mm_resize is r6-green; the stub is parity-swept
-#      locally).
+#      scd2_apply pattern), ts_rolling_median (exact windowed median),
+#      ts_seasonal_baseline (seasonal-naive WAPE audit).
 #      They displace the round-4 fills; ALL r4-evidence rows (the fx_*
 #      scalar family, join_bucketed/salted, agg_approx_percentile,
 #      agg_mode, dq_referential, subquery_lateral, win_funnel,
@@ -124,10 +128,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "geo_knn",
     "llm_bpe_train",
     "llm_bpe_encode",
-    # -- 3. 23 of the 24 round-3 evidence rows --
+    # -- 3. 21 of the 24 round-3 evidence rows --
     "validate_expectations",
     "scan_csv_land",
-    "project_struct_nested",
     "agg_approx",
     "agg_stats",
     "agg_collect",
@@ -143,7 +146,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_token_count",
     "llm_fingerprint",
     "llm_tfidf",
-    "llm_clean_pipeline",
     "llm_pii_scrub",
     "llm_decontaminate",
     "mm_binary_stats",
@@ -157,6 +159,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_perplexity_filter",
     "llm_boilerplate_coverage",
     "stream_mv_apply",
+    "ts_rolling_median",
+    "ts_seasonal_baseline",
 )
 
 
