@@ -113,6 +113,10 @@ HEADLINE = [
     "stream_mv_apply",
     "ts_rolling_median",
     "ts_seasonal_baseline",
+    "subquery_all",
+    "agg_bitmap_distinct",
+    "ts_cusum",
+    "fx_bitwise",
 ]
 
 
@@ -194,6 +198,127 @@ def run_spark(fn, spark, sf_dir: str, n_runs: int = N_RUNS) -> dict:
 def run_duckdb(con, sql: str, n_runs: int = N_RUNS) -> dict:
     con.execute(sql).fetchall()  # warmup (page cache)
     return _timed(lambda: con.execute(sql).fetchall(), n_runs)
+
+
+#: hard wall-clock budget for ONE sf1 DuckDB query (warmup + all timed
+#: runs). The round-9 full run lost the ENTIRE sf1 section to the
+#: subprocess's 5400 s timeout with zero output — no single query
+#: wedged (every twin probes <12 s cold), the 48-query set simply
+#: outgrew the budget at min-of-5 per engine. The budget turns an
+#: over-slow query into a per-query `dnf_budget` error instead of a
+#: section-wide loss.
+SF1_DUCK_QUERY_BUDGET_S = 240.0
+
+
+def run_duckdb_budgeted(con, sql: str, n_runs: int = N_RUNS) -> dict:
+    """run_duckdb under a wall budget: a timer thread calls
+    ``con.interrupt()`` when the budget expires; the partially-timed
+    window is returned if at least one run finished, else the
+    InterruptException propagates (caller records dnf)."""
+    import threading
+
+    timer = threading.Timer(SF1_DUCK_QUERY_BUDGET_S, con.interrupt)
+    timer.start()
+    times: list[float] = []
+    try:
+        con.execute(sql).fetchall()  # warmup
+        for i in range(n_runs):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            times.append(time.perf_counter() - t0)
+            if min(times) > SLOW_RUN_CUTOFF_S and i >= 1:
+                break
+    except Exception:
+        if not times:
+            raise
+    finally:
+        timer.cancel()
+    times.sort()
+    n = len(times)
+    med = times[n // 2] if n % 2 else (times[n // 2 - 1] + times[n // 2]) / 2
+    return {
+        "min": round(times[0], 3),
+        "med": round(med, 3),
+        "n": n,
+        "spread": round(times[-1] / times[0], 2) if times[0] > 0 else 1.0,
+    }
+
+
+def _sf1_progress_path() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "bench_sf1_progress.jsonl")
+
+
+def _sf1_from_progress(err: str) -> dict:
+    """Reconstruct a partial sf1 record from the incremental progress
+    file when the subprocess died before writing its final JSON (the
+    round-9 failure mode: a 5400 s timeout erased 90 minutes of
+    completed measurements). Ratios are computed for every pair that
+    finished on both engines; the error is preserved so the record is
+    visibly partial."""
+    duck: dict[str, dict] = {}
+    sparkd: dict[str, dict] = {}
+    cold: dict[str, float] = {}
+    cold_duck: dict[str, float] = {}
+    floor_s = 0.0
+    errors: dict[str, str] = {"section": err}
+    try:
+        with open(_sf1_progress_path()) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                k, q, v = rec.get("k"), rec.get("q"), rec.get("v")
+                if k == "duckdb":
+                    duck[q] = v
+                elif k == "spark":
+                    sparkd[q] = v
+                elif k == "spark_cold":
+                    cold[q] = v
+                elif k == "duckdb_cold":
+                    cold_duck[q] = v
+                elif k == "floor":
+                    floor_s = float(v)
+                elif k == "error":
+                    errors[q] = str(v)
+    except OSError:
+        return {"error": err}
+    if not duck and not sparkd:
+        return {"error": err}
+    timings = {n: d["min"] for n, d in sparkd.items()}
+    dmin = {n: d["min"] for n, d in duck.items()}
+    unstable = sorted(
+        n
+        for n in set(sparkd) | set(duck)
+        if max(
+            sparkd.get(n, {}).get("spread", 1.0),
+            duck.get(n, {}).get("spread", 1.0),
+        )
+        > 2.0
+    )
+    return {
+        "partial_from_progress": True,
+        "queries": timings,
+        "duckdb": dmin,
+        "spark_detail": sparkd,
+        "duckdb_detail": duck,
+        "unstable": unstable,
+        "ratio": {
+            n: round(timings[n] / dmin[n], 2)
+            for n in dmin
+            if dmin[n] > 0 and n in timings
+        },
+        "ratio_floor_adjusted": {
+            n: round(max(timings[n] - floor_s, 0.0) / dmin[n], 2)
+            for n in dmin
+            if dmin[n] > 0 and n in timings
+        },
+        "cold_sec": cold,
+        "cold_duckdb_sec": cold_duck,
+        "errors": errors,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -281,11 +406,14 @@ SF1_QUERIES = [
     "sort_topn_per_key",
     "llm_dedup_soft",
     "scd2_apply",
-    # round-7 session 2: the vocabulary-collapse (BPE) and prefix-
-    # filter (quadratic-tail) claims are exactly the ones that need a
-    # 100x-documents measurement; streaks rides the 40x events table
+    # round-7 session 2: the vocabulary-collapse (BPE) claim needs the
+    # 100x-documents measurement; streaks rides the 40x events table.
+    # llm_dedup_prefixfilter is NOT here: its oracle is the brute-force
+    # O(n^2) pair join, which at 500k docs never finishes (the round-9
+    # full run lost its whole sf1 section to it — 90 min of DuckDB grind
+    # until the subprocess timeout); it rides SF1_SPARK_ONLY instead,
+    # where the prefix-pruned Spark absolute IS the measurement.
     "llm_bpe_pair_count",
-    "llm_dedup_prefixfilter",
     "ts_streaks",
     "llm_vocab_coverage",
     "graph_label_propagation",
@@ -314,6 +442,10 @@ SF1_QUERIES = [
     # claim (SCALE.md §16) on an order-statistic frame
     "ts_rolling_median",
     "ts_seasonal_baseline",
+    # the 8-bytes-per-64-keys wire-cost claim needs the 10x lineitem
+    # measurement; cusum rides 40x events
+    "agg_bitmap_distinct",
+    "ts_cusum",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's
@@ -323,7 +455,12 @@ SF1_QUERIES = [
 #: computes the same result in one pass with O(frame) state per task
 #: (plan tests pin the one-exchange/one-sort shape). The Spark absolute
 #: is recorded so the claim is a number, not an assertion.
-SF1_SPARK_ONLY = ["ts_ewma", "ts_anomaly_zscore"]
+#: llm_dedup_prefixfilter joins them for the same reason in mirror
+#: image: its ORACLE is the brute-force O(n^2) pair join (infeasible at
+#: 500k docs — interrupted at 90 s, projected hours), while the Spark
+#: side's PPJoin prefix pruning finishes; the correctness equivalence
+#: is already hash-proven at sf0.01 where brute force is feasible.
+SF1_SPARK_ONLY = ["ts_ewma", "ts_anomaly_zscore", "llm_dedup_prefixfilter"]
 
 #: iteration-heavy operators where a min-of-N would measure a cache, not
 #: the computation (graph_pagerank localCheckpoints its ranks; scd2_build
@@ -647,15 +784,32 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
                 t=t, p=f"{sf1_dir}/{t}.parquet/*.parquet"
             )
         )
+    # every completed measurement is APPENDED to the progress file the
+    # moment it exists: the round-9 run proved that an end-only write
+    # loses 90 minutes of data to a subprocess timeout
+    progress = _sf1_progress_path()
+    try:
+        os.unlink(progress)
+    except OSError:
+        pass
+
+    def _record(kind: str, name: str, payload) -> None:
+        with open(progress, "a") as f:
+            f.write(json.dumps({"k": kind, "q": name, "v": payload}) + "\n")
+
+    _record("floor", "floor_s", floor_s)
+
     duck_detail: dict[str, dict] = {}
     for name in SF1_QUERIES:
         sql = registry[name].oracle
         if sql:
             try:
-                duck_detail[name] = run_duckdb(con, sql, n_runs=5)
+                duck_detail[name] = run_duckdb_budgeted(con, sql, n_runs=5)
                 duck[name] = duck_detail[name]["min"]
+                _record("duckdb", name, duck_detail[name])
             except Exception as e:  # noqa: BLE001 - record and continue
                 errors[f"duckdb:{name}"] = _err(e)
+                _record("error", f"duckdb:{name}", _err(e))
     for name in SF1_COLD_QUERIES:
         sql = registry[name].oracle
         if sql:
@@ -663,8 +817,10 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
                 t0 = time.perf_counter()
                 con.execute(sql).fetchall()
                 cold_duck[name] = round(time.perf_counter() - t0, 3)
+                _record("duckdb_cold", name, cold_duck[name])
             except Exception as e:  # noqa: BLE001
                 errors[f"duckdb_cold:{name}"] = _err(e)
+                _record("error", f"duckdb_cold:{name}", _err(e))
     con.close()
     # DuckDB's pass is over: its spill temp must not share the disk
     # with Spark's sf1 shuffle files (the r5 ENOSPC cause).
@@ -678,8 +834,10 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
                 registry[name].fn, spark, sf1_dir, n_runs=5
             )
             timings[name] = spark_detail[name]["min"]
+            _record("spark", name, spark_detail[name])
         except Exception as e:  # noqa: BLE001
             errors[f"spark:{name}"] = _err(e)
+            _record("error", f"spark:{name}", _err(e))
     cold: dict[str, float] = {}
     for name in SF1_COLD_QUERIES:
         try:
@@ -688,8 +846,10 @@ def bench_sf1(spark, registry, src_dir: str, floor_s: float) -> dict:
                 "overwrite"
             ).format("noop").save()
             cold[name] = round(time.perf_counter() - t0, 3)
+            _record("spark_cold", name, cold[name])
         except Exception as e:  # noqa: BLE001
             errors[f"spark_cold:{name}"] = _err(e)
+            _record("error", f"spark_cold:{name}", _err(e))
     # a ratio is only as trustworthy as its noisiest side: flag any
     # pair where either engine's window spread exceeds 2x
     unstable = sorted(
@@ -894,14 +1054,12 @@ def main() -> None:
                 with open(out_path) as f:
                     sf1 = json.load(f)
             else:
-                sf1 = {
-                    "error": (
-                        f"sf1 subprocess rc={proc.returncode}: "
-                        f"{proc.stderr[-400:]}"
-                    )
-                }
+                sf1 = _sf1_from_progress(
+                    f"sf1 subprocess rc={proc.returncode}: "
+                    f"{proc.stderr[-400:]}"
+                )
         except Exception as e:  # noqa: BLE001
-            sf1 = {"error": f"{type(e).__name__}: {e}"}
+            sf1 = _sf1_from_progress(f"{type(e).__name__}: {e}")
 
     # -- driver contract (r5 verdict #1): the FINAL stdout line must fit
     # the driver's ~4 KB tail capture (BENCH_r02-r05 were parsed:null

@@ -320,6 +320,46 @@ FROM documents
 """
 
 
+def fx_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family extension: the bitwise scalar surface (AND/OR/XOR,
+    shifts, popcount) — the primitives behind bitmap aggregation
+    (agg_bitmap_distinct), bloom membership and flag-word decoding,
+    exercised per row so the codegen path is pinned.
+
+    Everything is BIGINT-exact; the signed shiftleft at high bits wraps
+    identically under two's complement in both engines when the operand
+    width matches (bits kept below 62 here so the DuckDB BIGINT shift
+    never overflows its checked range).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & l_partkey").alias("b_and"),
+        F.expr("l_orderkey | l_partkey").alias("b_or"),
+        F.expr("l_orderkey ^ l_partkey").alias("b_xor"),
+        F.expr("shiftleft(l_linenumber, 4)").cast("long").alias("b_shl"),
+        F.expr("shiftright(l_orderkey, 3)").alias("b_shr"),
+        F.expr("bit_count(l_orderkey)").cast("int").alias("b_pop"),
+        F.expr("~l_suppkey").alias("b_not"),
+    )
+
+
+ORACLE_FX_BITWISE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  l_orderkey & l_partkey AS b_and,
+  l_orderkey | l_partkey AS b_or,
+  xor(l_orderkey, l_partkey) AS b_xor,
+  CAST(l_linenumber << 4 AS BIGINT) AS b_shl,
+  l_orderkey >> 3 AS b_shr,
+  CAST(bit_count(l_orderkey) AS INTEGER) AS b_pop,
+  ~l_suppkey AS b_not
+FROM lineitem
+"""
+
+
 QUERIES = {
     "fx_string": spec(
         fx_string, ORACLE_FX_STRING, "reference:F1", "reference:F2", "reference:F4",
@@ -356,6 +396,10 @@ QUERIES = {
     "fx_hash": spec(
         fx_hash, ORACLE_FX_HASH, "beyond",
         doc="specified content hashes (md5/sha256/crc32) for cross-engine keys",
+    ),
+    "fx_bitwise": spec(
+        fx_bitwise, ORACLE_FX_BITWISE, "beyond",
+        doc="bitwise scalar surface: and/or/xor/shifts/popcount/not",
     ),
     "udf_pandas": spec(
         udf_pandas, ORACLE_UDF_PANDAS, "beyond",

@@ -1019,6 +1019,55 @@ GROUP BY l_returnflag
 """
 
 
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT key) per group via MERGEABLE bitmap
+    partials — the roaring-bitmap pattern for dense integer key
+    domains, relational end to end.
+
+    Phase 1 collapses rows to (group, key div 64) buckets whose payload
+    is a single BIGINT with bit (key mod 64) set, OR-merged — partial
+    states are 8 bytes per 64-key bucket, associative and commutative
+    (map-side combine applies), unlike plain COUNT(DISTINCT) whose
+    partial state is the key SET itself. Phase 2 popcounts and sums.
+    At 100 TB this is the difference between shuffling every distinct
+    key once (exact distinct) and shuffling |domain|/64 fixed-width
+    words: for a dense surrogate-key domain the wire cost drops 64x
+    with NO approximation — the exact middle ground between
+    count_distinct and HLL (agg_approx). Spark's signed shiftleft at
+    bit 63 wraps to Long.MIN_VALUE; bit_or/bit_count are sign-blind,
+    and the oracle's UBIGINT shift counts the same bit.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            "l_returnflag",
+            F.expr("l_partkey div 64").alias("bucket"),
+            F.expr("shiftleft(1L, int(l_partkey % 64))").alias("bit"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("bm"))
+    )
+    return b.groupBy("l_returnflag").agg(
+        F.expr("sum(bit_count(bm))").cast("long").alias("n_distinct_parts"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+ORACLE_AGG_BITMAP_DISTINCT = """
+WITH b AS (
+  SELECT l_returnflag,
+         l_partkey // 64 AS bucket,
+         bit_or(CAST(1 AS UBIGINT) << CAST(l_partkey % 64 AS INT)) AS bm
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct_parts,
+       COUNT(*) AS n_buckets
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "agg_count": spec(
         agg_count, ORACLE_AGG_COUNT, "reference:A1",
@@ -1076,6 +1125,11 @@ QUERIES = {
         agg_weighted_median, ORACLE_AGG_WEIGHTED_MEDIAN, "beyond",
         doc="exact weighted median per group (histogram + cumulative "
             "weight, integer cents)",
+    ),
+    "agg_bitmap_distinct": spec(
+        agg_bitmap_distinct, ORACLE_AGG_BITMAP_DISTINCT, "beyond",
+        doc="exact distinct via mergeable 64-bit bitmap partials "
+            "(8 B per 64-key bucket on the wire)",
     ),
     "agg_collect": spec(
         agg_collect, ORACLE_AGG_COLLECT, "beyond",

@@ -19,6 +19,7 @@ collisions with other operators sharing the session.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import spec
@@ -137,6 +138,52 @@ FROM customer c, LATERAL (
 """
 
 
+def subquery_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparison (`> ALL (...)`) — suppliers whose account
+    balance beats EVERY rich BUILDING-segment customer balance in the
+    same nation (the inner restriction keeps the result non-empty at
+    every SF and exercises BOTH arms: nations with no qualifying
+    customers take the vacuous-truth path).
+
+    Spark SQL has no ALL/ANY subquery syntax, so this is the manual
+    decorrelation Catalyst would have to produce anyway: the correlated
+    inner set collapses to one MAX per nation (exact on doubles — no
+    accumulation), a broadcast-able grid joins back, and the ALL
+    semantics over an EMPTY inner set (vacuously true) survives as the
+    left join's NULL arm. One corpus-scale scan per side, one
+    nation-sized join — the O(|inner|) per-outer-row evaluation never
+    exists.
+    """
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    mx = (
+        c.filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("c_acctbal") > 9000.0)
+        )
+        .groupBy("c_nationkey")
+        .agg(F.max("c_acctbal").alias("max_bal"))
+    )
+    return (
+        s.join(F.broadcast(mx),
+               s["s_nationkey"] == mx["c_nationkey"], "left")
+        .filter(F.col("max_bal").isNull()
+                | (F.col("s_acctbal") > F.col("max_bal")))
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )
+
+
+ORACLE_SUBQUERY_ALL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier s
+WHERE s_acctbal > ALL (
+  SELECT c_acctbal FROM customer c
+  WHERE c.c_nationkey = s.s_nationkey
+    AND c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000.0
+)
+"""
+
+
 QUERIES = {
     "subquery_exists": spec(
         subquery_exists, ORACLE_SUBQUERY_EXISTS, "beyond",
@@ -153,5 +200,10 @@ QUERIES = {
     "subquery_lateral": spec(
         subquery_lateral, ORACLE_SUBQUERY_LATERAL, "beyond",
         doc="correlated LATERAL top-N per row, decorrelated by Catalyst",
+    ),
+    "subquery_all": spec(
+        subquery_all, ORACLE_SUBQUERY_ALL, "beyond",
+        doc="quantified > ALL comparison, manually decorrelated to "
+            "max-grid + null-armed left join",
     ),
 }

@@ -994,6 +994,100 @@ GROUP BY event_type
 """
 
 
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistic per series — where did the level
+    shift? For each event type the statistic is
+    ``S_t = sum_{i<=t}(x_i - mean)``; the hour with the largest |S_t|
+    is the most likely changepoint, and its magnitude is the alarm.
+
+    Integer-exact by clearing the denominator: with x in cents, S_t*n
+    = n*prefix_t - t*total is pure BIGINT (mean = total/n never
+    materializes as a float), so the peak pick — max |S_t*n|, earliest
+    hour on ties — is bit-deterministic in both engines. The one IEEE
+    step is the final normalization back to value units.
+
+    One rollup (the only corpus-scale exchange), one per-series window
+    pass for (row_number, prefix sum), one window max + filter for the
+    deterministic argmax. Grid-sized after the rollup; series-keyed
+    partitions, the ts-family skew contract.
+    """
+    e = table(spark, sf_dir, "events")
+    bucket = F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+    hourly = (
+        e.select(
+            "event_type",
+            bucket.alias("bucket"),
+            scaled_long("value").alias("c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("x"))
+    )
+    seq = Window.partitionBy("event_type").orderBy("bucket")
+    full = Window.partitionBy("event_type")
+    scored = hourly.select(
+        "event_type",
+        "bucket",
+        (
+            F.count(F.lit(1)).over(full)
+            * F.sum("x").over(
+                seq.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.row_number().over(seq) * F.sum("x").over(full)
+        ).alias("s_n"),
+        F.count(F.lit(1)).over(full).alias("n_hours"),
+    )
+    peak = scored.withColumn(
+        "mx", F.max(F.abs(F.col("s_n"))).over(full)
+    ).filter(F.abs(F.col("s_n")) == F.col("mx"))
+    return peak.groupBy("event_type").agg(
+        F.min("n_hours").alias("n_hours"),
+        F.min("mx").alias("max_abs_sn"),
+        (F.min("bucket") * HOUR_US).alias("peak_hour_us"),
+        (
+            F.min("mx").cast("double")
+            / F.min("n_hours").cast("double")
+            / F.lit(100.0)
+        ).alias("peak_dev_value"),
+    )
+
+
+ORACLE_TS_CUSUM = f"""
+WITH hourly AS (
+  SELECT
+    event_type,
+    (epoch_us(ts) // {HOUR_US}) AS bucket,
+    CAST(SUM(CAST(value AS DECIMAL(28,2)) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT
+    event_type,
+    bucket,
+    COUNT(*) OVER (PARTITION BY event_type)
+      * CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket)
+        * CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s_n,
+    COUNT(*) OVER (PARTITION BY event_type) AS n_hours
+  FROM hourly
+),
+peak AS (
+  SELECT *, MAX(ABS(s_n)) OVER (PARTITION BY event_type) AS mx
+  FROM scored
+)
+SELECT
+  event_type,
+  CAST(MIN(n_hours) AS BIGINT) AS n_hours,
+  CAST(MIN(mx) AS BIGINT) AS max_abs_sn,
+  MIN(bucket) * {HOUR_US} AS peak_hour_us,
+  CAST(MIN(mx) AS DOUBLE) / CAST(MIN(n_hours) AS DOUBLE) / 100.0
+    AS peak_dev_value
+FROM peak
+WHERE ABS(s_n) = mx
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
@@ -1044,5 +1138,10 @@ QUERIES = {
         ts_seasonal_baseline, ORACLE_TS_SEASONAL_BASELINE, "beyond",
         doc="seasonal-naive forecast WAPE audit (grid self-join, "
             "integer-ppm error)",
+    ),
+    "ts_cusum": spec(
+        ts_cusum, ORACLE_TS_CUSUM, "beyond",
+        doc="CUSUM changepoint peak per series, denominator-cleared "
+            "BIGINT statistic",
     ),
 }

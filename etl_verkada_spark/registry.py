@@ -80,15 +80,19 @@ def spec(
 #      (round 7); win_pattern_match, ts_interval_merge,
 #      ts_rollup_hierarchy, geo_knn, llm_bpe_train, llm_bpe_encode
 #      (round 8);
-#   3. 21 of the 24 r3-evidence rows (validate_expectations,
-#      scan_csv_land, agg_approx/stats/collect, win_sessionize,
-#      ts_gapfill, the r3 llm family, mm_binary_stats,
-#      mm_feature_extract). Three cede slots to round-9 additions:
-#      mm_resize_stub (real-codec sibling mm_resize is r6-green),
-#      project_struct_nested (the flagship checks the nested-struct
-#      serialization surface every round), llm_clean_pipeline (a
-#      composition of individually-windowed primitives); all three
-#      stay parity-swept locally;
+#   3. 17 of the 24 r3-evidence rows (validate_expectations,
+#      scan_csv_land, agg_approx/stats, win_sessionize, ts_gapfill,
+#      most of the r3 llm family, mm_binary_stats,
+#      mm_feature_extract). Seven cede slots to round-9 additions,
+#      rationale per row: mm_resize_stub (real-codec sibling mm_resize
+#      is r6-green), project_struct_nested (the flagship re-checks the
+#      nested-struct surface every round), llm_clean_pipeline
+#      (composition of individually-windowed primitives),
+#      llm_dedup_ngram + llm_sim_pairs (quadratic correctness-scale
+#      ops whose scale-path siblings prefixfilter/ANN are in-window),
+#      llm_tfidf (stable since r3; its BM25 consumer was r5-green),
+#      agg_collect (stable collect_list/set surface). All seven stay
+#      parity-swept locally;
 #   4. the seven round-9 additions (never checked, oracle-paired from
 #      birth): cdc_merge_ops (apply I/U/D changeset == target
 #      snapshot), join_asof_fwd (forward as-of with tolerance),
@@ -99,7 +103,11 @@ def spec(
 #      llm_boilerplate_coverage (frequent-shingle interval union),
 #      stream_mv_apply (delta-only MV refresh == full recompute; the
 #      scd2_apply pattern), ts_rolling_median (exact windowed median),
-#      ts_seasonal_baseline (seasonal-naive WAPE audit).
+#      ts_seasonal_baseline (seasonal-naive WAPE audit), subquery_all
+#      (quantified > ALL, manual decorrelation), agg_bitmap_distinct
+#      (exact distinct via mergeable bitmap words), ts_cusum
+#      (denominator-cleared BIGINT changepoint statistic), fx_bitwise
+#      (bitwise scalar surface).
 #      They displace the round-4 fills; ALL r4-evidence rows (the fx_*
 #      scalar family, join_bucketed/salted, agg_approx_percentile,
 #      agg_mode, dq_referential, subquery_lateral, win_funnel,
@@ -128,24 +136,20 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "geo_knn",
     "llm_bpe_train",
     "llm_bpe_encode",
-    # -- 3. 21 of the 24 round-3 evidence rows --
+    # -- 3. 17 of the 24 round-3 evidence rows --
     "validate_expectations",
     "scan_csv_land",
     "agg_approx",
     "agg_stats",
-    "agg_collect",
     "win_sessionize",
     "ts_gapfill",
     "llm_dedup_exact",
-    "llm_dedup_ngram",
     "llm_dedup_cc",
-    "llm_sim_pairs",
     "llm_dedup_embed",
     "llm_lang_id",
     "llm_quality",
     "llm_token_count",
     "llm_fingerprint",
-    "llm_tfidf",
     "llm_pii_scrub",
     "llm_decontaminate",
     "mm_binary_stats",
@@ -161,6 +165,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_mv_apply",
     "ts_rolling_median",
     "ts_seasonal_baseline",
+    "subquery_all",
+    "agg_bitmap_distinct",
+    "ts_cusum",
+    "fx_bitwise",
 )
 
 
