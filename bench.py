@@ -455,12 +455,16 @@ SF1_QUERIES = [
 #: computes the same result in one pass with O(frame) state per task
 #: (plan tests pin the one-exchange/one-sort shape). The Spark absolute
 #: is recorded so the claim is a number, not an assertion.
-#: llm_dedup_prefixfilter joins them for the same reason in mirror
-#: image: its ORACLE is the brute-force O(n^2) pair join (infeasible at
-#: 500k docs — interrupted at 90 s, projected hours), while the Spark
-#: side's PPJoin prefix pruning finishes; the correctness equivalence
-#: is already hash-proven at sf0.01 where brute force is feasible.
-SF1_SPARK_ONLY = ["ts_ewma", "ts_anomaly_zscore", "llm_dedup_prefixfilter"]
+#: llm_dedup_prefixfilter appears at NEITHER sf1 tier, measured reason:
+#: the synthesizer replicates each document's text VERBATIM 100x (only
+#: doc_id shifts), so every doc has 99 byte-identical clones — an exact
+#: similarity join must emit all ~C(100,2) x 500 = 2.5M clone pairs and
+#: every rare-shingle prefix bucket holds all 100 copies. The measured
+#: 317 s Spark / never-finishing brute-force oracle price the CLONING
+#: ARTIFACT, not the algorithm (at sf0.1, real text, it is paired and
+#: 2-digit-ratio). A dedup-aware corpus synthesizer (perturbed tokens
+#: per replica) is the honest precondition for a pair-op crossover row.
+SF1_SPARK_ONLY = ["ts_ewma", "ts_anomaly_zscore"]
 
 #: iteration-heavy operators where a min-of-N would measure a cache, not
 #: the computation (graph_pagerank localCheckpoints its ranks; scd2_build
@@ -732,7 +736,24 @@ def compact_stdout_line(
         sf1_summary["ratio"] = dict(worst)
         sf1_summary["ratio_truncated"] = True
         line = json.dumps(final, separators=(",", ":"))
-    for drop in ("sf1", "queries"):
+    # the per-query sf0.1 timings are the LEAST essential payload: they
+    # are fully recomputable from the detail file, while the sf1 ratios
+    # are the adjudication target (r5 verdict #1). With 66 headline
+    # queries the timings dict alone nearly fills the budget and the
+    # round-9 run-2 line shed the whole sf1 section — so truncate
+    # queries (slowest first, they carry the information) and, if ever
+    # needed, drop queries BEFORE sf1.
+    while (
+        len(line) >= STDOUT_LINE_BUDGET
+        and len(final.get("queries", {})) > 15
+    ):
+        slowest = sorted(
+            final["queries"].items(), key=lambda kv: -kv[1]
+        )[: len(final["queries"]) - 10]
+        final["queries"] = dict(slowest)
+        final["queries_truncated"] = True
+        line = json.dumps(final, separators=(",", ":"))
+    for drop in ("queries", "sf1"):
         if len(line) < STDOUT_LINE_BUDGET:
             break
         final.pop(drop, None)
