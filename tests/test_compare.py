@@ -162,7 +162,14 @@ def test_bench_stdout_line_fits_driver_capture():
     )
     assert len(bline) < bench.STDOUT_LINE_BUDGET
     brec = json.loads(bline)
-    assert brec.get("dropped_for_size"), "oversized record must record drops"
+    # degradation must be VISIBLE on the record: either a truncation
+    # marker (the round-9 ladder trims timings/ratios in place, the
+    # preferred path) or an explicit drop list
+    assert (
+        brec.get("dropped_for_size")
+        or brec.get("queries_truncated")
+        or brec.get("sf1", {}).get("ratio_truncated")
+    ), "oversized record must mark its degradation"
 
     # mid-size record (slightly over budget, no cold/spark_only to
     # shed): the unstable LIST must degrade to a COUNT — never vanish —
