@@ -64,50 +64,53 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at synthesized sf1, 11.8M directed edges):
     # * degrees folded into the edge list up front — one join total
     #   instead of one per superstep;
-    # * eager localCheckpoint — without it every superstep's plan
-    #   re-runs the 2x-lineitem scan + distinct (the dominant cost);
-    # * pre-partitioned by dst, which Dataset.localCheckpoint PRESERVES
-    #   in the captured outputPartitioning — so each superstep's
-    #   groupBy(dst) aggregate needs NO exchange at all.
+    # * materialized ONCE via persist() — without it every superstep's
+    #   plan re-runs the 2x-lineitem scan + distinct (the dominant
+    #   cost). persist, not localCheckpoint: InMemoryRelation PRESERVES
+    #   the dst outputPartitioning (localCheckpoint's Scan ExistingRDD
+    #   drops it — measured round 10, correcting this comment's prior
+    #   claim), so each superstep's groupBy(dst) aggregate needs NO
+    #   exchange at all.
     # Per superstep the rank vector is vocabulary-sized (nodes, 16 B
     # each), so it broadcasts; the only repeated work is one pass over
     # the cached edge partitions + a map-side-combined, exchange-free
-    # aggregate. If ranks ever outgrew broadcast, drop the hint and
+    # aggregate. The cache is dropped before returning (the final rank
+    # vector is checkpointed) so repeated invocations re-pay the graph
+    # build. If ranks ever outgrew broadcast, drop the hint and
     # partition the graph by src instead (shuffle join on src, one
     # exchange per superstep for the agg) — the classic trade.
     edges = _edges(spark, sf_dir)
     # every node appears as a src (each edge has its reverse), so the
     # src side enumerates the node set and there are no dangling nodes
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    graph = (
-        edges.join(deg, "src")
-        .repartition(64, "dst")
-        .localCheckpoint(eager=True)
-    )
-    n_nodes = deg.count()  # driver-side SCALAR (a count, never data)
-    init_rank = PR_SCALE // n_nodes
-    teleport = (100 - PR_DAMP_PCT) * init_rank // 100
+    graph = edges.join(deg, "src").repartition(64, "dst").persist()
+    try:
+        n_nodes = deg.count()  # driver-side SCALAR (a count, never data)
+        init_rank = PR_SCALE // n_nodes
+        teleport = (100 - PR_DAMP_PCT) * init_rank // 100
 
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(init_rank).alias("rank")
-    ).localCheckpoint(eager=True)
-    for _ in range(PR_ITERS):
-        contribs = graph.join(
-            F.broadcast(ranks), graph["src"] == ranks["node"]
-        ).select(
-            F.col("dst"),
-            F.expr("rank div out_deg").alias("contrib"),
-        )
-        ranks = (
-            contribs.groupBy(F.col("dst").alias("node"))
-            .agg(
-                (
-                    F.lit(teleport)
-                    + F.expr(f"{PR_DAMP_PCT} * sum(contrib) div 100")
-                ).alias("rank")
+        ranks = deg.select(
+            F.col("src").alias("node"), F.lit(init_rank).alias("rank")
+        ).localCheckpoint(eager=True)
+        for _ in range(PR_ITERS):
+            contribs = graph.join(
+                F.broadcast(ranks), graph["src"] == ranks["node"]
+            ).select(
+                F.col("dst"),
+                F.expr("rank div out_deg").alias("contrib"),
             )
-            .localCheckpoint(eager=True)
-        )
+            ranks = (
+                contribs.groupBy(F.col("dst").alias("node"))
+                .agg(
+                    (
+                        F.lit(teleport)
+                        + F.expr(f"{PR_DAMP_PCT} * sum(contrib) div 100")
+                    ).alias("rank")
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        graph.unpersist()
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("part"))
         .otherwise(F.lit("supplier"))
@@ -301,6 +304,24 @@ LPA_PACK = 1 << 33
 LPA_ITERS = 3
 
 
+def _lpa_superstep(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: broadcast the label vector into the
+    dst-partitioned edge cache, count votes per (dst, lbl), pick the
+    packed-BIGINT argmax. Zero live Exchanges when ``edges`` is
+    persisted with hashpartitioning(dst) (see
+    graph_label_propagation's docstring; plan pinned in tests)."""
+    votes = (
+        edges.join(F.broadcast(labels), edges["src"] == labels["node"])
+        .groupBy(edges["dst"], F.col("lbl"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return votes.groupBy(F.col("dst").alias("node")).agg(
+        F.max_by(
+            "lbl", F.col("cnt") * F.lit(LPA_PACK) - F.col("lbl")
+        ).alias("lbl")
+    )
+
+
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous label propagation (community detection) made
     hash-checkable: every node starts as its own label; each round it
@@ -311,36 +332,41 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks; classic mode-based LPA is tie-nondeterministic, which is
     why naive ports can't be oracle-checked).
 
-    Per round: one shuffle join of the label vector against the edge
-    list + two aggregates, with the vote pick as ``max_by`` over a
-    packed BIGINT (count DESC, label ASC as one scalar — keeps the
-    aggregate a HashAggregate; a struct ordering key would fall back
-    to SortAggregate). ``localCheckpoint`` per round keeps plan depth
-    O(1) in rounds. At 100 TB: same cost model as PageRank — edges
-    partition once, the label vector is node-sized; co-partitioning on
-    the join key removes the per-round label shuffle on a real
-    cluster.
+    Per round: the vote pick is ``max_by`` over a packed BIGINT
+    (count DESC, label ASC as one scalar — keeps the aggregate a
+    HashAggregate; a struct ordering key would fall back to
+    SortAggregate). ``localCheckpoint`` per round keeps plan depth
+    O(1) in rounds.
+
+    Exchange-free supersteps (round 10 — the r9 form re-shuffled
+    edge-sized vote rows twice per round and cost 20.2 s at sf1):
+    edges are pre-partitioned by ``dst`` once and ``persist()``ed —
+    InMemoryRelation PRESERVES outputPartitioning, which
+    ``localCheckpoint``'s Scan ExistingRDD does NOT (measured round
+    10; the prior docstring claim was wrong). The node-sized label
+    vector is broadcast into the join (no edge movement), and both
+    per-round aggregates cluster on ``dst`` — hashpartitioning(dst)
+    satisfies ClusteredDistribution for groupBy(dst, lbl) AND
+    groupBy(dst), so neither adds an Exchange (pinned by
+    tests/test_relational.py::test_lpa_superstep_is_exchange_free).
+    Per round the only data motion is the label broadcast. The label
+    vector itself keeps per-round localCheckpoint (plan depth O(1) in
+    rounds); the edge cache is dropped before returning so repeated
+    invocations re-pay the build (bench fairness). If labels outgrew
+    broadcast, swap to a shuffle join on src with edges partitioned
+    by src — one exchange per round, the classic trade.
     """
-    edges = _edges(spark, sf_dir).localCheckpoint()
-    labels = (
-        edges.select("src").distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
-    )
-    for _ in range(LPA_ITERS):
-        votes = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy(edges["dst"], F.col("lbl"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+    edges = _edges(spark, sf_dir).repartition(64, "dst").persist()
+    try:
         labels = (
-            votes.groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.max_by(
-                    "lbl", F.col("cnt") * F.lit(LPA_PACK) - F.col("lbl")
-                ).alias("lbl")
-            )
-            .localCheckpoint()
+            edges.select("src").distinct()
+            .select(F.col("src").alias("node"), F.col("src").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
+        for _ in range(LPA_ITERS):
+            labels = _lpa_superstep(edges, labels).localCheckpoint()
+    finally:
+        edges.unpersist()
     return labels.select(
         F.when(F.col("node") % 2 == 0, F.lit("part"))
         .otherwise(F.lit("supplier"))

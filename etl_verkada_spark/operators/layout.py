@@ -15,23 +15,25 @@ measures and the oracle re-derives.
 
 100 TB path: the z-value is a pure per-row expression (no shuffle to
 compute); the clustering itself is ONE range exchange, exactly like a
-global sort — ``repartitionByRange(z)`` with sampled boundaries. The
-audit surface here uses ``ntile`` over an explicit total order instead,
-because sampled boundaries are nondeterministic run-to-run while the
-correctness gate hashes values; production writes use
-``df.repartitionByRange(n, "z").sortWithinPartitions("z")`` and accept
-boundary jitter (per-file stats, not row hashes, are the contract
-there).
+global sort. The audit here must match the oracle's exact NTILE file
+assignment (the correctness gate hashes values), so it computes the
+global position with ``bucketed_global_rank`` — quantile buckets on
+``z`` + driver prefix-sum + bucket-partitioned row_number, no
+single-task WindowExec — and derives the equal-size file id from the
+position with NTILE's own ceil/floor split arithmetic. Production
+writes use ``df.repartitionByRange(n, "z").sortWithinPartitions("z")``
+and accept boundary jitter (per-file stats, not row hashes, are the
+contract there).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from ..catalog import table
 from ..registry import spec
+from .sorts import bucketed_global_rank
 
 #: bits per dimension in the Morton code. 16 covers key domains to 65k;
 #: real deployments first rank/bucket arbitrary domains down to 2^bits.
@@ -71,22 +73,39 @@ def maintain_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering audit over lineitem (l_partkey, l_suppkey).
 
     Computes the Morton code, assigns each row to one of ``Z_BUCKETS``
-    equal-size output files (ntile over a 5-column total order — see
-    module docstring for why not sampled range boundaries here), and
-    reports each file's row count and per-dimension (min, max)
-    envelope: the numbers a reader's pruning would use.
+    equal-size output files, and reports each file's row count and
+    per-dimension (min, max) envelope: the numbers a reader's pruning
+    would use.
+
+    The equal-size assignment is NTILE over a 6-column total order, but
+    computed WITHOUT a single-task window: ``bucketed_global_rank``
+    gives each row its global position ``pos`` (quantile buckets on
+    ``z`` + prefix-sum offsets; z is the leading sort key so the
+    bucketing is order-monotone), and the file id is then NTILE's own
+    split arithmetic on ``pos`` — the first ``n mod k`` files take
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)`` — as a pure literal
+    expression. Bit-identical to the oracle's NTILE, no unpartitioned
+    WindowExec in the plan.
     """
     li = table(spark, sf_dir, "lineitem")
     z = morton_col("l_partkey", "l_suppkey")
-    w = Window.orderBy(
-        "z", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-        "l_quantity",
-    )
-    bucketed = (
+    ranked = bucketed_global_rank(
         li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-                  "l_quantity", z.alias("z"))
-        .withColumn("file_id", F.ntile(Z_BUCKETS).over(w))
+                  "l_quantity", z.alias("z")),
+        "z",
+        [F.col(c) for c in ("z", "l_orderkey", "l_linenumber", "l_partkey",
+                            "l_suppkey", "l_quantity")],
     )
+    n = ranked._bucketed_rank_total  # type: ignore[attr-defined]
+    q, r = divmod(n, Z_BUCKETS)
+    boundary = r * (q + 1)  # rows in the ceil-sized leading files
+    # integer `div` keeps the assignment exact at any n (float division
+    # would drift past 2^53 positions)
+    file_id = F.expr(
+        f"CAST(CASE WHEN pos <= {boundary} THEN (pos - 1) div {q + 1} "
+        f"ELSE {r} + (pos - 1 - {boundary}) div {max(q, 1)} END AS INT) + 1"
+    )
+    bucketed = ranked.withColumn("file_id", file_id)
     return bucketed.groupBy("file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("z").alias("z_min"),

@@ -4,40 +4,125 @@ Scale notes:
 
 * ``topk`` compiles to TakeOrderedAndProject — each partition keeps a
   k-sized heap, the driver merges k*partitions rows; no global sort.
-* ``sort_orderby`` materializes a global ordering via a range-partitioned
-  sort (Spark samples split points). The position column uses a single
-  global window — fine for dimension-sized data, flagged as such;
-  fact-scale ranking should use zipWithIndex-style per-partition offsets.
+* ``sort_orderby`` materializes a global position WITHOUT a single-task
+  sort: quantile-bucket the sort key, count rows per bucket, prefix-sum
+  the bucket offsets driver-side (bucket-count-sized, never data), and
+  add each bucket's offset to its bucket-local row_number — the
+  two-pass plan SCALE.md §5 documents, now the implementation.
 * ``limit_offset`` is the reference's page-size LIMIT (L1); OFFSET at
   scale is an anti-pattern (see operators/scans.py keyset form).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import spec
 
+#: buckets for the distributed global-rank plan. On a real cluster this
+#: tracks the shuffle parallelism; 32 matches local[32].
+RANK_BUCKETS = 32
+
+
+def bucketed_global_rank(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[Column],
+    *,
+    descending: bool = False,
+    n_buckets: int = RANK_BUCKETS,
+) -> DataFrame:
+    """Append a global ``pos`` (1-based position in the total order
+    ``order_cols``) without ever sorting in one task.
+
+    Three bounded passes, no unpartitioned window anywhere:
+
+    1. approx-quantile boundaries of ``value_col`` (one small agg; the
+       boundaries become LITERALS, so the bucketing is a deterministic
+       pure function of row values — positions cannot drift between
+       the counting pass and the ranking pass, unlike
+       ``repartitionByRange`` whose sampled splits differ per job);
+    2. rows-per-bucket counts, collected driver-side (bounded by
+       ``n_buckets``, the same metadata-sized read as zipWithIndex's)
+       and prefix-summed into per-bucket offsets;
+    3. ``row_number`` over a window PARTITIONED by bucket plus the
+       bucket's offset literal.
+
+    Requirements: ``value_col`` must be the leading sort key and
+    ``order_cols`` a total order (unique tiebreaker), so equal values
+    land in one bucket and the within-bucket order extends the global
+    one. NULLs in ``value_col`` sort last (shared last bucket, ordered
+    by the null-aware ``order_cols``).
+
+    Quantile boundaries keep buckets balanced under skew; duplicate
+    boundaries collapse (a mega-tie-class degrades to fewer, fatter
+    buckets — correct, and no worse than the tie class itself).
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # accuracy 1000 bounds the per-boundary rank error at n/1000 —
+    # boundaries only steer load balance (a few-percent bucket-size
+    # wobble), never positions, and the sketch insert cost at 10000
+    # was 2.2x the whole pass (measured sf0.1)
+    row = df.agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(p) for p in probs]), F.lit(1_000)
+        ).alias("bs")
+    ).first()
+    bounds = sorted({b for b in (row["bs"] or []) if b is not None})
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        v = F.col(value_col)
+        in_bucket = F.size(
+            F.filter(arr, (lambda b: b > v) if descending else (lambda b: b < v))
+        )
+        bucket = F.when(v.isNull(), F.lit(len(bounds))).otherwise(in_bucket)
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket)
+    cnts = {
+        r["__bucket"]: r["cnt"]
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in sorted(cnts):
+        offsets[b] = acc
+        acc += cnts[b]
+    off_map = F.create_map(
+        *[F.lit(x) for b, o in offsets.items() for x in (b, o)]
+    )
+    w = Window.partitionBy("__bucket").orderBy(*order_cols)
+    ranked = bucketed.withColumn(
+        "pos", off_map[F.col("__bucket")] + F.row_number().over(w)
+    ).drop("__bucket")
+    # total row count falls out of the counting pass for free; callers
+    # that need it (exact NTILE arithmetic in maintain_zorder) read it
+    # from this attribute instead of paying another count job.
+    ranked._bucketed_rank_total = acc  # type: ignore[attr-defined]
+    return ranked
+
 
 def sort_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ORDER BY with explicit null placement + position column.
 
-    The unpartitioned window is the operator's SEMANTICS (total-order
-    position), and at this SF one task is the right plan. At 100 TB the
-    same result is computed in two passes with no single-task sort:
-    ``repartitionByRange(cols).sortWithinPartitions(cols)``, count rows
-    per partition, broadcast the prefix-sum offsets, and add each
-    partition's offset to its local row_number (see SCALE.md §5).
+    Implemented with ``bucketed_global_rank`` (quantile buckets +
+    driver prefix-sum + bucket-partitioned row_number): no single-task
+    WindowExec, identical positions to the one-window form because the
+    bucketing is monotone in the total order. At 100 TB each pass is a
+    balanced shuffle/agg; the only driver-side data is one count per
+    bucket.
     """
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey"))
-    return c.select(
-        "c_custkey",
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return bucketed_global_rank(
+        c,
         "c_acctbal",
-        F.row_number().over(w).alias("pos"),
-    )
+        [F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey")],
+        descending=True,
+    ).select("c_custkey", "c_acctbal", "pos")
 
 
 ORACLE_SORT_ORDERBY = """

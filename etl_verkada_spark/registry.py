@@ -93,7 +93,7 @@ def spec(
 #      llm_tfidf (stable since r3; its BM25 consumer was r5-green),
 #      agg_collect (stable collect_list/set surface). All seven stay
 #      parity-swept locally;
-#   4. the seven round-9 additions (never checked, oracle-paired from
+#   4. the fourteen round-9 additions (never checked, oracle-paired from
 #      birth): cdc_merge_ops (apply I/U/D changeset == target
 #      snapshot), join_asof_fwd (forward as-of with tolerance),
 #      agg_weighted_median (histogram + cumulative weight),

@@ -274,6 +274,86 @@ def mv_fold(state_dir: str):
     return _fold
 
 
+#: landing fixture layout version; bump when the chunk naming scheme
+#: changes so stale fixtures (and the state fixtures derived from
+#: their file identities) rebuild instead of mis-parsing
+MV_LANDING_VERSION = "v2"
+
+
+def _ensure_mv_landing(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the "files arriving" landing fixture: one
+    parquet file per day-chunk under DETERMINISTIC names
+    (``chunk_00.parquet`` ...), so lexical order IS landing order —
+    append-mode part files carry UUID names whose sort order is
+    arbitrary, which made the 'arriving chunk' an arbitrary one
+    (ADVICE r9). Each chunk is written to a staging dir and the single
+    part file renamed into place.
+
+    The landing is the upstream fixture, not the MV operator: built
+    once per sf_dir and reused (at sf1 the 4 re-scans + single-task
+    chunk writes of 40M rows were 90%+ of the measured time, drowning
+    the fold being benchmarked). The fold itself still runs from
+    scratch on every call.
+    """
+    import os
+    import shutil
+
+    from ..operators.scans import _land_dir
+
+    land = _land_dir(sf_dir, "mv_chunks")
+    done = os.path.join(land, "_LANDED")
+    try:
+        with open(done) as f:
+            if f.read().strip() == MV_LANDING_VERSION:
+                return land
+    except OSError:
+        pass
+    shutil.rmtree(land, ignore_errors=True)
+    # state fixtures keyed to the old landing's file identities are
+    # invalid the moment the landing rebuilds
+    shutil.rmtree(land + "_state", ignore_errors=True)
+    shutil.rmtree(land + "_prior_state", ignore_errors=True)
+    os.makedirs(land, exist_ok=True)
+    e = table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {MV_DAY_US}")
+    src = e.select("event_type", "value", day.alias("day"))
+    for c in range(MV_CHUNKS):
+        stage = f"{land}_stage"
+        src.filter(F.col("day") % MV_CHUNKS == c).drop("day").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(stage, part),
+            os.path.join(land, f"chunk_{c:02d}.parquet"),
+        )
+        shutil.rmtree(stage, ignore_errors=True)
+    with open(done, "w") as f:
+        f.write(MV_LANDING_VERSION)
+    return land
+
+
+def _mv_chunk_files(land: str) -> list[str]:
+    """The landed chunk files in landing order, validated: a count
+    mismatch means a foreign or half-built landing — fail with the
+    real story instead of an IndexError downstream (ADVICE r9)."""
+    import os
+
+    files = sorted(
+        f
+        for f in os.listdir(land)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    if len(files) != MV_CHUNKS:
+        raise RuntimeError(
+            f"mv landing {land} holds {len(files)} chunk files "
+            f"(expected {MV_CHUNKS}): {files}"
+        )
+    return files
+
+
 def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental materialized-view maintenance — the
     streaming twin of agg_incremental_merge: events arrive as
@@ -303,31 +383,13 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    from ..operators.aggregates import scaled_long, unscale
-    from ..operators.scans import _land_dir
+    from ..operators.aggregates import unscale
     from ..session import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    land = _land_dir(sf_dir, "mv_chunks")
+    land = _ensure_mv_landing(spark, sf_dir)
     state_dir = land + "_state"
     shutil.rmtree(state_dir, ignore_errors=True)
-    # landing is the upstream "files arriving" FIXTURE, not the MV
-    # operator: build it once per sf_dir and reuse (at sf1 the 4
-    # re-scans + single-task chunk writes of 40M rows were 90%+ of the
-    # measured time, drowning the fold being benchmarked). The state
-    # fold itself still runs from scratch on every call.
-    done = os.path.join(land, "_LANDED")
-    if not os.path.exists(done):
-        shutil.rmtree(land, ignore_errors=True)
-        e = table(spark, sf_dir, "events")
-        day = F.expr(f"unix_micros(cast(ts as timestamp)) div {MV_DAY_US}")
-        src = e.select("event_type", "value", day.alias("day"))
-        for c in range(MV_CHUNKS):
-            src.filter(F.col("day") % MV_CHUNKS == c).drop("day").coalesce(
-                1
-            ).write.mode("append").parquet(land)
-        with open(done, "w") as f:
-            f.write("ok")
 
     stream = (
         spark.readStream.schema("event_type string, value double")
@@ -383,23 +445,11 @@ def stream_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..operators.aggregates import scaled_long, unscale
-    from ..operators.scans import _land_dir
     from ..session import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    land = _land_dir(sf_dir, "mv_chunks")
-    if not os.path.exists(os.path.join(land, "_LANDED")):
-        # build the chunk landing via the streaming twin's fixture path;
-        # a fresh landing (new part-file identities) invalidates any
-        # prior-state fixture built from the old files
-        shutil.rmtree(land + "_state", ignore_errors=True)
-        shutil.rmtree(land + "_prior_state", ignore_errors=True)
-        stream_mv_refresh(spark, sf_dir)
-    files = sorted(
-        f
-        for f in os.listdir(land)
-        if f.endswith(".parquet") and not f.startswith("_")
-    )
+    land = _ensure_mv_landing(spark, sf_dir)
+    files = _mv_chunk_files(land)
     prior, last = files[: MV_CHUNKS - 1], files[MV_CHUNKS - 1]
     state_dir = land + "_prior_state"
     done = os.path.join(state_dir, "_PRIMED")

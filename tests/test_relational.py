@@ -1381,3 +1381,78 @@ def test_degree_hist_conserves_nodes_and_edges(spark):
     assert sum(r["deg"] * r["n_nodes"] for r in hist) == n_directed
     n_nodes = edges.select("src").distinct().count()
     assert sum(r["n_nodes"] for r in hist) == n_nodes
+
+
+def test_lpa_superstep_is_exchange_free(spark):
+    """The round-10 scale fix made concrete: with edges persisted under
+    hashpartitioning(dst), one LPA superstep's LIVE plan (everything
+    above the already-materialized cache) must contain a broadcast of
+    the label vector and NO shuffle Exchange — neither the (dst, lbl)
+    vote count nor the per-node argmax may re-partition edge-sized
+    data."""
+    from etl_verkada_spark.operators.graph import _edges, _lpa_superstep
+
+    edges = _edges(spark, SF_SMALL).repartition(8, "dst").persist()
+    try:
+        edges.count()
+        labels = edges.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("lbl")
+        ).localCheckpoint(eager=True)
+        plan = plan_of(_lpa_superstep(edges, labels))
+        # live plan = everything above the InMemoryRelation marker;
+        # the cached subtree's own (historical) exchanges don't count
+        live = plan.split("InMemoryRelation")[0]
+        assert "BroadcastHashJoin" in live, plan
+        assert "Exchange hashpartitioning" not in live, plan
+    finally:
+        edges.unpersist()
+
+
+def test_global_rank_windows_are_bucket_partitioned(spark):
+    """sort_orderby and maintain_zorder compute global positions via
+    quantile-bucketed rank: every Window node in their plans must be
+    PARTITIONED (by the bucket column) — a bare
+    'WindowExec: No Partition Defined' single-task sort is the exact
+    anti-pattern the round-10 rewrite removed."""
+    from etl_verkada_spark.operators.layout import maintain_zorder
+    from etl_verkada_spark.operators.sorts import sort_orderby
+
+    for df in (sort_orderby(spark, SF_SMALL), maintain_zorder(spark, SF_SMALL)):
+        plan = plan_of(df)
+        wlines = [
+            l for l in plan.splitlines() if "windowspecdefinition" in l
+        ]
+        assert wlines, plan
+        for l in wlines:
+            assert "__bucket" in l, l
+
+
+def test_bucketed_global_rank_matches_single_window(spark):
+    """Positions from the bucketed two-pass plan are identical to the
+    one-window definition, including NULL-last placement and ties."""
+    from etl_verkada_spark.operators.sorts import bucketed_global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(
+            [5.0, None, 3.0, 3.0, None, 8.0, 1.0, 3.0, 8.0, 0.0]
+        )],
+        "id int, v double",
+    )
+    got = {
+        r["id"]: r["pos"]
+        for r in bucketed_global_rank(
+            df, "v",
+            [F.col("v").desc_nulls_last(), F.col("id")],
+            descending=True, n_buckets=4,
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("v").desc_nulls_last(), F.col("id"))
+    want = {
+        r["id"]: r["pos"]
+        for r in df.select(
+            "id", F.row_number().over(w).alias("pos")
+        ).collect()
+    }
+    assert got == want
