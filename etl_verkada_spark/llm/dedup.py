@@ -725,6 +725,66 @@ WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= {PF_TAU}
 """
 
 
+#: BENCH-ONLY sf1 twin for llm_dedup_prefixfilter — the SAME
+#: prefix-filter algorithm (df-ascending prefix index -> candidate
+#: join -> exact-Jaccard verify) in DuckDB SQL, NOT the correctness
+#: oracle. The correctness gate keeps the brute-force all-pairs twin
+#: above (it independently proves recall = 1); but at sf1 (500k docs)
+#: brute force never finishes on ANY engine, so a crossover ratio is
+#: only meaningful engine-vs-engine on the equal-work algorithm. Output
+#: is identical to the oracle's by the same losslessness argument.
+SF1_TWIN_LLM_DEDUP_PREFIXFILTER = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(ws[i:i+3], ' ')
+                   for i in generate_series(1, LEN(ws) - 3)]) AS s
+    FROM w WHERE LEN(ws) >= 4
+    UNION ALL
+    SELECT doc_id, text AS s FROM w WHERE LEN(ws) < 4
+  )
+),
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+ranked AS (
+  SELECT sh.doc_id, sh.s, z.sz,
+         ROW_NUMBER() OVER (
+           PARTITION BY sh.doc_id ORDER BY d.df, sh.s
+         ) AS r
+  FROM sh
+  JOIN dfreq d ON d.s = sh.s
+  JOIN sizes z ON z.doc_id = sh.doc_id
+),
+pfx AS (
+  SELECT doc_id, s FROM ranked
+  WHERE r <= sz - CEIL({PF_TAU} * sz) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT
+  i.doc_a,
+  i.doc_b,
+  ROUND(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON i.doc_a = za.doc_id
+JOIN sizes zb ON i.doc_b = zb.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= {PF_TAU}
+"""
+
+
 CC_THRESHOLD = 0.5
 CC_MAX_ITER = 20
 

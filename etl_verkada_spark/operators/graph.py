@@ -434,31 +434,38 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_pagerank / graph_label_propagation); the level cap matches
     the oracle's recursion bound.
 
-    At 100 TB: per superstep one shuffle join frontier x edges (edges
-    pre-partitioned by src and checkpointed, so only the frontier —
-    monotonically shrinking after the expansion peak — moves) plus a
-    distinct and a broadcast-able anti join against visited. The
-    textbook distributed-BFS cost model; no global structure anywhere.
+    Join strategy (round 10; 3.3 s -> see SCALE.md §24): frontier and
+    visited reach the planner as checkpointed LogicalRDDs with NO
+    stats, so Catalyst conservatively sort-merge-joined them — every
+    level re-shuffled the FULL edge list twice. Both are node-sized
+    vectors here (the same budget the label/rank vectors broadcast
+    under in LPA/PageRank), so they carry explicit broadcast hints:
+    per level the cached edges stream map-side through a
+    BroadcastHashJoin and a broadcast anti join, and the only shuffle
+    is the distinct over the expanded frontier. The per-level visited
+    checkpoint is also gone — visited is a union of <= depth already-
+    checkpointed frontiers, so its plan stays flat without one. At
+    100 TB with a frontier too big to broadcast (web-graph expansion
+    peak), drop the hints and pre-partition edges by src — the
+    classic shuffle-BFS trade, one exchange per level.
     """
-    edges = (
-        _edges(spark, sf_dir)
-        .repartition(64, "src")
-        .localCheckpoint(eager=True)
-    )
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     visited = spark.createDataFrame(
         [(BFS_SOURCE, 0)], "node long, level int"
     ).localCheckpoint(eager=True)
     frontier = visited
     for lvl in range(1, BFS_MAX_LEVEL + 1):
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            edges.join(
+                F.broadcast(frontier), edges["src"] == frontier["node"]
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited, "node", "left_anti")
+            .join(F.broadcast(visited), "node", "left_anti")
             .withColumn("level", F.lit(lvl))
             .localCheckpoint(eager=True)
         )
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(
         F.when(F.col("node") % 2 == 0, F.lit("part"))

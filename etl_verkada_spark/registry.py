@@ -66,109 +66,93 @@ def spec(
 # driver-green from an earlier round with unchanged code, plus full
 # parity coverage via tools/parity_check.py.
 #
-# ROUND-9 WINDOW. Rounds 7 and 8 produced no driver correctness run
-# (no CORRECTNESS_r07/r08 files exist), so the r7 window never executed
-# and 18 queries added in those rounds have NEVER had a driver row.
-# Evidence state from CORRECTNESS_r01-r06: 24 queries' newest green is
-# r3, 41 at r4, rest r5/r6. This window:
+# ROUND-10 WINDOW. CORRECTNESS_r09 went 50/50 green, so every query
+# registered through r9 has a hash-green driver row somewhere in
+# r1-r9. Evidence state entering r10: 7 queries' newest green is r3,
+# 41 at r4, 47 at r5, 49 at r6, 50 at r9. This window, per the
+# rotation policy above:
 #   1. flagship;
-#   2. the 18 never-checked r7/r8 additions, oracle-paired from birth:
-#      sort_topn_per_key, llm_dedup_soft, llm_quality_ensemble,
-#      scd2_apply, llm_dedup_keep_best, llm_dedup_prefixfilter,
-#      llm_bpe_pair_count, llm_length_buckets, ts_streaks,
-#      llm_vocab_coverage, graph_degree_hist, graph_label_propagation
-#      (round 7); win_pattern_match, ts_interval_merge,
-#      ts_rollup_hierarchy, geo_knn, llm_bpe_train, llm_bpe_encode
-#      (round 8);
-#   3. 17 of the 24 r3-evidence rows (validate_expectations,
-#      scan_csv_land, agg_approx/stats, win_sessionize, ts_gapfill,
-#      most of the r3 llm family, mm_binary_stats,
-#      mm_feature_extract). Seven cede slots to round-9 additions,
-#      rationale per row: mm_resize_stub (real-codec sibling mm_resize
-#      is r6-green), project_struct_nested (the flagship re-checks the
-#      nested-struct surface every round), llm_clean_pipeline
-#      (composition of individually-windowed primitives),
-#      llm_dedup_ngram + llm_sim_pairs (quadratic correctness-scale
-#      ops whose scale-path siblings prefixfilter/ANN are in-window),
-#      llm_tfidf (stable since r3; its BM25 consumer was r5-green),
-#      agg_collect (stable collect_list/set surface). All seven stay
-#      parity-swept locally;
-#   4. the fourteen round-9 additions (never checked, oracle-paired from
-#      birth): cdc_merge_ops (apply I/U/D changeset == target
-#      snapshot), join_asof_fwd (forward as-of with tolerance),
-#      agg_weighted_median (histogram + cumulative weight),
-#      graph_bfs_levels (frontier BFS vs WITH RECURSIVE),
-#      llm_lexical_diversity (integer-exact Simpson),
-#      llm_perplexity_filter (histogram-CDF quantile gate),
-#      llm_boilerplate_coverage (frequent-shingle interval union),
-#      stream_mv_apply (delta-only MV refresh == full recompute; the
-#      scd2_apply pattern), ts_rolling_median (exact windowed median),
-#      ts_seasonal_baseline (seasonal-naive WAPE audit), subquery_all
-#      (quantified > ALL, manual decorrelation), agg_bitmap_distinct
-#      (exact distinct via mergeable bitmap words), ts_cusum
-#      (denominator-cleared BIGINT changepoint statistic), fx_bitwise
-#      (bitwise scalar surface).
-#      They displace the round-4 fills; ALL r4-evidence rows (the fx_*
-#      scalar family, join_bucketed/salted, agg_approx_percentile,
-#      agg_mode, dq_referential, subquery_lateral, win_funnel,
-#      scan_json/orc_land, scan_partition_pruned, ts_interpolate,
-#      udf_pandas, udtf_bigrams, the r4 llm sampling family,
-#      mm_feature_extract_arrow) are the r10 rotation's oldest cohort.
+#   2. the seven queries whose IMPLEMENTATION changed in round 10 —
+#      sort_orderby + maintain_zorder (quantile-bucketed global rank
+#      replaced the unpartitioned window), graph_label_propagation +
+#      graph_pagerank (persist-co-partitioned supersteps),
+#      graph_bfs_levels (broadcast frontier/anti-join),
+#      stream_mv_refresh + stream_mv_apply (deterministic chunk
+#      landing). Policy clause (b): changed code re-earns its row;
+#   3. the four rows the r9 verdict asked to re-verify because their
+#      plans/docstrings were touched by r9's A/B work: ts_ohlc,
+#      pivot, agg_salted, cdc_snapshot_diff;
+#   4. the seven r3-evidence rows (oldest cohort): agg_collect,
+#      llm_clean_pipeline, llm_dedup_ngram, llm_sim_pairs, llm_tfidf,
+#      mm_resize_stub, project_struct_nested;
+#   5. 32 of the 40 remaining r4-evidence rows. Eight cede to the
+#      slots above and ride the local parity sweep until r11,
+#      rationale per row: scan_json_land + scan_orc_land (the shared
+#      land-then-read path was re-proven via scan_csv_land in r9;
+#      only the format branch differs), win_funnel (sequence-window
+#      sibling win_pattern_match r9-green), llm_mix_weights
+#      (driver-side weight arithmetic over the windowed sample_hash
+#      primitive), llm_pack_sequences (stable one-shuffle plan,
+#      pinned by test_pack_sequences_is_one_shuffle), fx_cond +
+#      fx_map + fx_hash + fx_regex (pure scalar surfaces, unchanged
+#      since r4, family re-proven via fx_bitwise in r9; fx_regex
+#      additionally cedes to the round-10-changed graph_bfs_levels).
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 2. round-7/8 additions (never driver-checked) --
-    "sort_topn_per_key",
-    "llm_dedup_soft",
-    "llm_quality_ensemble",
-    "scd2_apply",
-    "llm_dedup_keep_best",
-    "llm_dedup_prefixfilter",
-    "llm_bpe_pair_count",
-    "llm_length_buckets",
-    "ts_streaks",
-    "llm_vocab_coverage",
-    "graph_degree_hist",
+    # -- 2. round-10 implementation changes --
+    "sort_orderby",
+    "maintain_zorder",
     "graph_label_propagation",
-    "win_pattern_match",
-    "ts_interval_merge",
-    "ts_rollup_hierarchy",
-    "geo_knn",
-    "llm_bpe_train",
-    "llm_bpe_encode",
-    # -- 3. 17 of the 24 round-3 evidence rows --
-    "validate_expectations",
-    "scan_csv_land",
-    "agg_approx",
-    "agg_stats",
-    "win_sessionize",
-    "ts_gapfill",
-    "llm_dedup_exact",
-    "llm_dedup_cc",
-    "llm_dedup_embed",
-    "llm_lang_id",
-    "llm_quality",
-    "llm_token_count",
-    "llm_fingerprint",
-    "llm_pii_scrub",
-    "llm_decontaminate",
-    "mm_binary_stats",
-    "mm_feature_extract",
-    # -- 4. round-9 additions (never driver-checked) --
-    "cdc_merge_ops",
-    "join_asof_fwd",
-    "agg_weighted_median",
+    "graph_pagerank",
     "graph_bfs_levels",
-    "llm_lexical_diversity",
-    "llm_perplexity_filter",
-    "llm_boilerplate_coverage",
+    "stream_mv_refresh",
     "stream_mv_apply",
-    "ts_rolling_median",
-    "ts_seasonal_baseline",
-    "subquery_all",
-    "agg_bitmap_distinct",
-    "ts_cusum",
-    "fx_bitwise",
+    # -- 3. r9-verdict re-verification asks --
+    "ts_ohlc",
+    "pivot",
+    "agg_salted",
+    "cdc_snapshot_diff",
+    # -- 4. r3-evidence rows (oldest) --
+    "agg_collect",
+    "llm_clean_pipeline",
+    "llm_dedup_ngram",
+    "llm_sim_pairs",
+    "llm_tfidf",
+    "mm_resize_stub",
+    "project_struct_nested",
+    # -- 5. r4-evidence rows --
+    "agg_approx_percentile",
+    "agg_mode",
+    "dq_referential",
+    "fx_array",
+    "fx_date",
+    "fx_json",
+    "fx_math",
+    "fx_string",
+    "join_bucketed",
+    "join_range",
+    "join_salted",
+    "llm_dedup_fuzzy",
+    "llm_dedup_semantic",
+    "llm_quality_repetition",
+    "llm_sample_hash",
+    "llm_sample_stratified",
+    "llm_shard",
+    "llm_sim_ann_ivf",
+    "mm_feature_extract_arrow",
+    "scan_partition_pruned",
+    "stream_dedup",
+    "stream_session",
+    "stream_slide",
+    "stream_stateful",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumble",
+    "subquery_lateral",
+    "ts_interpolate",
+    "udf_pandas",
+    "udtf_bigrams",
 )
 
 

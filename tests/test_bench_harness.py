@@ -70,12 +70,22 @@ def test_duckdb_budget_interrupts_runaway():
         bench.SF1_DUCK_QUERY_BUDGET_S = orig
 
 
-def test_infeasible_oracle_not_in_sf1_sets():
-    """The prefixfilter pair op must never re-enter ANY sf1 set: its
-    brute-force twin caused the round-9 total loss, and the Spark-side
-    317 s measures the synthesizer's verbatim-clone artifact (100
-    identical copies per doc), not the algorithm."""
-    assert "llm_dedup_prefixfilter" not in bench.SF1_QUERIES
+def test_infeasible_oracle_pairs_via_equal_work_twin():
+    """The prefixfilter pair op rides sf1 ONLY under the round-10
+    honesty preconditions: (a) the DuckDB side must be the equal-work
+    prefix-filter twin, never the brute-force correctness oracle (which
+    caused the round-9 total loss), and (b) the document replicas must
+    be token-perturbed so pairs price the algorithm, not the
+    synthesizer's verbatim clones."""
+    assert "llm_dedup_prefixfilter" in bench.SF1_QUERIES
+    overrides = bench._sf1_sql_overrides()
+    assert "llm_dedup_prefixfilter" in overrides
+    # the override is the prefix-filter algorithm, not brute force
+    assert "pfx" in overrides["llm_dedup_prefixfilter"]
+    # perturbed-replica synthesis is on (and cache-invalidating)
+    assert bench.SF1_PERTURB_STRIDE == 10
+    assert bench.SF1_GEN_VERSION >= 5
+    # brute force must also never ride the other sf1 tiers
     assert "llm_dedup_prefixfilter" not in bench.SF1_SPARK_ONLY
     assert "llm_dedup_prefixfilter" not in bench.SF1_COLD_QUERIES
 
@@ -98,3 +108,59 @@ def test_stdout_line_budget_worst_case():
     )
     assert len(line) < bench.STDOUT_LINE_BUDGET
     json.loads(line)
+
+
+def test_sf1_progress_rejects_stale_run_id(tmp_path, monkeypatch):
+    """ADVICE r9: if the child died before stamping THIS run's id, a
+    leftover progress file from an earlier run must not be published
+    as this run's partial measurements."""
+    p = tmp_path / "progress.jsonl"
+    monkeypatch.setattr(bench, "_sf1_progress_path", lambda: str(p))
+    rows = [
+        {"k": "run_id", "q": "run_id", "v": "oldrun"},
+        {"k": "duckdb", "q": "q1",
+         "v": {"min": 0.1, "med": 0.1, "n": 3, "spread": 1.1}},
+        {"k": "spark", "q": "q1",
+         "v": {"min": 0.5, "med": 0.6, "n": 3, "spread": 1.2}},
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = bench._sf1_from_progress("child died early", "newrun")
+    assert out.get("stale_progress_rejected") is True
+    assert "ratio_floor_adjusted" not in out
+    # matching id still reconstructs
+    ok = bench._sf1_from_progress("late death", "oldrun")
+    assert ok["partial_from_progress"] is True
+    assert "q1" in ok["ratio_floor_adjusted"]
+
+
+def test_stdout_line_carries_deadline_skip_count():
+    timings = {"q1": 1.0}
+    duck = {"q1": 0.5}
+    sf1 = {
+        "ratio_floor_adjusted": {"q1": 2.0},
+        "deadline_skipped": ["spark:q2", "duckdb:q3"],
+    }
+    line = bench.compact_stdout_line(
+        1.0, 0.1, timings, 0.02, duck, sf1, "/tmp/x.json"
+    )
+    rec = json.loads(line)
+    assert rec["sf1"]["n_deadline_skipped"] == 2
+
+
+def test_duckdb_budget_timer_is_cleared_when_query_finishes():
+    """The done-flag guard (ADVICE r9): a budget expiring after the
+    final fetchall must not fire an interrupt onto the shared
+    connection."""
+    import time as _time
+
+    import duckdb
+
+    con = duckdb.connect()
+    res = bench.run_duckdb_budgeted(
+        con, "SELECT 1", n_runs=2, budget_s=0.2
+    )
+    assert res["n"] == 2
+    _time.sleep(0.4)  # past the budget; guarded timer must be a no-op
+    assert con.execute("SELECT 41 + 1").fetchone()[0] == 42
