@@ -216,11 +216,48 @@ def _merge_step(pos: DataFrame, top1: DataFrame) -> DataFrame:
     )
 
 
+def _apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one greedy merge (a, b) to the vocabulary state as a PURE
+    per-word expression: on the space-sentinelled symbol string,
+    ``regexp_replace`` of `` a b(?= )`` is leftmost non-overlapping —
+    exactly BPE's merge semantics (an ``a a a`` run merges positions
+    (1,2) and leaves 3, ``a a a a`` merges (1,2) and (3,4)). Replaces
+    the former join + three-windows-per-word plan (_merge_step, kept
+    below for the plan-equivalence test): the merge is word-local, so
+    a narrow map is the right physical shape — measured 0.68 s ->
+    ~0.1 s per iteration at sf0.1, and at corpus scale it removes six
+    vocabulary-sized exchanges per iteration (SCALE.md §24).
+
+    Symbols are guaranteed ``[a-z]+`` (the _WORD_RE gate), so the
+    literals embed in the pattern without metacharacter risk; escaping
+    is applied anyway for defense in depth.
+    """
+    import re as _re
+
+    pat = f" {_re.escape(a)} {_re.escape(b)}(?= )"
+    return words.withColumn(
+        "seq",
+        F.trim(
+            F.regexp_replace(
+                F.concat(F.lit(" "), F.col("seq"), F.lit(" ")),
+                pat,
+                f" {a}{b}",
+            )
+        ),
+    )
+
+
 def _bpe_train_state(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Run BPE_TRAIN_ITERS greedy merges; returns (final vocab state,
-    per-step 1-row merge tables)."""
+    per-step 1-row merge tables).
+
+    The winning pair is collected driver-side each step (ONE row — the
+    same bounded-scalar read as graph_pagerank's n_nodes; real BPE
+    trainers hold the whole merge table in memory) so the merge
+    application compiles to a literal regexp_replace projection instead
+    of a data-dependent join."""
     words = _bpe_words(spark, sf_dir).localCheckpoint(eager=False)
     merges: list[DataFrame] = []
     for step in range(1, BPE_TRAIN_ITERS + 1):
@@ -234,7 +271,12 @@ def _bpe_train_state(
             .localCheckpoint(eager=False)
         )
         merges.append(top1.withColumn("step", F.lit(step)))
-        words = _merge_step(pos, top1).localCheckpoint(eager=False)
+        row = top1.first()
+        if row is None:  # vocabulary degenerated to single symbols
+            break
+        words = _apply_merge(words, row["a"], row["b"]).localCheckpoint(
+            eager=False
+        )
     return words, merges
 
 

@@ -72,20 +72,22 @@ def spec(
 # 41 at r4, 47 at r5, 49 at r6, 50 at r9. This window, per the
 # rotation policy above:
 #   1. flagship;
-#   2. the seven queries whose IMPLEMENTATION changed in round 10 —
+#   2. the nine queries whose IMPLEMENTATION changed in round 10 —
 #      sort_orderby + maintain_zorder (quantile-bucketed global rank
 #      replaced the unpartitioned window), graph_label_propagation +
 #      graph_pagerank (persist-co-partitioned supersteps),
 #      graph_bfs_levels (broadcast frontier/anti-join),
 #      stream_mv_refresh + stream_mv_apply (deterministic chunk
-#      landing). Policy clause (b): changed code re-earns its row;
+#      landing), llm_bpe_train + llm_bpe_encode (regexp merge step
+#      replaced the join+windows plan). Policy clause (b): changed
+#      code re-earns its row;
 #   3. the four rows the r9 verdict asked to re-verify because their
 #      plans/docstrings were touched by r9's A/B work: ts_ohlc,
 #      pivot, agg_salted, cdc_snapshot_diff;
 #   4. the seven r3-evidence rows (oldest cohort): agg_collect,
 #      llm_clean_pipeline, llm_dedup_ngram, llm_sim_pairs, llm_tfidf,
 #      mm_resize_stub, project_struct_nested;
-#   5. 32 of the 40 remaining r4-evidence rows. Eight cede to the
+#   5. 29 of the 40 remaining r4-evidence rows. Eleven cede to the
 #      slots above and ride the local parity sweep until r11,
 #      rationale per row: scan_json_land + scan_orc_land (the shared
 #      land-then-read path was re-proven via scan_csv_land in r9;
@@ -94,9 +96,13 @@ def spec(
 #      (driver-side weight arithmetic over the windowed sample_hash
 #      primitive), llm_pack_sequences (stable one-shuffle plan,
 #      pinned by test_pack_sequences_is_one_shuffle), fx_cond +
-#      fx_map + fx_hash + fx_regex (pure scalar surfaces, unchanged
-#      since r4, family re-proven via fx_bitwise in r9; fx_regex
-#      additionally cedes to the round-10-changed graph_bfs_levels).
+#      fx_map + fx_hash + fx_regex + fx_json (pure scalar surfaces,
+#      unchanged since r4, family re-proven via fx_bitwise in r9;
+#      fx_array/date/math/string stay in), stream_slide (in-window
+#      siblings stream_tumble + stream_session exercise the same
+#      windowed-aggregation machinery; slide is tumble's
+#      generalization). The last five cede to the round-10-changed
+#      graph_bfs_levels + llm_bpe_train + llm_bpe_encode.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -108,6 +114,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "graph_bfs_levels",
     "stream_mv_refresh",
     "stream_mv_apply",
+    "llm_bpe_train",
+    "llm_bpe_encode",
     # -- 3. r9-verdict re-verification asks --
     "ts_ohlc",
     "pivot",
@@ -127,7 +135,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dq_referential",
     "fx_array",
     "fx_date",
-    "fx_json",
     "fx_math",
     "fx_string",
     "join_bucketed",
@@ -144,7 +151,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "scan_partition_pruned",
     "stream_dedup",
     "stream_session",
-    "stream_slide",
     "stream_stateful",
     "stream_static_join",
     "stream_stream_join",

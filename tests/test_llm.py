@@ -741,10 +741,15 @@ def test_bpe_greedy_merge_textbook_edges(spark):
     matches the way every real BPE trainer does: within a run of
     consecutive matches, every other position starting at the head.
     'aaa' + (a,a) -> 'aa a' (never 'a aa'); 'abab' + (a,b) -> 'ab ab';
-    'aab' -> 'a ab'."""
+    'aab' -> 'a ab'. The round-10 regexp form (_apply_merge, the one
+    the training loop now runs) must agree with the positional
+    _merge_step on every edge case — the equivalence pin that lets the
+    narrow-map plan replace the join+windows plan."""
     from pyspark.sql import functions as F
 
-    from etl_verkada_spark.llm.bpe import _merge_step, _positions
+    from etl_verkada_spark.llm.bpe import (
+        _apply_merge, _merge_step, _positions,
+    )
 
     words = spark.createDataFrame(
         [("aaa", 1, "a a a"), ("abab", 1, "a b a b"), ("aab", 1, "a a b"),
@@ -763,6 +768,11 @@ def test_bpe_greedy_merge_textbook_edges(spark):
             for r in _merge_step(_positions(words), top1).collect()
         }
         assert got == expect, (pair, got)
+        got_re = {
+            r["w"]: r["seq"]
+            for r in _apply_merge(words, *pair).collect()
+        }
+        assert got_re == expect, (pair, got_re)
 
 
 def test_bpe_train_merges_are_ordered_and_disjoint(spark):
