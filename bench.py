@@ -117,6 +117,15 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "ts_cusum",
     "fx_bitwise",
+    # round-10 additions: bucketed-prefix-max skyline, exact per-group
+    # Gini, broadcast geofence containment, banded keyless interval
+    # overlap, Benford digit audit, winnowing fingerprints
+    "skyline_pareto",
+    "agg_gini",
+    "geo_geofence_join",
+    "join_interval_overlap",
+    "dq_benford",
+    "llm_winnowing",
 ]
 
 
@@ -505,6 +514,17 @@ SF1_QUERIES = [
     # measurement; cusum rides 40x events
     "agg_bitmap_distinct",
     "ts_cusum",
+    # round-10: skyline + gini ride the 10x part/customer tables;
+    # geofence + interval-overlap ride 10x/40x with candidate-bound
+    # claims (broadcast build, <=2-band explode); benford is the
+    # 9-group combine sanity row; winnowing rides 100x documents
+    # (md5-dominated on both engines, an equal-work comparison)
+    "skyline_pareto",
+    "agg_gini",
+    "geo_geofence_join",
+    "join_interval_overlap",
+    "dq_benford",
+    "llm_winnowing",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's

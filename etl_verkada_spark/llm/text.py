@@ -1389,6 +1389,80 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+#: winnowing window (fingerprints kept per w consecutive k-gram hashes)
+WINNOW_W = 3
+
+
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every 4-gram shingle, slide a window of
+    ``WINNOW_W`` hashes, keep the window minimum, emit the distinct
+    selected hashes per document.
+
+    Guarantees at least one fingerprint per ``WINNOW_W`` consecutive
+    shingles (position-robust, unlike llm_fingerprint's single global
+    min), which is what makes the fingerprint table joinable for
+    plagiarism / near-dup overlap detection. Entirely built-in
+    higher-order array functions over the shared shingle projection —
+    no explode before the final distinct-per-doc list, no Python, no
+    shuffle except the output's own. Hashes are the cross-engine
+    md5-slice BIGINTs (llm/dedup.py's SimHash discipline). Docs with
+    fewer hashes than the window emit their single minimum.
+    """
+    d = with_shingles(table(spark, sf_dir, "documents"))
+    hashed = d.select(
+        "doc_id",
+        F.expr(
+            "transform(shingles, s ->"
+            " cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    fps = hashed.select(
+        "doc_id",
+        F.expr(
+            f"""
+            CASE WHEN size(hs) >= {WINNOW_W}
+                 THEN array_distinct(transform(
+                        sequence(1, size(hs) - {WINNOW_W - 1}),
+                        i -> array_min(slice(hs, i, {WINNOW_W}))))
+                 ELSE array(array_min(hs))
+            END
+            """
+        ).alias("fps"),
+    )
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
+
+
+ORACLE_LLM_WINNOWING = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+h AS (
+  SELECT
+    doc_id,
+    CASE WHEN LEN(ws) >= 4
+         THEN [('0x' || substring(md5(array_to_string(ws[i:i+3], ' ')),
+                         1, 15))::BIGINT
+               for i in generate_series(1, LEN(ws) - 3)]
+         ELSE [('0x' || substring(md5(text), 1, 15))::BIGINT]
+    END AS hs
+  FROM w
+),
+f AS (
+  SELECT
+    doc_id,
+    CASE WHEN LEN(hs) >= {WINNOW_W}
+         THEN list_distinct(
+                [list_aggregate(hs[i:i+{WINNOW_W - 1}], 'min')
+                 for i in generate_series(1, LEN(hs) - {WINNOW_W - 1})])
+         ELSE [list_aggregate(hs, 'min')]
+    END AS fps
+  FROM h
+)
+SELECT doc_id, UNNEST(fps) AS fp FROM f
+"""
+
+
 QUERIES = {
     "llm_text_stats": spec(
         llm_text_stats, ORACLE_LLM_TEXT_STATS, "llm",
@@ -1467,5 +1541,10 @@ QUERIES = {
         llm_boilerplate_coverage, ORACLE_LLM_BOILERPLATE_COVERAGE, "llm",
         doc="cross-doc frequent-shingle (boilerplate) coverage per doc, "
             "interval-union via lead() gaps",
+    ),
+    "llm_winnowing": spec(
+        llm_winnowing, ORACLE_LLM_WINNOWING, "llm",
+        doc="winnowing fingerprints: min-hash per sliding window over "
+            "k-gram hashes, distinct per doc (SIGMOD'03)",
     ),
 }

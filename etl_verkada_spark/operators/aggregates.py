@@ -1068,6 +1068,101 @@ FROM b GROUP BY 1
 """
 
 
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of (non-negative) customer balances
+    — the inequality audit a curation pipeline runs over per-source
+    contribution weights.
+
+    Exact integer form of the sorted formula
+
+        G = (2 * SUM(i * x_i) - (n + 1) * SUM(x)) / (n * SUM(x))
+
+    with x_i the balances in cents ascending, i the 1-based rank under
+    the total order (balance, custkey). Negative balances are excluded
+    (Gini is defined over non-negative mass) so numerator/denominator
+    arithmetic stays sign-stable and integer division is floor ==
+    truncate in both engines. The rank window is PARTITIONED by nation
+    (no single-task window); everything after it is one mergeable
+    group-by. Output keeps the exact BIGINT numerator/denominator plus
+    a ppm quotient, so the driver hash never touches a float.
+    """
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 0)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            scaled_long("c_acctbal").alias("bal_c"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy("bal_c", "c_custkey")
+    ranked = c.withColumn("i", F.row_number().over(w).cast("long"))
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal_c").alias("sum_bal"),
+        F.sum(F.col("i") * F.col("bal_c")).alias("sum_ibal"),
+    )
+    num = 2 * F.col("sum_ibal") - (F.col("n") + 1) * F.col("sum_bal")
+    den = F.col("n") * F.col("sum_bal")
+    return (
+        g.filter(F.col("sum_bal") > 0)
+        .select(
+            "c_nationkey",
+            "n",
+            num.alias("gini_num"),
+            den.alias("gini_den"),
+            # num*1e6 tops 2e19 at sf1 (6k customers/nation) — wider
+            # than BIGINT, so the quotient routes through DECIMAL(38,0)
+            # (HUGEINT on the oracle side); num >= 0 and den > 0, so
+            # floor == truncate in both engines.
+            F.expr(
+                "cast(2 * sum_ibal - (n + 1) * sum_bal as decimal(38,0))"
+                " * 1000000 div (n * sum_bal)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+ORACLE_AGG_GINI = """
+WITH c AS (
+  SELECT
+    c_nationkey,
+    c_custkey,
+    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_acctbal >= 0
+),
+r AS (
+  SELECT
+    c_nationkey,
+    bal_c,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY c_nationkey ORDER BY bal_c, c_custkey
+    ) AS BIGINT) AS i
+  FROM c
+),
+g AS (
+  SELECT
+    c_nationkey,
+    COUNT(*) AS n,
+    SUM(bal_c) AS sum_bal,
+    SUM(i * bal_c) AS sum_ibal
+  FROM r GROUP BY c_nationkey
+)
+SELECT
+  c_nationkey,
+  n,
+  CAST(2 * sum_ibal - (n + 1) * sum_bal AS BIGINT) AS gini_num,
+  CAST(n * sum_bal AS BIGINT) AS gini_den,
+  CAST(CAST(2 * sum_ibal - (n + 1) * sum_bal AS HUGEINT) * 1000000
+       // (n * sum_bal) AS BIGINT) AS gini_ppm
+FROM g
+WHERE sum_bal > 0
+"""
+
+
 QUERIES = {
     "agg_count": spec(
         agg_count, ORACLE_AGG_COUNT, "reference:A1",
@@ -1157,5 +1252,10 @@ QUERIES = {
     "agg_filtered": spec(
         agg_filtered, ORACLE_AGG_FILTERED, "beyond",
         doc="FILTER-clause aggregates: N predicates, one scan, one agg",
+    ),
+    "agg_gini": spec(
+        agg_gini, ORACLE_AGG_GINI, "beyond",
+        doc="per-group exact Gini coefficient (integer sorted formula, "
+            "partitioned rank window)",
     ),
 }

@@ -220,6 +220,91 @@ SELECT c_custkey, b.s AS s_suppkey, b.d2 AS d2_e8 FROM best
 """
 
 
+#: fence half-padding around each nation's supplier bounding box, e-4 deg
+_FENCE_PAD_E4 = 10_000  # 1 degree
+
+
+def geo_geofence_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join: cameras (customers) inside per-nation
+    geofences — the "which cameras are covered by site S's zone"
+    lookup behind the reference's region-scoped feature pulls.
+
+    Fences are built by aggregation (each nation's supplier bounding
+    box, padded 1 degree), NOT read from a table — the fence set is an
+    AGGREGATE of the small dimension, so it is provably tiny and the
+    containment join is a broadcast nested-loop with a range predicate:
+    the 100-TB camera side never shuffles and never fans out. A camera
+    can sit in several overlapping fences (inner join semantics, one
+    row per (camera, fence) hit), which is why the output aggregates
+    per fence. Coordinates are the shared e-4-degree integers
+    (geo_density's scaling), so containment is exact in both engines.
+    """
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    fences = (
+        s.select(
+            F.col("s_nationkey").alias("fence_id"),
+            (F.col("s_nationkey").cast("long") * 10_000).alias("lat_e4"),
+            scaled_long("s_acctbal").alias("lon_e4"),
+        )
+        .groupBy("fence_id")
+        .agg(
+            (F.min("lat_e4") - _FENCE_PAD_E4).alias("lat_lo"),
+            (F.max("lat_e4") + _FENCE_PAD_E4).alias("lat_hi"),
+            (F.min("lon_e4") - _FENCE_PAD_E4).alias("lon_lo"),
+            (F.max("lon_e4") + _FENCE_PAD_E4).alias("lon_hi"),
+        )
+    )
+    cams = c.select(
+        "c_custkey",
+        (F.col("c_nationkey").cast("long") * 10_000).alias("lat_e4"),
+        scaled_long("c_acctbal").alias("lon_e4"),
+    )
+    hits = cams.join(
+        F.broadcast(fences),
+        (F.col("lat_e4") >= F.col("lat_lo"))
+        & (F.col("lat_e4") <= F.col("lat_hi"))
+        & (F.col("lon_e4") >= F.col("lon_lo"))
+        & (F.col("lon_e4") <= F.col("lon_hi")),
+    )
+    return hits.groupBy("fence_id").agg(
+        F.count(F.lit(1)).alias("n_cameras"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.sum("lon_e4").alias("sum_lon_e4"),
+    )
+
+
+ORACLE_GEO_GEOFENCE = f"""
+WITH fences AS (
+  SELECT
+    s_nationkey AS fence_id,
+    MIN(CAST(s_nationkey AS BIGINT) * 10000) - {_FENCE_PAD_E4} AS lat_lo,
+    MAX(CAST(s_nationkey AS BIGINT) * 10000) + {_FENCE_PAD_E4} AS lat_hi,
+    MIN(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) - {_FENCE_PAD_E4}
+      AS lon_lo,
+    MAX(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) + {_FENCE_PAD_E4}
+      AS lon_hi
+  FROM supplier GROUP BY s_nationkey
+),
+cams AS (
+  SELECT
+    c_custkey,
+    CAST(c_nationkey AS BIGINT) * 10000 AS lat_e4,
+    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS lon_e4
+  FROM customer
+)
+SELECT
+  fence_id,
+  COUNT(*) AS n_cameras,
+  MIN(c_custkey) AS min_custkey,
+  CAST(SUM(lon_e4) AS BIGINT) AS sum_lon_e4
+FROM cams JOIN fences
+  ON lat_e4 BETWEEN lat_lo AND lat_hi
+ AND lon_e4 BETWEEN lon_lo AND lon_hi
+GROUP BY fence_id
+"""
+
+
 QUERIES = {
     "geo_density": spec(
         geo_density, ORACLE_GEO_DENSITY, "beyond",
@@ -228,5 +313,10 @@ QUERIES = {
     "geo_knn": spec(
         geo_knn, ORACLE_GEO_KNN, "beyond",
         doc="radius-bounded nearest-site join via 3x3 grid blocking",
+    ),
+    "geo_geofence_join": spec(
+        geo_geofence_join, ORACLE_GEO_GEOFENCE, "beyond",
+        doc="point-in-fence containment join (aggregated broadcast "
+            "fences, exact integer bounds)",
     ),
 }

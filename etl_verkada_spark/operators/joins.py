@@ -535,6 +535,119 @@ GROUP BY p.event_id, p.user_id
 """
 
 
+#: overlap-join band width, centiseconds (600 s). Intervals are at most
+#: ~490 s long (events.value <= 490.02), i.e. STRICTLY shorter than one
+#: band — so every interval touches at most two bands, and the x2
+#: explode bound below is a proof, not a heuristic.
+_OVERLAP_BAND_CS = 60_000
+
+
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT a shared equi-key: click intervals
+    x view intervals of DIFFERENT users that overlap in time — the
+    "concurrent activity" correlation query (cross-camera motion
+    windows in the reference's domain).
+
+    Each event spans [ts, ts + value seconds]. A naive engine needs an
+    all-pairs range join; the scalable plan is temporal banding (the
+    1-D analogue of geo_knn's grid): every interval is exploded into
+    the <=2 bands it touches (band width > max interval length —
+    checked above), candidates join on the band EQUI-key, the true
+    overlap predicate filters, and the duplicate a pair would get from
+    co-touching two bands is removed by an OWNERSHIP rule instead of a
+    distinct: the pair is counted only in the band containing
+    max(start), which overlap guarantees both sides touch. One
+    equi-join shuffle on a high-cardinality key, zero distinct, zero
+    all-pairs. Time is exact integer centiseconds (value has 2
+    decimals).
+
+    Output is the per-epoch-day overlap profile: pair count and total
+    overlap mass (strict overlap: max(start) < min(end)).
+    """
+    e = table(spark, sf_dir, "events")
+
+    def _ivals(kind: str) -> DataFrame:
+        from .aggregates import scaled_long
+
+        base = e.filter(F.col("event_type") == kind).select(
+            F.col("event_id").alias(f"{kind}_id"),
+            F.col("user_id").alias(f"{kind}_user"),
+            F.expr("unix_micros(cast(ts as timestamp)) div 10000").alias(
+                f"{kind}_s"
+            ),
+            scaled_long("value").alias("len_cs"),
+        )
+        return base.select(
+            f"{kind}_id",
+            f"{kind}_user",
+            f"{kind}_s",
+            (F.col(f"{kind}_s") + F.col("len_cs")).alias(f"{kind}_e"),
+        )
+
+    def _banded(df: DataFrame, s: str, epos: str) -> DataFrame:
+        b0 = F.expr(f"{s} div {_OVERLAP_BAND_CS}")
+        b1 = F.expr(f"{epos} div {_OVERLAP_BAND_CS}")
+        return df.withColumn(
+            "band",
+            F.explode(F.array_distinct(F.array(b0, b1))),
+        )
+
+    clicks = _banded(_ivals("click"), "click_s", "click_e")
+    views = _banded(_ivals("view"), "view_s", "view_e")
+    pairs = (
+        clicks.join(views, "band")
+        .filter(
+            (F.col("click_user") != F.col("view_user"))
+            & (F.col("click_s") < F.col("view_e"))
+            & (F.col("view_s") < F.col("click_e"))
+        )
+        .withColumn("mx_s", F.greatest("click_s", "view_s"))
+        # ownership: exactly one of the <=4 banded copies of a true
+        # pair has band == band(max start)
+        .filter(F.col("band") == F.expr(f"mx_s div {_OVERLAP_BAND_CS}"))
+        .select(
+            F.expr("mx_s div 8640000").alias("epoch_day"),
+            (
+                F.least("click_e", "view_e") - F.col("mx_s")
+            ).alias("overlap_cs"),
+        )
+    )
+    return pairs.groupBy("epoch_day").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap_cs").alias("sum_overlap_cs"),
+    )
+
+
+ORACLE_JOIN_INTERVAL_OVERLAP = """
+WITH iv AS (
+  SELECT
+    event_id,
+    user_id,
+    event_type,
+    epoch_us(ts) // 10000 AS s,
+    epoch_us(ts) // 10000
+      + CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS e
+  FROM events
+  WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+  SELECT
+    GREATEST(a.s, b.s) AS mx_s,
+    LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_cs
+  FROM iv a JOIN iv b
+    ON a.event_type = 'click' AND b.event_type = 'view'
+   AND a.user_id <> b.user_id
+   AND a.s < b.e AND b.s < a.e
+)
+SELECT
+  mx_s // 8640000 AS epoch_day,
+  COUNT(*) AS n_pairs,
+  CAST(SUM(overlap_cs) AS BIGINT) AS sum_overlap_cs
+FROM pairs
+GROUP BY epoch_day
+"""
+
+
 QUERIES = {
     "join_broadcast_left": spec(
         join_broadcast_left, ORACLE_JOIN_BROADCAST_LEFT,
@@ -580,5 +693,10 @@ QUERIES = {
     "join_range_banded": spec(
         join_range_banded, ORACLE_JOIN_RANGE, "beyond",
         doc="banded range join: equi-join on time buckets + exact filter",
+    ),
+    "join_interval_overlap": spec(
+        join_interval_overlap, ORACLE_JOIN_INTERVAL_OVERLAP, "beyond",
+        doc="keyless interval-overlap join via temporal banding + "
+            "max-start ownership dedup",
     ),
 }

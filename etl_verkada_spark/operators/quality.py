@@ -370,6 +370,83 @@ FROM totals t JOIN numer n USING (feature)
 """
 
 
+#: Benford's law expected first-digit mass, ppm: round(log10(1+1/d)*1e6).
+#: LITERALS in both engines (not computed via log10 at query time) so a
+#: 1-ulp libm difference between JVM Math.log10 and C log10 can never
+#: split the hash.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals — the fraud /
+    synthetic-data screen a data-quality layer runs on monetary
+    columns (synthetic uniform prices are exactly what Benford flags).
+
+    First digit comes from the exact cents integer rendered as a
+    string (both engines print BIGINT identically; no float log10 in
+    the digit extraction). One scan, one 9-row aggregate; observed
+    shares and deviations are integer ppm (total > 0 always: orders is
+    non-empty and prices are positive). At 100 TB this is a map-side
+    combine down to 9 groups.
+    """
+    o = table(spark, sf_dir, "orders")
+    from .aggregates import scaled_long
+
+    d = o.select(
+        F.substring(
+            scaled_long("o_totalprice").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    exp_map = F.create_map(
+        *[F.lit(x) for k, v in _BENFORD_PPM.items() for x in (k, v)]
+    )
+    total = counts.agg(F.sum("n_obs").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("n_obs * 1000000 div total").alias("obs_ppm"),
+            exp_map[F.col("digit")].alias("exp_ppm"),
+            (
+                F.expr("n_obs * 1000000 div total")
+                - exp_map[F.col("digit")]
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+ORACLE_DQ_BENFORD = f"""
+WITH d AS (
+  SELECT CAST(SUBSTRING(
+    CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+    1, 1) AS INT) AS digit
+  FROM orders
+),
+c AS (
+  SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit
+),
+e(digit, exp_ppm) AS (
+  VALUES {', '.join(f'({k}, {v})' for k, v in _BENFORD_PPM.items())}
+)
+SELECT
+  c.digit,
+  c.n_obs,
+  CAST(c.n_obs * 1000000 // t.total AS BIGINT) AS obs_ppm,
+  e.exp_ppm,
+  CAST(c.n_obs * 1000000 // t.total - e.exp_ppm AS BIGINT) AS dev_ppm
+FROM c
+JOIN e ON e.digit = c.digit
+CROSS JOIN (SELECT SUM(n_obs) AS total FROM c) t
+"""
+
+
 QUERIES = {
     "dq_referential": spec(
         dq_referential, ORACLE_DQ_REFERENTIAL, "beyond",
@@ -388,5 +465,10 @@ QUERIES = {
         dq_drift, ORACLE_DQ_DRIFT, "beyond",
         doc="snapshot-drift audit: per-feature total variation distance "
             "(integer-exact numerators, one scan)",
+    ),
+    "dq_benford": spec(
+        dq_benford, ORACLE_DQ_BENFORD, "beyond",
+        doc="Benford first-digit audit: observed vs expected ppm per "
+            "digit (literal expected table, integer deviations)",
     ),
 }

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import spec
+from .aggregates import scaled_long
 
 #: buckets for the distributed global-rank plan. On a real cluster this
 #: tracks the shuffle parallelism; 32 matches local[32].
@@ -215,6 +216,115 @@ SELECT doc_id, lang, source, n_chars, rn FROM (
 """
 
 
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize p_retailprice, maximize p_size) — "the price/size
+    frontier of the catalog", the classic dominance query.
+
+    q dominates p iff q.price <= p.price AND q.size >= p.size with at
+    least one strict. So p survives iff
+
+        max(size | price <  p.price) <  p.size   AND
+        max(size | price == p.price) <= p.size
+
+    which reduces the all-pairs NOT EXISTS to ONE exclusive running
+    max over the price-ordered per-price group maxima. The running max
+    is computed without a single-task window, the sort_orderby way:
+    the group table is quantile-bucketed on price (literal
+    boundaries), per-bucket maxima are collected driver-side (bounded
+    by n_buckets) and prefix-maxed into per-bucket carry-in literals,
+    and the within-bucket exclusive running max runs under a window
+    PARTITIONED by bucket. Parts then equi-join their price group
+    (grouped table, far smaller than the fact) and filter.
+
+    Prices compare in exact cents (scaled_long), so bucket boundaries
+    and the oracle's ORDER BY agree bit-for-bit. At 100 TB: one
+    groupBy shuffle on price, one bounded driver read, one equi-join —
+    no cross join, no global sort.
+    """
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        scaled_long("p_retailprice").alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    g = p.groupBy("price_c").agg(F.max("size").alias("gmax"))
+
+    n_buckets = RANK_BUCKETS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = g.agg(
+        F.percentile_approx(
+            "price_c", F.array(*[F.lit(pb) for pb in probs]), F.lit(1_000)
+        ).alias("bs")
+    ).first()
+    bounds = sorted({b for b in (row["bs"] or []) if b is not None})
+    if bounds:
+        arr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(arr, lambda b: b < F.col("price_c")))
+    else:
+        bucket = F.lit(0)
+    bucketed = g.withColumn("__bucket", bucket)
+    # per-bucket max, prefix-maxed driver-side into each bucket's
+    # carry-in (max over all STRICTLY EARLIER buckets)
+    bmax = {
+        r["__bucket"]: r["m"]
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.max("gmax").alias("m"))
+        .collect()
+    }
+    carry: dict[int, int] = {}
+    acc = None
+    for b in sorted(bmax):
+        carry[b] = acc if acc is not None else -1
+        acc = bmax[b] if acc is None else max(acc, bmax[b])
+    carry_map = F.create_map(
+        *[F.lit(x) for b, c in carry.items() for x in (b, c)]
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = bucketed.select(
+        "price_c",
+        "gmax",
+        F.greatest(
+            F.coalesce(F.max("gmax").over(w), F.lit(-1)),
+            carry_map[F.col("__bucket")],
+        ).alias("mlt"),
+    )
+    return (
+        p.join(frontier, "price_c")
+        .filter((F.col("mlt") < F.col("size")) & (F.col("gmax") <= F.col("size")))
+        .select("p_partkey", "price_c", "size")
+    )
+
+
+ORACLE_SKYLINE_PARETO = """
+WITH p AS (
+  SELECT
+    p_partkey,
+    CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+    CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+g AS (
+  SELECT price_c, MAX(size) AS gmax FROM p GROUP BY price_c
+),
+m AS (
+  SELECT
+    price_c,
+    gmax,
+    COALESCE(MAX(gmax) OVER (
+      ORDER BY price_c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), -1) AS mlt
+  FROM g
+)
+SELECT p.p_partkey, p.price_c, p.size
+FROM p JOIN m USING (price_c)
+WHERE m.mlt < p.size AND m.gmax <= p.size
+"""
+
+
 QUERIES = {
     "sort_orderby": spec(
         sort_orderby, ORACLE_SORT_ORDERBY, "beyond",
@@ -231,5 +341,10 @@ QUERIES = {
     "sort_topn_per_key": spec(
         sort_topn_per_key, ORACLE_SORT_TOPN_PER_KEY, "beyond",
         doc="top-N per key via WindowGroupLimit (map-side rank pushdown)",
+    ),
+    "skyline_pareto": spec(
+        skyline_pareto, ORACLE_SKYLINE_PARETO, "beyond",
+        doc="Pareto frontier via bucketed exclusive running max (no "
+        "all-pairs, no single-task window)",
     ),
 }

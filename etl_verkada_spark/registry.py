@@ -87,7 +87,7 @@ def spec(
 #   4. the seven r3-evidence rows (oldest cohort): agg_collect,
 #      llm_clean_pipeline, llm_dedup_ngram, llm_sim_pairs, llm_tfidf,
 #      mm_resize_stub, project_struct_nested;
-#   5. 29 of the 40 remaining r4-evidence rows. Eleven cede to the
+#   5. 23 of the 40 remaining r4-evidence rows. Seventeen cede to the
 #      slots above and ride the local parity sweep until r11,
 #      rationale per row: scan_json_land + scan_orc_land (the shared
 #      land-then-read path was re-proven via scan_csv_land in r9;
@@ -96,13 +96,21 @@ def spec(
 #      (driver-side weight arithmetic over the windowed sample_hash
 #      primitive), llm_pack_sequences (stable one-shuffle plan,
 #      pinned by test_pack_sequences_is_one_shuffle), fx_cond +
-#      fx_map + fx_hash + fx_regex + fx_json (pure scalar surfaces,
-#      unchanged since r4, family re-proven via fx_bitwise in r9;
-#      fx_array/date/math/string stay in), stream_slide (in-window
-#      siblings stream_tumble + stream_session exercise the same
-#      windowed-aggregation machinery; slide is tumble's
-#      generalization). The last five cede to the round-10-changed
-#      graph_bfs_levels + llm_bpe_train + llm_bpe_encode.
+#      fx_map + fx_hash + fx_regex + fx_json + fx_array + fx_string
+#      (pure scalar surfaces, unchanged since r4, family re-proven
+#      via fx_bitwise in r9; fx_date/fx_math stay in), stream_slide +
+#      stream_static_join (in-window siblings stream_tumble +
+#      stream_session + stream_stream_join exercise the same
+#      watermark/join machinery), join_salted (the salting primitive
+#      re-proven via agg_salted's r9 row), llm_sample_stratified
+#      (shares the md5 selector with llm_sample_hash, which stays),
+#      ts_interpolate (unchanged since r4; the timeseries gapfill
+#      machinery re-proven via the r9 ts rows). Five cede to the
+#      round-10-changed graph_bfs_levels + llm_bpe_train +
+#      llm_bpe_encode, six to the round-10 additions:
+#   6. the six round-10 NEW queries (policy clause (a) — never had a
+#      driver row): skyline_pareto, agg_gini, geo_geofence_join,
+#      join_interval_overlap, dq_benford, llm_winnowing.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -133,18 +141,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_approx_percentile",
     "agg_mode",
     "dq_referential",
-    "fx_array",
     "fx_date",
     "fx_math",
-    "fx_string",
     "join_bucketed",
     "join_range",
-    "join_salted",
     "llm_dedup_fuzzy",
     "llm_dedup_semantic",
     "llm_quality_repetition",
     "llm_sample_hash",
-    "llm_sample_stratified",
     "llm_shard",
     "llm_sim_ann_ivf",
     "mm_feature_extract_arrow",
@@ -152,13 +156,18 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_dedup",
     "stream_session",
     "stream_stateful",
-    "stream_static_join",
     "stream_stream_join",
     "stream_tumble",
     "subquery_lateral",
-    "ts_interpolate",
     "udf_pandas",
     "udtf_bigrams",
+    # -- 6. round-10 additions (never had a driver row) --
+    "skyline_pareto",
+    "agg_gini",
+    "geo_geofence_join",
+    "join_interval_overlap",
+    "dq_benford",
+    "llm_winnowing",
 )
 
 

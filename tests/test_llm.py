@@ -785,3 +785,53 @@ def test_bpe_train_merges_are_ordered_and_disjoint(spark):
     assert [r["step"] for r in rows] == list(range(1, BPE_TRAIN_ITERS + 1))
     assert all(r["n"] > 0 for r in rows)
     assert all(r["merged"] == r["a"] + r["b"] for r in rows)
+
+
+# --- round-10: winnowing -----------------------------------------------------
+
+def test_winnowing_coverage_guarantee(spark):
+    """The defining winnowing property: every window of WINNOW_W
+    consecutive k-gram hashes contains at least one SELECTED
+    fingerprint (recomputed row-by-row in Python from the same md5
+    slices), and every selected fingerprint is some window's minimum."""
+    import hashlib
+
+    from etl_verkada_spark.llm.text import WINNOW_W, llm_winnowing
+
+    from .conftest import SF_SMALL
+
+    got = llm_winnowing(spark, SF_SMALL).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    checked_windows = 0
+    for doc_id, text in docs.items():
+        ws = text.split(" ")
+        if len(ws) >= 4:
+            grams = [" ".join(ws[i : i + 4]) for i in range(len(ws) - 3)]
+        else:
+            grams = [text]
+        hs = [h(g) for g in grams]
+        sel = by_doc[doc_id]
+        if len(hs) < WINNOW_W:
+            assert sel == {min(hs)}
+            continue
+        mins = set()
+        for i in range(len(hs) - WINNOW_W + 1):
+            wmin = min(hs[i : i + WINNOW_W])
+            mins.add(wmin)
+            assert wmin in sel, (doc_id, i)
+            checked_windows += 1
+        assert sel == mins, doc_id
+    assert checked_windows > 0

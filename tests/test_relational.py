@@ -1456,3 +1456,143 @@ def test_bucketed_global_rank_matches_single_window(spark):
         ).collect()
     }
     assert got == want
+
+
+# --- round-10 additions: skyline / gini / geofence / overlap / benford -------
+
+def test_skyline_no_single_task_window_no_cross_join(spark):
+    """The dominance reduction must stay distributed: the running max
+    runs under a bucket-PARTITIONED window (no Exchange SinglePartition
+    anywhere in the plan) and the candidate check is an equi-join on
+    the price group, never an all-pairs product."""
+    from etl_verkada_spark.operators.sorts import skyline_pareto
+
+    tree = plan_tree(skyline_pareto(spark, SF_SMALL))
+    assert "CartesianProduct" not in tree, tree
+    assert "SinglePartition" not in tree, tree
+
+
+def test_skyline_is_pareto_frontier(spark):
+    """No returned part is dominated by ANY part (checked against the
+    full table), and every non-returned price group is dominated."""
+    from etl_verkada_spark.operators.sorts import skyline_pareto
+
+    got = skyline_pareto(spark, SF_SMALL).collect()
+    all_parts = [
+        (r["price_c"], r["size"])
+        for r in table_validated(spark, SF_SMALL, "part")
+        .select(
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).alias(
+                "price_c"
+            ),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .collect()
+    ]
+    assert got
+    for r in got:
+        for qp, qs in all_parts:
+            dominated = (
+                qp <= r["price_c"]
+                and qs >= r["size"]
+                and (qp < r["price_c"] or qs > r["size"])
+            )
+            assert not dominated, (r, qp, qs)
+
+
+def test_geofence_join_broadcasts_fences(spark):
+    """The range-predicate containment join must be a broadcast
+    nested-loop with the AGGREGATED fence table on the build side —
+    a shuffle or cartesian here breaks the 100-TB story."""
+    from etl_verkada_spark.operators.geo import geo_geofence_join
+
+    tree = plan_tree(geo_geofence_join(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_interval_overlap_is_equi_join_on_band(spark):
+    """Temporal banding must compile to an equi-join (SortMergeJoin or
+    ShuffledHashJoin on the band key) — the overlap predicate is a
+    post-join filter, never a join-condition-less product."""
+    from etl_verkada_spark.operators.joins import join_interval_overlap
+
+    tree = plan_tree(join_interval_overlap(spark, SF_SMALL))
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    # at sf0.001 AQE broadcasts the small side; at scale the same
+    # equi-condition becomes SMJ/SHJ — any HASH/MERGE join qualifies,
+    # a loop join never does
+    assert (
+        "SortMergeJoin" in tree
+        or "ShuffledHashJoin" in tree
+        or "BroadcastHashJoin" in tree
+    ), tree
+
+
+def test_interval_overlap_matches_bruteforce(spark):
+    """The banded plan equals the all-pairs reference computed in
+    Spark directly (ownership dedup neither drops nor double-counts)."""
+    from etl_verkada_spark.operators.joins import join_interval_overlap
+
+    got = {
+        r["epoch_day"]: (r["n_pairs"], r["sum_overlap_cs"])
+        for r in join_interval_overlap(spark, SF_SMALL).collect()
+    }
+    e = table_validated(spark, SF_SMALL, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    iv = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 10000").alias("s"),
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) div 10000")
+            + F.floor(F.col("value") * 100 + F.lit(0.5))
+        ).alias("e"),
+    ).collect()
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    clicks = [r for r in iv if r["event_type"] == "click"]
+    views = [r for r in iv if r["event_type"] == "view"]
+    for a in clicks:
+        for b in views:
+            if a["user_id"] == b["user_id"]:
+                continue
+            mx_s = max(a["s"], b["s"])
+            mn_e = min(a["e"], b["e"])
+            if mx_s < mn_e:
+                d = want[mx_s // 8640000]
+                d[0] += 1
+                d[1] += mn_e - mx_s
+    assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_benford_partitions_of_unity(spark):
+    """Nine digit rows; observed counts sum to the table count; ppm
+    shares sum to 1e6 within the floor-division slack."""
+    from etl_verkada_spark.operators.quality import dq_benford
+
+    rows = dq_benford(spark, SF_SMALL).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    n_orders = table_validated(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_obs"] for r in rows) == n_orders
+    total_ppm = sum(r["obs_ppm"] for r in rows)
+    assert 1_000_000 - 9 <= total_ppm <= 1_000_000
+    for r in rows:
+        assert r["dev_ppm"] == r["obs_ppm"] - r["exp_ppm"]
+
+
+def test_gini_is_bounded_and_scale_invariant(spark):
+    """Gini lives in [0, 1): ppm bounds, and num <= den with num >= 0
+    (the exact-integer invariants the formula guarantees for
+    non-negative mass)."""
+    from etl_verkada_spark.operators.aggregates import agg_gini
+
+    rows = agg_gini(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["gini_num"] <= r["gini_den"], r
+        assert 0 <= r["gini_ppm"] < 1_000_000, r
