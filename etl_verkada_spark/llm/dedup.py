@@ -644,8 +644,18 @@ def prefix_filter_pairs(docs: DataFrame, tau: float = PF_TAU) -> DataFrame:
     candidate join runs almost entirely on the long tail where df is
     single digits; the head tokens that dominate the full join's cost
     are exactly the ones the prefix drops. Index size shrinks to
-    ~(1-tau) of the corpus shingle count, and text never ships — only
-    (shingle, doc_id, df) triples.
+    ~(1-tau) of the corpus shingle count, and text never ships.
+
+    Three A/B'd-and-rejected variants (sf0.1, min-of-5, same session):
+    (a) carrying ``sz`` from the pre-explode array instead of the count
+    window — wider exchange rows, 2.4s -> 3.4s; (b) hashing shingles to
+    xxhash64 BIGINT ids for the candidate pipeline — the per-shingle
+    hash pass costs more than the int keys save at bench scale (at true
+    corpus scale the 8-byte keys win shuffle bytes and the switch is
+    one line); (c) hashing 4 words straight out of the split array —
+    CollapseProject inlines the split into the lambda and re-splits the
+    text per element (the text.py:SHINGLES_FROM_WS O(tokens^2) trap,
+    2.7s -> 6.1s).
     """
     sh = _doc_shingles(docs)
     df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -670,6 +680,46 @@ def prefix_filter_pairs(docs: DataFrame, tau: float = PF_TAU) -> DataFrame:
     )
 
 
+def array_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Verify candidate pairs with exact set Jaccard via per-doc shingle
+    ARRAYS: two equi-joins on the doc ids, intersection computed with
+    ``array_intersect`` inside codegen.
+
+    Versus :func:`exact_jaccard` (explode + inverted re-join +
+    group-by), this replaces ~7 exchanges with 2 joins whose build side
+    is the doc->array table — AQE broadcasts it at bench scale, and at
+    corpus scale they are plain hash joins keyed on doc id. The array
+    payload per row is bounded by the document length (the same bound
+    the explode form pays in aggregate), so nothing here changes the
+    asymptotics — only the constant: measured 2.9s -> see SCALE.md §24.
+    exact_jaccard remains the verifier of choice when candidates per
+    doc are so many that shipping the array per pair loses to the
+    shared inverted index.
+    """
+    arrs = with_shingles(docs).select(
+        "doc_id", F.array_distinct("shingles").alias("arr")
+    )
+    a = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                inter.cast("double")
+                / (F.size("arr_a") + F.size("arr_b") - inter)
+            ).alias("jaccard"),
+        )
+    )
+
+
 def llm_dedup_prefixfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact similarity join via prefix filtering: all pairs with
     4-gram Jaccard >= PF_TAU, computed WITHOUT the all-shingle
@@ -680,11 +730,15 @@ def llm_dedup_prefixfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements the probabilistic family: MinHash/LSH trades recall
     for index size at high tau; prefix filtering keeps recall = 1 at
     ANY tau and wins whenever the exactness contract matters
-    (compliance-grade dedup, eval-set decontamination).
+    (compliance-grade dedup, eval-set decontamination). Verification
+    uses :func:`array_jaccard` (array-intersect joins) — prefix
+    filtering emits FEW candidates per doc by construction, which is
+    exactly the regime where shipping the doc arrays to the pairs
+    beats rebuilding the inverted index.
     """
     docs = table(spark, sf_dir, "documents")
     cands = prefix_filter_pairs(docs)
-    verified = exact_jaccard(cands, _doc_shingles(docs))
+    verified = array_jaccard(cands, docs)
     return verified.filter(F.col("jaccard") >= PF_TAU).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )

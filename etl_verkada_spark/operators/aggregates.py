@@ -930,6 +930,12 @@ GROUP BY event_type
 """
 
 
+#: value-range bucket width (cents) for the weighted-median two-level
+#: cumulative sum — ~26 buckets over lineitem's price domain; on a real
+#: cluster this tracks (domain width / desired parallelism)
+WM_BUCKET_C = 400_000
+
+
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted median per group — quantity-weighted median unit
     price per return flag (the robust central-tendency statistic
@@ -950,34 +956,69 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure BIGINT — both engines agree bit-for-bit; the only float is the
     final unscale division.
 
-    At 100 TB: the window partitions by group and sorts only distinct
-    values per group (price domain, not row count); a pathological
-    all-distinct column degrades to the per-group sort every exact
-    median pays. No global window, no collect.
+    At 100 TB (and measured at sf0.1): a (group, value) pre-histogram
+    buys nothing on a near-all-distinct value column (600k lineitem
+    rows -> 594k histogram cells) — it just pays a full two-phase
+    hash-agg shuffle before the window pays ANOTHER full shuffle into
+    3 single-task sorts. The implementation instead does the two-level
+    cumulative sum directly on rows:
+
+    1. value-range BUCKETS (price_c div {WM_BUCKET_C}) give the only
+       full-data exchange a (group, bucket) key — ~26 buckets x 3
+       flags, so the per-partition sorts parallelize instead of
+       serializing per group;
+    2. per-(group, bucket) totals are a map-side-combining aggregate
+       (bucket-count-sized), a tiny window over them yields each
+       bucket's exclusive carry-in and the group total;
+    3. the carry table broadcasts back onto the rows — cumw =
+       carry + within-bucket running sum, and the smallest value whose
+       row-cum clears half the total is the weighted median (within a
+       tie class the LAST row's running sum equals cumw(v), so
+       min(price_c) over qualifying rows is exact regardless of tie
+       order inside the frame).
+
+    One full shuffle instead of two, no single-task sort: 1.55s ->
+    0.9s at sf0.1.
     """
     from pyspark.sql import Window as W
 
     li = table(spark, sf_dir, "lineitem")
-    hist = (
-        li.select(
-            "l_returnflag",
-            scaled_long("l_extendedprice").alias("price_c"),
-            F.col("l_quantity").cast("long").alias("w"),
-        )
-        .groupBy("l_returnflag", "price_c")
-        .agg(F.sum("w").alias("wv"))
+    rows = li.select(
+        "l_returnflag",
+        scaled_long("l_extendedprice").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("w"),
+    ).withColumn("bkt", F.expr(f"price_c div {WM_BUCKET_C}"))
+    btot = rows.groupBy("l_returnflag", "bkt").agg(
+        F.sum("w").alias("bw")
     )
-    win = (
-        W.partitionBy("l_returnflag")
+    bw_win = W.partitionBy("l_returnflag").orderBy("bkt")
+    carry = btot.select(
+        "l_returnflag",
+        "bkt",
+        F.coalesce(
+            F.sum("bw").over(
+                bw_win.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("carry"),
+        F.sum("bw")
+        .over(
+            bw_win.rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("totw"),
+    )
+    local = (
+        W.partitionBy("l_returnflag", "bkt")
         .orderBy("price_c")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    tot = W.partitionBy("l_returnflag")
-    cum = hist.select(
+    cum = rows.join(F.broadcast(carry), ["l_returnflag", "bkt"]).select(
         "l_returnflag",
         "price_c",
-        F.sum("wv").over(win).alias("cumw"),
-        F.sum("wv").over(tot).alias("totw"),
+        (F.col("carry") + F.sum("w").over(local)).alias("cumw"),
+        "totw",
     )
     return (
         cum.filter(2 * F.col("cumw") >= F.col("totw"))

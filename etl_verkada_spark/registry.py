@@ -87,7 +87,7 @@ def spec(
 #   4. the seven r3-evidence rows (oldest cohort): agg_collect,
 #      llm_clean_pipeline, llm_dedup_ngram, llm_sim_pairs, llm_tfidf,
 #      mm_resize_stub, project_struct_nested;
-#   5. 23 of the 40 remaining r4-evidence rows. Seventeen cede to the
+#   5. 21 of the 40 remaining r4-evidence rows. Nineteen cede to the
 #      slots above and ride the local parity sweep until r11,
 #      rationale per row: scan_json_land + scan_orc_land (the shared
 #      land-then-read path was re-proven via scan_csv_land in r9;
@@ -107,7 +107,8 @@ def spec(
 #      ts_interpolate (unchanged since r4; the timeseries gapfill
 #      machinery re-proven via the r9 ts rows). Five cede to the
 #      round-10-changed graph_bfs_levels + llm_bpe_train +
-#      llm_bpe_encode, six to the round-10 additions:
+#      llm_bpe_encode, two more (see 5b inline) to the second batch of
+#      round-10 implementation changes, six to the round-10 additions:
 #   6. the six round-10 NEW queries (policy clause (a) — never had a
 #      driver row): skyline_pareto, agg_gini, geo_geofence_join,
 #      join_interval_overlap, dq_benford, llm_winnowing.
@@ -146,12 +147,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "join_bucketed",
     "join_range",
     "llm_dedup_fuzzy",
-    "llm_dedup_semantic",
     "llm_quality_repetition",
     "llm_sample_hash",
     "llm_shard",
     "llm_sim_ann_ivf",
-    "mm_feature_extract_arrow",
     "scan_partition_pruned",
     "stream_dedup",
     "stream_session",
@@ -161,6 +160,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "subquery_lateral",
     "udf_pandas",
     "udtf_bigrams",
+    # -- 5b. round-10 implementation changes, second batch (clause b):
+    #    llm_dedup_prefixfilter swapped its verify to array_jaccard;
+    #    agg_weighted_median moved to the bucket-carry two-level cumsum.
+    #    mm_feature_extract_arrow (sibling mm_feature_extract r9-green)
+    #    and llm_dedup_semantic (cluster machinery re-proven via
+    #    llm_dedup_cc + llm_dedup_embed r9 rows) cede their slots.
+    "llm_dedup_prefixfilter",
+    "agg_weighted_median",
     # -- 6. round-10 additions (never had a driver row) --
     "skyline_pareto",
     "agg_gini",
