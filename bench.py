@@ -126,6 +126,12 @@ HEADLINE = [
     "join_interval_overlap",
     "dq_benford",
     "llm_winnowing",
+    # round-10 batch 2: combiner-pruned exact heavy hitters, exact-size
+    # hash reservoir, blocked ROUGE-style n-gram recall, MAD anomalies
+    "agg_heavy_hitters",
+    "llm_sample_reservoir",
+    "llm_eval_ngram_recall",
+    "ts_mad_anomaly",
 ]
 
 
@@ -525,6 +531,12 @@ SF1_QUERIES = [
     "join_interval_overlap",
     "dq_benford",
     "llm_winnowing",
+    # round-10 batch 2: combiner-pruned exact heavy hitters, exact-size
+    # hash reservoir, blocked ROUGE-style n-gram recall, MAD anomalies
+    "agg_heavy_hitters",
+    "llm_sample_reservoir",
+    "llm_eval_ngram_recall",
+    "ts_mad_anomaly",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's

@@ -203,6 +203,52 @@ GROUP BY lang
 """
 
 
+#: rows kept per (lang) group by the reservoir-style exact-size sample
+RESERVOIR_K = 20
+
+
+def llm_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size deterministic per-group sample — "give me exactly K
+    docs per language, uniformly-ish, reproducibly" (the eval-split /
+    human-review draw; Bernoulli sampling cannot promise the size).
+
+    The reservoir equivalent for a deterministic engine: rank every row
+    by the content-stable md5 order within its group, keep the first K.
+    A hash order is exchangeable with respect to the data (no
+    correlation with doc content beyond the hash), so the draw is
+    uniform for all practical purposes, yet reproducible across
+    retries, partitionings and engines — this family's no-rand()
+    discipline. Compiles to WindowGroupLimit: each map task keeps at
+    most K rows per group BEFORE the shuffle (the same pushdown
+    sort_topn_per_key pins), so at 100 TB the exchange carries
+    K*groups*partitions rows, never the corpus. The md5-of-doc_id sort
+    key is unique, so the kept set is total-order deterministic.
+    """
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = W.partitionBy("lang").orderBy(key.asc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+    )
+
+
+ORACLE_LLM_SAMPLE_RESERVOIR = f"""
+SELECT doc_id, lang, n_chars, rk FROM (
+  SELECT
+    doc_id, lang, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS rk
+  FROM documents
+) WHERE rk <= {RESERVOIR_K}
+"""
+
+
 QUERIES = {
     "llm_sample_hash": spec(
         llm_sample_hash, ORACLE_LLM_SAMPLE_HASH, "llm",
@@ -219,5 +265,10 @@ QUERIES = {
     "llm_sample_importance": spec(
         llm_sample_importance, ORACLE_LLM_SAMPLE_IMPORTANCE, "llm",
         doc="length-weighted importance sampling, one integer inequality",
+    ),
+    "llm_sample_reservoir": spec(
+        llm_sample_reservoir, ORACLE_LLM_SAMPLE_RESERVOIR, "llm",
+        doc="exact-size per-group deterministic sample (md5 rank, "
+            "WindowGroupLimit pushdown)",
     ),
 }

@@ -1402,35 +1402,51 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guarantees at least one fingerprint per ``WINNOW_W`` consecutive
     shingles (position-robust, unlike llm_fingerprint's single global
     min), which is what makes the fingerprint table joinable for
-    plagiarism / near-dup overlap detection. Entirely built-in
-    higher-order array functions over the shared shingle projection —
-    no explode before the final distinct-per-doc list, no Python, no
-    shuffle except the output's own. Hashes are the cross-engine
-    md5-slice BIGINTs (llm/dedup.py's SimHash discipline). Docs with
-    fewer hashes than the window emit their single minimum.
+    plagiarism / near-dup overlap detection. Hashes are the
+    cross-engine md5-slice BIGINTs (llm/dedup.py's SimHash
+    discipline). Docs with fewer hashes than the window emit their
+    single minimum.
+
+    Implementation is the ROW form — posexplode the hash array, take
+    ``min(h)`` over a ({WINNOW_W}-1)-following row frame partitioned by
+    doc, keep window-start positions, distinct. An array-native form
+    (nested transform/slice/array_min over the hash array column)
+    looks shuffle-free but is a collapse trap: once the single-use
+    ``fps`` alias inlines into the explode generator, the md5 hash
+    transform re-evaluates PER WINDOW — O(shingles^2) hashing,
+    measured 106 s vs ~1 s at sf0.1. The window frame is O(W) state
+    per row, the only exchanges are the doc-partitioned window and the
+    output's own distinct.
     """
     d = with_shingles(table(spark, sf_dir, "documents"))
-    hashed = d.select(
+    occ = d.select(
         "doc_id",
-        F.expr(
-            "transform(shingles, s ->"
-            " cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
-        ).alias("hs"),
+        F.posexplode(
+            F.expr(
+                "transform(shingles, s ->"
+                " cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("idx", "h"),
     )
-    fps = hashed.select(
-        "doc_id",
-        F.expr(
-            f"""
-            CASE WHEN size(hs) >= {WINNOW_W}
-                 THEN array_distinct(transform(
-                        sequence(1, size(hs) - {WINNOW_W - 1}),
-                        i -> array_min(slice(hs, i, {WINNOW_W}))))
-                 ELSE array(array_min(hs))
-            END
-            """
-        ).alias("fps"),
+    from pyspark.sql import Window as W
+
+    by_doc = W.partitionBy("doc_id")
+    frame = by_doc.orderBy("idx").rowsBetween(0, WINNOW_W - 1)
+    fps = (
+        occ.select(
+            "doc_id",
+            "idx",
+            F.min("h").over(frame).alias("fp"),
+            F.count(F.lit(1)).over(by_doc).alias("n"),
+        )
+        # a frame at the partition tail truncates, so idx 0 of a short
+        # doc (< W hashes) is exactly array_min of all its hashes
+        .filter(
+            (F.col("idx") <= F.col("n") - WINNOW_W)
+            | ((F.col("n") < WINNOW_W) & (F.col("idx") == 0))
+        )
     )
-    return fps.select("doc_id", F.explode("fps").alias("fp"))
+    return fps.select("doc_id", "fp").distinct()
 
 
 ORACLE_LLM_WINNOWING = f"""
@@ -1460,6 +1476,115 @@ f AS (
   FROM h
 )
 SELECT doc_id, UNNEST(fps) AS fp FROM f
+"""
+
+
+def llm_eval_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram precision/recall between near-duplicate candidates — the
+    ROUGE-style overlap metric an eval harness computes between a
+    generated text and its reference, run at corpus scale over
+    fingerprint-blocked pairs (min-shingle fingerprint equality — the
+    cheap blocking key — so the quadratic metric is only ever evaluated
+    on plausible pairs, never all-pairs).
+
+    precision = |ngrams(a) n ngrams(b)| / |ngrams(a)|, recall likewise
+    over b, both as integer ppm (floor division — bit-stable). The
+    intersection is ``array_intersect`` over the per-doc distinct
+    4-gram arrays (the llm_dedup_prefixfilter verify pattern: pairs are
+    few, so shipping the arrays to the pairs beats an inverted-index
+    re-join).
+
+    Two deliberate plan choices, both measured at sf0.1: the block key
+    is the LEXICOGRAPHIC-min shingle (array_min of the set — a scalar
+    min-wise key the oracle recomputes verbatim) rather than the
+    min-MD5 minhash — hashing every shingle just to pick a blocking
+    representative tripled the operator; and the (doc_id, arr, fp)
+    projection is repartitioned on fp BEFORE the a/b renames, so both
+    self-join sides share one byte-identical exchange subtree and
+    ReuseExchange evaluates the shingle construction ONCE (renaming
+    first produces two different subtrees and the whole chain runs
+    per side).
+    """
+    base = (
+        with_shingles(table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            F.array_distinct("shingles").alias("arr"),
+        )
+        .select("doc_id", "arr", F.array_min("arr").alias("fp"))
+        .repartition(32, "fp")
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        "fp",
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        "fp",
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            (inter * 1000000).alias("_num"),
+            F.size("arr_a").cast("long").alias("_sza"),
+            F.size("arr_b").cast("long").alias("_szb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.expr("_num div _sza").alias("precision_ppm"),
+            F.expr("_num div _szb").alias("recall_ppm"),
+        )
+    )
+
+
+ORACLE_LLM_EVAL_NGRAM_RECALL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(ws[i:i+3], ' ')
+                   for i in generate_series(1, LEN(ws) - 3)]) AS s
+    FROM w WHERE LEN(ws) >= 4
+    UNION ALL
+    SELECT doc_id, text AS s FROM w WHERE LEN(ws) < 4
+  )
+),
+fp AS (
+  SELECT doc_id, MIN(s) AS f FROM sh GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT
+  i.doc_a,
+  i.doc_b,
+  i.n_common,
+  CAST(i.n_common * 1000000 // za.sz AS BIGINT) AS precision_ppm,
+  CAST(i.n_common * 1000000 // zb.sz AS BIGINT) AS recall_ppm
+FROM inter i
+JOIN sizes za ON i.doc_a = za.doc_id
+JOIN sizes zb ON i.doc_b = zb.doc_id
 """
 
 
@@ -1546,5 +1671,10 @@ QUERIES = {
         llm_winnowing, ORACLE_LLM_WINNOWING, "llm",
         doc="winnowing fingerprints: min-hash per sliding window over "
             "k-gram hashes, distinct per doc (SIGMOD'03)",
+    ),
+    "llm_eval_ngram_recall": spec(
+        llm_eval_ngram_recall, ORACLE_LLM_EVAL_NGRAM_RECALL, "llm",
+        doc="n-gram precision/recall (ROUGE-style, integer ppm) over "
+            "fingerprint-blocked candidate pairs",
     ),
 }

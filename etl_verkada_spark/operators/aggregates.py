@@ -930,6 +930,121 @@ GROUP BY event_type
 """
 
 
+#: heavy-hitter threshold denominator: report items whose global
+#: frequency * (HH_K + 1) >= corpus rows, i.e. share > ~1/(K+1)
+HH_K = 50
+
+
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent-item counts at corpus scale without shuffling the
+    full distinct-item histogram: partition-local candidate pruning,
+    then a broadcast-semi-join recount.
+
+    The lemma (the Misra-Gries averaging argument): if an item's global
+    count satisfies cnt*(K+1) >= n, then on at least ONE partition its
+    local count clears the same local bar (sum both sides over
+    partitions), so the union of per-partition locally-frequent items
+    is a SUPERSET of every global heavy hitter. Phase 1 computes local
+    counts and applies that bar INSIDE a single Arrow pass per
+    partition (this is the one justified imperative-per-partition spot:
+    a relational groupBy(pid, item) would ship every distinct
+    (pid, item) group through the exchange — the exact cost the pruning
+    exists to avoid; here only locally-frequent candidates plus one
+    row-count sentinel per partition ever leave the executor). Phase 2
+    re-counts ONLY candidate items (broadcast semi-join, map-side
+    combine over a handful of groups) and applies the exact global bar.
+
+    Output is partition-layout-independent even though the candidate
+    set is not: phase 2's exact counts and the final filter see every
+    occurrence of every candidate, and the lemma guarantees no true
+    hitter is missing — so the result equals the plain
+    groupBy-then-filter the oracle runs. Items are (lang, source)
+    pairs of the documents corpus — the skewed "which source mixes
+    dominate the corpus" audit a data-mixing pipeline runs (the
+    synthetic corpus is en-heavy, so ~10% of the mixes clear a 1/51
+    share bar and the rest prune).
+    """
+    import pyarrow as pa
+
+    d = table(spark, sf_dir, "documents")
+    items = d.select(
+        F.concat_ws("|", "lang", "source").alias("item")
+    )
+
+    def local_candidates(batches):
+        counts: dict[str, int] = {}
+        n_local = 0
+        for batch in batches:
+            col = batch.column(0)
+            for chunk_val, chunk_cnt in zip(
+                *_value_counts_arrow(col)
+            ):
+                counts[chunk_val] = counts.get(chunk_val, 0) + chunk_cnt
+                n_local += chunk_cnt
+        bar_items = [
+            it for it, c in counts.items() if c * (HH_K + 1) >= n_local
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(bar_items + [None], type=pa.string()),
+                pa.array(
+                    [0] * len(bar_items) + [n_local], type=pa.int64()
+                ),
+            ],
+            names=["item", "local_n"],
+        )
+
+    local = items.mapInArrow(
+        local_candidates, "item string, local_n long"
+    )
+    cands = local.filter(F.col("item").isNotNull()).select("item").distinct()
+    total = local.filter(F.col("item").isNull()).agg(
+        F.sum("local_n").alias("n_total")
+    )
+    exact = (
+        items.join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (HH_K + 1) >= F.col("n_total"))
+        .select(
+            "item",
+            "cnt",
+            F.expr("cnt * 1000000 div n_total").alias("share_ppm"),
+        )
+    )
+
+
+def _value_counts_arrow(col):
+    """(values, counts) of an Arrow array/chunked array of strings."""
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(col)
+    return (
+        [v.as_py() for v in vc.field("values")],
+        [c.as_py() for c in vc.field("counts")],
+    )
+
+
+ORACLE_AGG_HEAVY_HITTERS = f"""
+WITH i AS (
+  SELECT lang || '|' || source AS item FROM documents
+),
+c AS (
+  SELECT item, COUNT(*) AS cnt FROM i GROUP BY item
+),
+t AS (SELECT COUNT(*) AS n_total FROM i)
+SELECT
+  c.item,
+  c.cnt,
+  CAST(c.cnt * 1000000 // t.n_total AS BIGINT) AS share_ppm
+FROM c CROSS JOIN t
+WHERE c.cnt * {HH_K + 1} >= t.n_total
+"""
+
+
 #: value-range bucket width (cents) for the weighted-median two-level
 #: cumulative sum — ~26 buckets over lineitem's price domain; on a real
 #: cluster this tracks (domain width / desired parallelism)
@@ -1298,5 +1413,10 @@ QUERIES = {
         agg_gini, ORACLE_AGG_GINI, "beyond",
         doc="per-group exact Gini coefficient (integer sorted formula, "
             "partitioned rank window)",
+    ),
+    "agg_heavy_hitters": spec(
+        agg_heavy_hitters, ORACLE_AGG_HEAVY_HITTERS, "beyond",
+        doc="exact frequent items via partition-local candidate pruning "
+            "(lossless by the averaging lemma) + broadcast recount",
     ),
 }

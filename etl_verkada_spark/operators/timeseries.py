@@ -1088,6 +1088,101 @@ GROUP BY event_type
 """
 
 
+#: MAD multiple above which a day is anomalous
+MAD_MULT = 3
+
+
+def ts_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: days whose total deviates from the
+    series MEDIAN by more than {MAD_MULT}x the median absolute
+    deviation — the outlier gate that, unlike z-scores (ts_anomaly_
+    zscore), is not itself dragged by the outliers it hunts.
+
+    Exactness discipline: the median of n integers is either an
+    integer or an exact .5, so everything runs on DOUBLED integers —
+    med2 = 2*median(total_c) is a BIGINT, the deviation d2 =
+    |2*total_c - med2| is a BIGINT, mad4 = 2*median(d2) likewise, and
+    the flag ``2*d2 > MAD_MULT*mad4`` never touches a float. Both
+    engines compute interpolated medians over the same integers, so
+    the doubled values agree bit-for-bit (the ts_rolling_median
+    parity argument, applied group-wise).
+
+    At 100 TB: the rollup to (series, day) is the only corpus-scale
+    exchange; the two median passes aggregate the GRID (series x
+    days), percentile's per-group state is the day count, and the
+    grid re-joins are broadcasts.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}")
+    daily = (
+        e.select(
+            "event_type",
+            day.alias("epoch_day"),
+            scaled_long("value").alias("c"),
+        )
+        .groupBy("event_type", "epoch_day")
+        .agg(F.sum("c").alias("total_c"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.floor(F.percentile(2 * F.col("total_c"), F.lit(0.5)) + F.lit(0.5))
+        .alias("med2")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "d2", F.abs(2 * F.col("total_c") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.floor(F.percentile(2 * F.col("d2"), F.lit(0.5)) + F.lit(0.5))
+        .alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(2 * F.col("d2") > F.lit(MAD_MULT) * F.col("mad4"))
+        .select(
+            "event_type",
+            "epoch_day",
+            unscale(F.col("total_c"), 2).alias("total_value"),
+            F.col("d2").cast("long").alias("dev2_c"),
+            F.col("mad4").cast("long").alias("mad4_c"),
+        )
+    )
+
+
+ORACLE_TS_MAD_ANOMALY = f"""
+WITH daily AS (
+  SELECT
+    event_type,
+    epoch_us(ts) // {DAY_US} AS epoch_day,
+    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS total_c
+  FROM events
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type,
+         CAST(FLOOR(quantile_cont(2 * total_c, 0.5) + 0.5) AS BIGINT)
+           AS med2
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.epoch_day, d.total_c,
+         ABS(2 * d.total_c - m.med2) AS d2
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         CAST(FLOOR(quantile_cont(2 * d2, 0.5) + 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+)
+SELECT
+  dev.event_type,
+  dev.epoch_day,
+  CAST(CAST(dev.total_c AS DECIMAL(38,0)) / 100 AS DOUBLE) AS total_value,
+  CAST(dev.d2 AS BIGINT) AS dev2_c,
+  CAST(mad.mad4 AS BIGINT) AS mad4_c
+FROM dev JOIN mad USING (event_type)
+WHERE 2 * dev.d2 > {MAD_MULT} * mad.mad4
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
@@ -1143,5 +1238,10 @@ QUERIES = {
         ts_cusum, ORACLE_TS_CUSUM, "beyond",
         doc="CUSUM changepoint peak per series, denominator-cleared "
             "BIGINT statistic",
+    ),
+    "ts_mad_anomaly": spec(
+        ts_mad_anomaly, ORACLE_TS_MAD_ANOMALY, "beyond",
+        doc="robust MAD anomaly flags per series (doubled-integer "
+            "medians, no float in the decision)",
     ),
 }

@@ -98,20 +98,23 @@ def spec(
 #      pinned by test_pack_sequences_is_one_shuffle), fx_cond +
 #      fx_map + fx_hash + fx_regex + fx_json + fx_array + fx_string
 #      (pure scalar surfaces, unchanged since r4, family re-proven
-#      via fx_bitwise in r9; fx_date/fx_math stay in), stream_slide +
+#      via fx_bitwise in r9; fx_math stays in), stream_slide +
 #      stream_static_join (in-window siblings stream_tumble +
 #      stream_session + stream_stream_join exercise the same
 #      watermark/join machinery), join_salted (the salting primitive
 #      re-proven via agg_salted's r9 row), llm_sample_stratified
-#      (shares the md5 selector with llm_sample_hash, which stays),
+#      (shares the md5 selector discipline, which stays windowed via
+#      llm_sample_reservoir),
 #      ts_interpolate (unchanged since r4; the timeseries gapfill
 #      machinery re-proven via the r9 ts rows). Five cede to the
 #      round-10-changed graph_bfs_levels + llm_bpe_train +
 #      llm_bpe_encode, two more (see 5b inline) to the second batch of
 #      round-10 implementation changes, six to the round-10 additions:
-#   6. the six round-10 NEW queries (policy clause (a) — never had a
+#   6. the TEN round-10 NEW queries (policy clause (a) — never had a
 #      driver row): skyline_pareto, agg_gini, geo_geofence_join,
-#      join_interval_overlap, dq_benford, llm_winnowing.
+#      join_interval_overlap, dq_benford, llm_winnowing,
+#      agg_heavy_hitters, llm_sample_reservoir, llm_eval_ngram_recall,
+#      ts_mad_anomaly.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -142,24 +145,20 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "agg_approx_percentile",
     "agg_mode",
     "dq_referential",
-    "fx_date",
     "fx_math",
     "join_bucketed",
     "join_range",
     "llm_dedup_fuzzy",
     "llm_quality_repetition",
-    "llm_sample_hash",
     "llm_shard",
     "llm_sim_ann_ivf",
     "scan_partition_pruned",
-    "stream_dedup",
     "stream_session",
     "stream_stateful",
     "stream_stream_join",
     "stream_tumble",
     "subquery_lateral",
     "udf_pandas",
-    "udtf_bigrams",
     # -- 5b. round-10 implementation changes, second batch (clause b):
     #    llm_dedup_prefixfilter swapped its verify to array_jaccard;
     #    agg_weighted_median moved to the bucket-carry two-level cumsum.
@@ -168,13 +167,25 @@ PRIORITY_ORDER: tuple[str, ...] = (
     #    llm_dedup_cc + llm_dedup_embed r9 rows) cede their slots.
     "llm_dedup_prefixfilter",
     "agg_weighted_median",
-    # -- 6. round-10 additions (never had a driver row) --
+    # -- 6. round-10 additions (never had a driver row). The second
+    #    batch costs four more r4-evidence cessions: fx_date (scalar
+    #    family re-proven via fx_bitwise r9; fx_math stays),
+    #    llm_sample_hash (its md5-selector discipline enters the window
+    #    via llm_sample_reservoir), stream_dedup (streaming siblings
+    #    session/stateful/stream_join/tumble all stay in-window),
+    #    udtf_bigrams (the bigram surface is re-proven relationally by
+    #    in-window llm_clean_pipeline's shingle machinery; the UDTF
+    #    registration path stays pinned by pytest).
     "skyline_pareto",
     "agg_gini",
     "geo_geofence_join",
     "join_interval_overlap",
     "dq_benford",
     "llm_winnowing",
+    "agg_heavy_hitters",
+    "llm_sample_reservoir",
+    "llm_eval_ngram_recall",
+    "ts_mad_anomaly",
 )
 
 

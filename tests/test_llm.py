@@ -835,3 +835,70 @@ def test_winnowing_coverage_guarantee(spark):
             checked_windows += 1
         assert sel == mins, doc_id
     assert checked_windows > 0
+
+
+def test_reservoir_sample_exact_size_per_group(spark):
+    """Exactly min(K, group size) rows per language, and the kept set
+    is the K smallest md5 keys (total order, engine-independent)."""
+    import hashlib
+
+    from etl_verkada_spark.llm.sampling import (
+        RESERVOIR_K,
+        llm_sample_reservoir,
+    )
+
+    from .conftest import SF_SMALL
+
+    got = {}
+    for r in llm_sample_reservoir(spark, SF_SMALL).collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    for lang, ids in by_lang.items():
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        assert got[lang] == set(ranked[: RESERVOIR_K]), lang
+
+
+def test_eval_ngram_recall_python_recompute(spark):
+    """precision/recall ppm agree with a Python recompute over the
+    4-gram sets of each blocked pair."""
+    from etl_verkada_spark.llm.text import llm_eval_ngram_recall
+
+    from .conftest import SF_SMALL
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_common"],
+            r["precision_ppm"],
+            r["recall_ppm"],
+        )
+        for r in llm_eval_ngram_recall(spark, SF_SMALL).collect()
+    }
+    assert got, "no fingerprint-blocked pairs at sf0.001"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def grams(t):
+        ws = t.split(" ")
+        if len(ws) >= 4:
+            return {" ".join(ws[i : i + 4]) for i in range(len(ws) - 3)}
+        return {t}
+
+    for (a, b), (n_common, p_ppm, r_ppm) in got.items():
+        ga, gb = grams(texts[a]), grams(texts[b])
+        inter = len(ga & gb)
+        assert n_common == inter, (a, b)
+        assert p_ppm == inter * 1_000_000 // len(ga)
+        assert r_ppm == inter * 1_000_000 // len(gb)

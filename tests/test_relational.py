@@ -1596,3 +1596,87 @@ def test_gini_is_bounded_and_scale_invariant(spark):
     for r in rows:
         assert 0 <= r["gini_num"] <= r["gini_den"], r
         assert 0 <= r["gini_ppm"] < 1_000_000, r
+
+
+# --- round-10 batch 2: heavy hitters / MAD anomalies -------------------------
+
+def test_heavy_hitters_equal_plain_groupby(spark):
+    """The combiner-pruned exact frequent-item plan must equal the
+    plain groupBy-count-filter twin computed directly (the pruning is
+    lossless by the averaging lemma, the recount exact)."""
+    from etl_verkada_spark.operators.aggregates import (
+        HH_K,
+        agg_heavy_hitters,
+    )
+
+    got = {
+        r["item"]: (r["cnt"], r["share_ppm"])
+        for r in agg_heavy_hitters(spark, SF_SMALL).collect()
+    }
+    d = table_validated(spark, SF_SMALL, "documents")
+    items = d.select(F.concat_ws("|", "lang", "source").alias("item"))
+    n = items.count()
+    want = {
+        r["item"]: (r["cnt"], r["cnt"] * 1_000_000 // n)
+        for r in items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+        if r["cnt"] * (HH_K + 1) >= n
+    }
+    assert got == want
+    assert got, "threshold too high: empty heavy-hitter set"
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """Phase 1 is an Arrow map pass (no shuffle of the distinct-item
+    histogram); phase 2's recount joins a broadcast candidate set."""
+    from etl_verkada_spark.operators.aggregates import agg_heavy_hitters
+
+    tree = plan_tree(agg_heavy_hitters(spark, SF_SMALL))
+    assert "MapInArrow" in tree or "ArrowEvalPython" in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_mad_anomaly_matches_python_recompute(spark):
+    """Every flagged day clears MAD_MULT x MAD in an independent Python
+    recompute from the raw events, and no qualifying day is missing."""
+    import statistics
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.timeseries import (
+        DAY_US,
+        MAD_MULT,
+        ts_mad_anomaly,
+    )
+
+    got = {
+        (r["event_type"], r["epoch_day"]): (r["dev2_c"], r["mad4_c"])
+        for r in ts_mad_anomaly(spark, SF_SMALL).collect()
+    }
+    rows = (
+        table_validated(spark, SF_SMALL, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {DAY_US}").alias(
+                "epoch_day"
+            ),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("c"),
+        )
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        daily[(r["event_type"], r["epoch_day"])] += r["c"]
+    series = defaultdict(dict)
+    for (et, d), tot in daily.items():
+        series[et][d] = tot
+    want = {}
+    for et, days in series.items():
+        med2 = round(statistics.median(2 * t for t in days.values()))
+        d2s = {d: abs(2 * t - med2) for d, t in days.items()}
+        mad4 = round(statistics.median(2 * x for x in d2s.values()))
+        for d, d2 in d2s.items():
+            if 2 * d2 > MAD_MULT * mad4:
+                want[(et, d)] = (d2, mad4)
+    assert got == want
+    assert got, "no anomalies at sf0.001 — check the threshold"
