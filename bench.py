@@ -222,7 +222,7 @@ def run_duckdb(con, sql: str, n_runs: int = N_RUNS) -> dict:
 #: outgrew the budget at min-of-5 per engine. The budget turns an
 #: over-slow query into a per-query `dnf_budget` error instead of a
 #: section-wide loss.
-SF1_DUCK_QUERY_BUDGET_S = 240.0
+SF1_DUCK_QUERY_BUDGET_S = 150.0
 
 
 def run_duckdb_budgeted(
@@ -430,113 +430,90 @@ SF1_TABLE_REPLICAS = {"documents": 100, "embeddings": 100, "events": 40}
 #: hinges on whether the gap shrinks with data size (r5 widening: every
 #: headline query >6x floor-adjusted at sf0.1 now has a crossover row).
 SF1_QUERIES = [
-    "llm_sim_search",
-    "join_range",
-    "upsert_merge",
-    "flagship_flat",
-    "llm_text_stats",
-    "pivot",
-    "join_large",
-    "agg_groupby",
-    "llm_bm25",
-    "dedup_lastwins",
-    # round-5 widening: the >6x floor-adjusted sf0.1 rows without
-    # crossover evidence
-    "win_rownum",
-    "topk",
-    "stream_tumble",
-    "subquery_exists",
-    "win_ntile",
-    "ts_ohlc",
-    "cdc_snapshot_diff",
-    "join_asof",
-    "ts_gapfill",
-    "agg_salted",
-    # round-5 session-2 operators with a scale story: crossover rows
-    # from birth (events at 40x, documents at 100x, lineitem at 10x)
-    "graph_triangle_count",
-    "llm_chunk_rag",
-    "agg_countmin",
-    "llm_bigram_score",
-    "agg_incremental_merge",
-    # round-6: the streaming family on the sf1 record (r5 verdict #7) —
-    # all three have batch-SQL oracles (the micro-batch replay converges
-    # to the same result), so they pair like any other query
-    "stream_session",
-    "stream_ohlc",
-    "stream_mv_refresh",
-    # round-6 operators with a scale story: crossover rows from birth
-    # (documents at 100x, embeddings at 100x, orders at 10x)
-    "llm_dedup_substring",
-    "mm_decode",
-    "llm_sim_ann_pq",
-    "dq_drift",
-    "stream_drift",
-    # round-7: map-side rank pushdown and digest-window reweighting at
-    # 100x documents; incremental SCD2 fold vs DuckDB's full recompute
-    # (the incremental-maintenance crossover, measured)
-    "sort_topn_per_key",
-    "llm_dedup_soft",
-    "scd2_apply",
-    # round-7 session 2: the vocabulary-collapse (BPE) claim needs the
-    # 100x-documents measurement; streaks rides the 40x events table.
-    # llm_dedup_prefixfilter joined in round 10: its CORRECTNESS oracle
-    # is the brute-force O(n^2) pair join (never finishes at 500k docs —
-    # the round-9 full run lost its whole sf1 section to it), so at sf1
-    # the DuckDB side runs the equal-work SF1_TWIN (same prefix-filter
-    # algorithm, see SF1_SQL_OVERRIDES) over the PERTURBED replicas —
-    # the first honest pair-op crossover row.
-    "llm_dedup_prefixfilter",
-    "llm_bpe_pair_count",
+    # DEGRADATION-AWARE ORDER (round-10 run 2/3 lesson): the sf1
+    # section runs under a wall deadline and drops the TAIL of this
+    # list first, so it is ordered by evidence value, not history:
+    #   A. queries with no sf1 pair yet (r8-r10 additions) — cheap,
+    #      fresh evidence first;
+    #   B. established pairs (re-measured when budget allows);
+    #   C. the heavy tail — multi-second on BOTH engines; these burn
+    #      minutes for one row and degrade first.
+    # llm_dedup_prefixfilter is sf0.1-only now: on the PERTURBED sf1
+    # corpus the tau>=0.5 similarity join is genuinely huge (~2.5M
+    # qualifying pairs; 136 s Spark, DuckDB twin past its budget), so
+    # an sf1 row prices pair materialization, not the blocking
+    # strategy — the banded family's scale row is the minhash/simhash
+    # path, and the prefix filter's scale argument stays in its
+    # docstring.
+    # -- A: fresh pairs --
     "ts_streaks",
     "llm_vocab_coverage",
+    "llm_bpe_pair_count",
     "graph_label_propagation",
-    # round-8: interval islands + rollup cascade ride the 40x events
-    # table; the BPE trainer's vocabulary-collapse claim needs the
-    # 100x-documents measurement; geo_knn's grid blocking bounds the
-    # candidate pairs at 100x
     "ts_interval_merge",
     "ts_rollup_hierarchy",
     "geo_knn",
     "llm_bpe_train",
     "win_pattern_match",
-    # round-9: the changeset apply and forward as-of ride the 10x/40x
-    # tables; the three document ops ride 100x documents — the
-    # histogram-CDF and interval-union claims need the big measurement
     "cdc_merge_ops",
     "join_asof_fwd",
     "agg_weighted_median",
     "llm_lexical_diversity",
     "llm_perplexity_filter",
     "llm_boilerplate_coverage",
-    # the number stream_mv_refresh's 4x-replay ratio obscures: one
-    # delta-only refresh step vs DuckDB's full recompute
     "stream_mv_apply",
-    # rolling exact median at 40x events: the O(frame)-state window
-    # claim (SCALE.md §16) on an order-statistic frame
     "ts_rolling_median",
     "ts_seasonal_baseline",
-    # the 8-bytes-per-64-keys wire-cost claim needs the 10x lineitem
-    # measurement; cusum rides 40x events
     "agg_bitmap_distinct",
     "ts_cusum",
-    # round-10: skyline + gini ride the 10x part/customer tables;
-    # geofence + interval-overlap ride 10x/40x with candidate-bound
-    # claims (broadcast build, <=2-band explode); benford is the
-    # 9-group combine sanity row; winnowing rides 100x documents
-    # (md5-dominated on both engines, an equal-work comparison)
     "skyline_pareto",
     "agg_gini",
     "geo_geofence_join",
     "join_interval_overlap",
     "dq_benford",
     "llm_winnowing",
-    # round-10 batch 2: combiner-pruned exact heavy hitters, exact-size
-    # hash reservoir, blocked ROUGE-style n-gram recall, MAD anomalies
     "agg_heavy_hitters",
     "llm_sample_reservoir",
     "llm_eval_ngram_recall",
     "ts_mad_anomaly",
+    # -- B: established pairs --
+    "flagship_flat",
+    "dedup_lastwins",
+    "scd2_apply",
+    "llm_dedup_soft",
+    "sort_topn_per_key",
+    "upsert_merge",
+    "llm_bm25",
+    "llm_chunk_rag",
+    "mm_decode",
+    "win_rownum",
+    "stream_session",
+    "stream_tumble",
+    "subquery_exists",
+    "win_ntile",
+    "pivot",
+    "join_asof",
+    "join_range",
+    "join_large",
+    "agg_groupby",
+    "llm_text_stats",
+    "llm_sim_search",
+    "topk",
+    "ts_ohlc",
+    "ts_gapfill",
+    "agg_salted",
+    "cdc_snapshot_diff",
+    "dq_drift",
+    "stream_ohlc",
+    "agg_incremental_merge",
+    "agg_countmin",
+    # -- C: heavy tail (degrades first) --
+    "llm_sim_ann_pq",
+    "llm_bigram_score",
+    "llm_dedup_substring",
+    "stream_drift",
+    "stream_mv_refresh",
+    "graph_triangle_count",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's
@@ -943,6 +920,26 @@ def bench_sf1(
     # with Spark's accumulated shuffle files (the combination filled
     # the disk and killed this section in two round-5 runs). Errors are
     # captured PER QUERY so one failure cannot erase the section.
+    #
+    # The duck pass is additionally capped at HALF the remaining
+    # deadline: when first-time fixture synthesis has eaten most of the
+    # budget, a full-budget duck pass leaves the Spark pass NOTHING and
+    # the record ends up all-denominator/no-numerator (this round's
+    # run 2: 64 duck rows, 0 spark rows). Half/half guarantees complete
+    # RATIO pairs for whatever prefix of SF1_QUERIES fits; the Spark
+    # pass runs duck-paired queries first, so the pairs line up.
+    duck_deadline = deadline
+    if deadline is not None:
+        duck_deadline = min(
+            deadline, time.monotonic() + (deadline - time.monotonic()) / 2
+        )
+
+    def duck_over_deadline(reserve: float = SF1_DEADLINE_RESERVE_S) -> bool:
+        return (
+            duck_deadline is not None
+            and time.monotonic() > duck_deadline - reserve
+        )
+
     duck: dict[str, float] = {}
     cold_duck: dict[str, float] = {}
     con = _duck_connect()
@@ -979,14 +976,19 @@ def bench_sf1(
         sql = overrides.get(name) or registry[name].oracle
         if not sql:
             continue
-        if over_deadline():
+        if duck_over_deadline():
             skipped_deadline.append(f"duckdb:{name}")
             continue
         budget = SF1_DUCK_QUERY_BUDGET_S
-        if deadline is not None:
+        if duck_deadline is not None:
             budget = min(
                 budget,
-                max(deadline - time.monotonic() - SF1_DEADLINE_RESERVE_S, 5.0),
+                max(
+                    duck_deadline
+                    - time.monotonic()
+                    - SF1_DEADLINE_RESERVE_S,
+                    5.0,
+                ),
             )
         try:
             duck_detail[name] = run_duckdb_budgeted(
@@ -1000,7 +1002,7 @@ def bench_sf1(
     for name in SF1_COLD_QUERIES:
         sql = registry[name].oracle
         if sql:
-            if over_deadline():
+            if duck_over_deadline():
                 skipped_deadline.append(f"duckdb_cold:{name}")
                 continue
             try:
