@@ -132,6 +132,9 @@ HEADLINE = [
     "llm_sample_reservoir",
     "llm_eval_ngram_recall",
     "ts_mad_anomaly",
+    # round-10 batch 3 (graph_clustering_coeff is sf1-only, same
+    # wedge-join cost family as graph_triangle_count)
+    "ts_autocorr",
 ]
 
 
@@ -476,6 +479,7 @@ SF1_QUERIES = [
     "llm_sample_reservoir",
     "llm_eval_ngram_recall",
     "ts_mad_anomaly",
+    "ts_autocorr",
     # -- B: established pairs --
     "flagship_flat",
     "dedup_lastwins",
@@ -514,6 +518,7 @@ SF1_QUERIES = [
     "stream_drift",
     "stream_mv_refresh",
     "graph_triangle_count",
+    "graph_clustering_coeff",
 ]
 
 #: Spark-timed at sf1 WITHOUT a DuckDB twin: the comparison engine's

@@ -500,6 +500,116 @@ GROUP BY node
 """
 
 
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient on the part co-occurrence
+    graph: c(v) = 2*T(v) / (d(v)*(d(v)-1)) — how close each node's
+    neighborhood is to a clique (the community-tightness feature next
+    to raw triangle counts).
+
+    Shares graph_triangle_count's canonical (u < v) edge set and
+    triangle join verbatim; adds the degree table (edges counted in
+    both orientations) and a LEFT join so triangle-free nodes report
+    coefficient 0 rather than vanishing. The quotient is integer ppm
+    (2*T*1e6 div d*(d-1)) — no float anywhere; nodes with d < 2 are
+    excluded (the coefficient is undefined on them).
+
+    At 100 TB: identical scaling argument to graph_triangle_count (the
+    wedge join dominates; canonical orientation bounds it), plus one
+    hash aggregate for degrees and one shuffle join on node keys.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") >= TRI_MIN_COOCCUR)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u"))
+              & (F.col("e3.v") == F.col("e2.v")))
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            F.col("node").alias("p_partkey"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "2 * coalesce(n_triangles, 0) * 1000000"
+                " div (degree * (degree - 1))"
+            ).alias("coeff_ppm"),
+        )
+    )
+
+
+ORACLE_GRAPH_CLUSTERING_COEFF = f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tcount AS (
+  SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+)
+SELECT
+  d.node AS p_partkey,
+  d.degree,
+  COALESCE(t.n_triangles, 0) AS n_triangles,
+  2 * COALESCE(t.n_triangles, 0) * 1000000
+    // (d.degree * (d.degree - 1)) AS coeff_ppm
+FROM deg d LEFT JOIN tcount t USING (node)
+WHERE d.degree >= 2
+"""
+
+
 QUERIES = {
     "graph_pagerank": spec(
         graph_pagerank, ORACLE_GRAPH_PAGERANK, "beyond",
@@ -520,5 +630,10 @@ QUERIES = {
     "graph_bfs_levels": spec(
         graph_bfs_levels, ORACLE_GRAPH_BFS_LEVELS, "beyond",
         doc="frontier BFS levels from one source (oracle: WITH RECURSIVE)",
+    ),
+    "graph_clustering_coeff": spec(
+        graph_clustering_coeff, ORACLE_GRAPH_CLUSTERING_COEFF, "beyond",
+        doc="per-node local clustering coefficient (canonical triangle "
+            "join + integer-ppm quotient)",
     ),
 }

@@ -1088,6 +1088,109 @@ GROUP BY event_type
 """
 
 
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each series' hourly totals — the
+    seasonality/persistence diagnostic run before choosing a forecast
+    baseline (white noise vs trending vs mean-reverting).
+
+    The lag pairing is one window ``lag()`` over the hourly grid
+    (partitioned by series, grid-sized, not event-sized); the Pearson
+    r then follows the agg_stats discipline exactly: all six moments
+    accumulate as EXACT BIGINTs (hourly totals in cents stay ~2.7e7 at
+    sf1, so per-row products <= ~7e14 and 720-row sums <= ~5e17 — long
+    safe; a 100 TB deployment widens to dec_sum as aggregates.py
+    documents), then the textbook formula runs in DOUBLE on those
+    exact moments with the identical expression in both engines —
+    every IEEE step (cast, multiply, subtract, sqrt, divide) is
+    correctly rounded on identical inputs, so r is bit-identical.
+    Zero-variance series are excluded (r undefined).
+    """
+    e = table(spark, sf_dir, "events")
+    hour = F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+    hourly = (
+        e.select(
+            "event_type", hour.alias("h"), scaled_long("value").alias("c")
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    paired = hourly.withColumn("y", F.lag("x").over(w)).filter(
+        F.col("y").isNotNull()
+    )
+    mom = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    r_expr = (
+        "(cast(n as double) * cast(sxy as double)"
+        " - cast(sx as double) * cast(sy as double))"
+        " / (sqrt(cast(n as double) * cast(sxx as double)"
+        "          - cast(sx as double) * cast(sx as double))"
+        "    * sqrt(cast(n as double) * cast(syy as double)"
+        "           - cast(sy as double) * cast(sy as double)))"
+    )
+    den_pos = (
+        "cast(n as double) * cast(sxx as double)"
+        " - cast(sx as double) * cast(sx as double) > 0"
+        " and cast(n as double) * cast(syy as double)"
+        " - cast(sy as double) * cast(sy as double) > 0"
+    )
+    return mom.filter(F.expr(den_pos)).select(
+        "event_type", "n", F.expr(r_expr).alias("r1")
+    )
+
+
+ORACLE_TS_AUTOCORR = f"""
+WITH hourly AS (
+  SELECT
+    event_type,
+    epoch_us(ts) // {HOUR_US} AS h,
+    SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS x
+  FROM events
+  GROUP BY 1, 2
+),
+paired AS (
+  SELECT
+    event_type,
+    x,
+    LAG(x) OVER (PARTITION BY event_type ORDER BY h) AS y
+  FROM hourly
+),
+mom AS (
+  SELECT
+    event_type,
+    COUNT(*) AS n,
+    CAST(SUM(x) AS BIGINT) AS sx,
+    CAST(SUM(y) AS BIGINT) AS sy,
+    CAST(SUM(x * x) AS BIGINT) AS sxx,
+    CAST(SUM(y * y) AS BIGINT) AS syy,
+    CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM paired
+  WHERE y IS NOT NULL
+  GROUP BY event_type
+)
+SELECT
+  event_type,
+  n,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r1
+FROM mom
+WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+"""
+
+
 #: MAD multiple above which a day is anomalous
 MAD_MULT = 3
 
@@ -1243,5 +1346,10 @@ QUERIES = {
         ts_mad_anomaly, ORACLE_TS_MAD_ANOMALY, "beyond",
         doc="robust MAD anomaly flags per series (doubled-integer "
             "medians, no float in the decision)",
+    ),
+    "ts_autocorr": spec(
+        ts_autocorr, ORACLE_TS_AUTOCORR, "beyond",
+        doc="lag-1 autocorrelation per series from exact integer "
+            "moments (agg_stats discipline on a lag self-pairing)",
     ),
 }

@@ -142,7 +142,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "mm_resize_stub",
     "project_struct_nested",
     # -- 5. r4-evidence rows --
-    "agg_approx_percentile",
     "agg_mode",
     "dq_referential",
     "fx_math",
@@ -157,7 +156,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_stateful",
     "stream_stream_join",
     "stream_tumble",
-    "subquery_lateral",
     "udf_pandas",
     # -- 5b. round-10 implementation changes, second batch (clause b):
     #    llm_dedup_prefixfilter swapped its verify to array_jaccard;
@@ -186,6 +184,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_sample_reservoir",
     "llm_eval_ngram_recall",
     "ts_mad_anomaly",
+    # -- 6b. round-10 batch-3 additions; two final cessions:
+    #    agg_approx_percentile (approx family re-proven via agg_approx
+    #    r9 + exact agg_percentile's parity sweep), subquery_lateral
+    #    (subquery family re-proven via subquery_all's r9 row; exists/
+    #    in/scalar unchanged since r4 and parity-swept locally).
+    "graph_clustering_coeff",
+    "ts_autocorr",
 )
 
 

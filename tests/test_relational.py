@@ -1680,3 +1680,103 @@ def test_mad_anomaly_matches_python_recompute(spark):
                 want[(et, d)] = (d2, mad4)
     assert got == want
     assert got, "no anomalies at sf0.001 — check the threshold"
+
+
+# --- round-10 batch 3: clustering coefficient / autocorrelation --------------
+
+def test_clustering_coeff_matches_python_recompute(spark):
+    """Degrees, triangle counts and the ppm quotient agree with a
+    brute-force Python recompute over the collected canonical edges."""
+    from itertools import combinations
+
+    from etl_verkada_spark.operators.graph import graph_clustering_coeff
+
+    got = {
+        r["p_partkey"]: (r["degree"], r["n_triangles"], r["coeff_ppm"])
+        for r in graph_clustering_coeff(spark, SF_SMALL).collect()
+    }
+    li = (
+        table_validated(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    per_order = defaultdict(set)
+    for r in li:
+        per_order[r["l_orderkey"]].add(r["l_partkey"])
+    cooc = defaultdict(int)
+    for parts in per_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            cooc[(u, v)] += 1
+    edges = {e for e, k in cooc.items() if k >= 2}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = {}
+    for node, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        t = sum(
+            1
+            for u, v in combinations(sorted(nbrs), 2)
+            if (u, v) in edges
+        )
+        want[node] = (d, t, 2 * t * 1_000_000 // (d * (d - 1)))
+    assert got == want
+    assert any(t for _, t, _ in got.values()), "no triangles at sf0.001"
+
+
+def test_autocorr_matches_python_recompute(spark):
+    """r1 equals the Pearson formula computed in Python on the same
+    exact integer moments (identical IEEE expression order)."""
+    import math
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.timeseries import HOUR_US, ts_autocorr
+
+    got = {
+        r["event_type"]: (r["n"], r["r1"])
+        for r in ts_autocorr(spark, SF_SMALL).collect()
+    }
+    assert got
+    rows = (
+        table_validated(spark, SF_SMALL, "events")
+        .select(
+            "event_type",
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {HOUR_US}"
+            ).alias("h"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("c"),
+        )
+        .collect()
+    )
+    hourly = defaultdict(int)
+    for r in rows:
+        hourly[(r["event_type"], r["h"])] += r["c"]
+    series = defaultdict(list)
+    for (et, h), x in hourly.items():
+        series[et].append((h, x))
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        pairs = list(zip(xs[1:], xs[:-1]))
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        vx = float(n) * float(sxx) - float(sx) * float(sx)
+        vy = float(n) * float(syy) - float(sy) * float(sy)
+        if not (vx > 0 and vy > 0):
+            assert et not in got
+            continue
+        r1 = (float(n) * float(sxy) - float(sx) * float(sy)) / (
+            math.sqrt(vx) * math.sqrt(vy)
+        )
+        assert got[et][0] == n
+        assert abs(got[et][1] - r1) < 1e-12, et
