@@ -270,10 +270,10 @@ def _bpe_train_state(
             .limit(1)
             .localCheckpoint(eager=False)
         )
-        merges.append(top1.withColumn("step", F.lit(step)))
         row = top1.first()
-        if row is None:  # vocabulary degenerated to single symbols
-            break
+        if row is None:  # vocabulary degenerated to single symbols —
+            break  # do NOT record an empty 0-row step table
+        merges.append(top1.withColumn("step", F.lit(step)))
         words = _apply_merge(words, row["a"], row["b"]).localCheckpoint(
             eager=False
         )

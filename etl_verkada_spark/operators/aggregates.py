@@ -944,13 +944,19 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count satisfies cnt*(K+1) >= n, then on at least ONE partition its
     local count clears the same local bar (sum both sides over
     partitions), so the union of per-partition locally-frequent items
-    is a SUPERSET of every global heavy hitter. Phase 1 computes local
-    counts and applies that bar INSIDE a single Arrow pass per
-    partition (this is the one justified imperative-per-partition spot:
+    is a SUPERSET of every global heavy hitter. Phase 1 runs TRUE
+    weighted Misra-Gries with K+1 counters inside a single Arrow pass
+    per partition — per-partition state is K+1 counters plus one
+    per-batch value_counts table (bounded by Arrow batch size), never
+    the partition's distinct-item histogram. MG's undercount bound is
+    n_local/(K+2), and any partition-local clearer of the bar has
+    cnt_local >= n_local/(K+1) > n_local/(K+2), so every such item
+    SURVIVES eviction — the emitted counter keys remain a candidate
+    superset. (This is the one justified imperative-per-partition spot:
     a relational groupBy(pid, item) would ship every distinct
     (pid, item) group through the exchange — the exact cost the pruning
-    exists to avoid; here only locally-frequent candidates plus one
-    row-count sentinel per partition ever leave the executor). Phase 2
+    exists to avoid; here only <=K+1 surviving candidates plus one
+    row-count sentinel per partition ever leave the executor.) Phase 2
     re-counts ONLY candidate items (broadcast semi-join, map-side
     combine over a handful of groups) and applies the exact global bar.
 
@@ -971,24 +977,40 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "lang", "source").alias("item")
     )
 
+    n_counters = HH_K + 1
+
     def local_candidates(batches):
-        counts: dict[str, int] = {}
+        counters: dict[str, int] = {}
         n_local = 0
         for batch in batches:
             col = batch.column(0)
-            for chunk_val, chunk_cnt in zip(
-                *_value_counts_arrow(col)
-            ):
-                counts[chunk_val] = counts.get(chunk_val, 0) + chunk_cnt
-                n_local += chunk_cnt
-        bar_items = [
-            it for it, c in counts.items() if c * (HH_K + 1) >= n_local
-        ]
+            for val, cnt in zip(*_value_counts_arrow(col)):
+                n_local += cnt
+                # weighted Misra-Gries arrival: absorb, insert, or
+                # decrement-all by min(counter) and retry (the retry
+                # always lands — eviction freed a slot)
+                while cnt > 0:
+                    if val in counters:
+                        counters[val] += cnt
+                        cnt = 0
+                    elif len(counters) < n_counters:
+                        counters[val] = cnt
+                        cnt = 0
+                    else:
+                        d = min(cnt, min(counters.values()))
+                        cnt -= d
+                        for key in [
+                            k for k, v in counters.items() if v == d
+                        ]:
+                            del counters[key]
+                        for key in counters:
+                            counters[key] -= d
+        surviving = list(counters)
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(bar_items + [None], type=pa.string()),
+                pa.array(surviving + [None], type=pa.string()),
                 pa.array(
-                    [0] * len(bar_items) + [n_local], type=pa.int64()
+                    [0] * len(surviving) + [n_local], type=pa.int64()
                 ),
             ],
             names=["item", "local_n"],

@@ -535,10 +535,11 @@ GROUP BY p.event_id, p.user_id
 """
 
 
-#: overlap-join band width, centiseconds (600 s). Intervals are at most
-#: ~490 s long (events.value <= 490.02), i.e. STRICTLY shorter than one
-#: band — so every interval touches at most two bands, and the x2
-#: explode bound below is a proof, not a heuristic.
+#: overlap-join band width, centiseconds (600 s). On the test corpus
+#: intervals are at most ~490 s (events.value <= 490.02), so the
+#: sequence-explode below emits <=2 copies per interval; the plan stays
+#: CORRECT for longer intervals too (every touched band is emitted),
+#: the band width only tunes the explode factor vs join selectivity.
 _OVERLAP_BAND_CS = 60_000
 
 
@@ -551,15 +552,17 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each event spans [ts, ts + value seconds]. A naive engine needs an
     all-pairs range join; the scalable plan is temporal banding (the
     1-D analogue of geo_knn's grid): every interval is exploded into
-    the <=2 bands it touches (band width > max interval length —
-    checked above), candidates join on the band EQUI-key, the true
-    overlap predicate filters, and the duplicate a pair would get from
-    co-touching two bands is removed by an OWNERSHIP rule instead of a
-    distinct: the pair is counted only in the band containing
-    max(start), which overlap guarantees both sides touch. One
-    equi-join shuffle on a high-cardinality key, zero distinct, zero
-    all-pairs. Time is exact integer centiseconds (value has 2
-    decimals).
+    EVERY band it touches (``sequence(band(start), band(end))`` — at
+    most ceil(len/band)+1 copies, <=2 on this corpus), candidates join
+    on the band EQUI-key, the true overlap predicate filters, and the
+    duplicates a pair would get from co-touching several bands are
+    removed by an OWNERSHIP rule instead of a distinct: the pair is
+    counted only in the band containing max(start). That band is
+    touched by BOTH sides for ANY interval lengths — max(start) lies
+    inside both intervals whenever they strictly overlap — so the rule
+    is exact, not a fixture-dependent shortcut. One equi-join shuffle
+    on a high-cardinality key, zero distinct, zero all-pairs. Time is
+    exact integer centiseconds (value has 2 decimals).
 
     Output is the per-epoch-day overlap profile: pair count and total
     overlap mass (strict overlap: max(start) < min(end)).
@@ -584,16 +587,27 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col(f"{kind}_s") + F.col("len_cs")).alias(f"{kind}_e"),
         )
 
-    def _banded(df: DataFrame, s: str, epos: str) -> DataFrame:
-        b0 = F.expr(f"{s} div {_OVERLAP_BAND_CS}")
-        b1 = F.expr(f"{epos} div {_OVERLAP_BAND_CS}")
-        return df.withColumn(
-            "band",
-            F.explode(F.array_distinct(F.array(b0, b1))),
-        )
+    return overlap_profile(
+        _ivals("click"), _ivals("view"), band_cs=_OVERLAP_BAND_CS
+    )
 
-    clicks = _banded(_ivals("click"), "click_s", "click_e")
-    views = _banded(_ivals("view"), "view_s", "view_e")
+
+def overlap_profile(
+    clicks_iv: DataFrame, views_iv: DataFrame, *, band_cs: int
+) -> DataFrame:
+    """The banded interval-overlap core (see join_interval_overlap):
+    inputs are interval tables with columns ``{kind}_user``,
+    ``{kind}_s``, ``{kind}_e`` (integer centiseconds). Exposed at
+    module level so the arbitrary-interval-length proof can be pinned
+    by a test with intervals LONGER than one band."""
+
+    def _banded(df: DataFrame, s: str, epos: str) -> DataFrame:
+        b0 = F.expr(f"{s} div {band_cs}")
+        b1 = F.expr(f"{epos} div {band_cs}")
+        return df.withColumn("band", F.explode(F.sequence(b0, b1)))
+
+    clicks = _banded(clicks_iv, "click_s", "click_e")
+    views = _banded(views_iv, "view_s", "view_e")
     pairs = (
         clicks.join(views, "band")
         .filter(
@@ -602,9 +616,9 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("view_s") < F.col("click_e"))
         )
         .withColumn("mx_s", F.greatest("click_s", "view_s"))
-        # ownership: exactly one of the <=4 banded copies of a true
-        # pair has band == band(max start)
-        .filter(F.col("band") == F.expr(f"mx_s div {_OVERLAP_BAND_CS}"))
+        # ownership: of all banded copies of a true pair, exactly one
+        # has band == band(max start), and both sides always emit it
+        .filter(F.col("band") == F.expr(f"mx_s div {band_cs}"))
         .select(
             F.expr("mx_s div 8640000").alias("epoch_day"),
             (

@@ -54,8 +54,11 @@ def bucketed_global_rank(
     Requirements: ``value_col`` must be the leading sort key and
     ``order_cols`` a total order (unique tiebreaker), so equal values
     land in one bucket and the within-bucket order extends the global
-    one. NULLs in ``value_col`` sort last (shared last bucket, ordered
-    by the null-aware ``order_cols``).
+    one. NULL placement is READ FROM the leading order column (its
+    NULLS FIRST/LAST modifier, or Spark's defaults: ASC=>first,
+    DESC=>last) and NULL ``value_col`` rows are routed to a dedicated
+    first or last bucket accordingly — so the bucket routing can never
+    silently disagree with the window's own null ordering.
 
     Quantile boundaries keep buckets balanced under skew; duplicate
     boundaries collapse (a mega-tie-class degrades to fewer, fatter
@@ -72,15 +75,32 @@ def bucketed_global_rank(
         ).alias("bs")
     ).first()
     bounds = sorted({b for b in (row["bs"] or []) if b is not None})
+    # NULL routing must match the window's own null ordering. Parse the
+    # leading order column's expression text: an explicit NULLS
+    # FIRST/LAST wins; otherwise Spark's defaults apply (ASC => nulls
+    # first, DESC => nulls last). NULLs then get a dedicated bucket
+    # BEFORE bucket 0 (id -1) or AFTER the last one — the offset
+    # prefix-sum below sorts bucket ids, so both placements fall out of
+    # the same counting pass.
+    lead = str(order_cols[0]).upper()
+    if "NULLS LAST" in lead:
+        nulls_last = True
+    elif "NULLS FIRST" in lead:
+        nulls_last = False
+    else:
+        nulls_last = " DESC" in lead
+    null_bucket = (len(bounds) if bounds else 1) if nulls_last else -1
     if bounds:
         arr = F.array(*[F.lit(b) for b in bounds])
         v = F.col(value_col)
         in_bucket = F.size(
             F.filter(arr, (lambda b: b > v) if descending else (lambda b: b < v))
         )
-        bucket = F.when(v.isNull(), F.lit(len(bounds))).otherwise(in_bucket)
+        bucket = F.when(v.isNull(), F.lit(null_bucket)).otherwise(in_bucket)
     else:
-        bucket = F.lit(0)
+        bucket = F.when(
+            F.col(value_col).isNull(), F.lit(null_bucket)
+        ).otherwise(F.lit(0))
     bucketed = df.withColumn("__bucket", bucket)
     cnts = {
         r["__bucket"]: r["cnt"]

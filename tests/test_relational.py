@@ -1570,6 +1570,73 @@ def test_interval_overlap_matches_bruteforce(spark):
     assert got == {k: tuple(v) for k, v in want.items()}
 
 
+def test_bucketed_global_rank_nulls_first_ascending(spark):
+    """NULL routing follows the LEADING order column: with Spark's
+    default ascending (nulls FIRST) ordering, NULL rows take the
+    earliest positions — the r10 advice's silent-wrong-positions case."""
+    from etl_verkada_spark.operators.sorts import bucketed_global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(
+            [5.0, None, 3.0, 3.0, None, 8.0, 1.0, 3.0, 8.0, 0.0]
+        )],
+        "id int, v double",
+    )
+    got = {
+        r["id"]: r["pos"]
+        for r in bucketed_global_rank(
+            df, "v", [F.col("v"), F.col("id")], n_buckets=4
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("v"), F.col("id"))
+    want = {
+        r["id"]: r["pos"]
+        for r in df.select(
+            "id", F.row_number().over(w).alias("pos")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_interval_overlap_long_intervals_beyond_band(spark):
+    """Intervals LONGER than one band (the r10 advice's regression
+    case): sequence-banding emits every touched band, so the
+    max-start ownership rule still counts each overlapping pair
+    exactly once — checked against an in-test brute force."""
+    from etl_verkada_spark.operators.joins import overlap_profile
+
+    band = 100  # tiny band so intervals span many bands
+    clicks = [(i, f"cu{i}", i * 37, i * 37 + 50 + 90 * i) for i in range(8)]
+    views = [(j, f"vu{j}", j * 53 + 20, j * 53 + 20 + 30 + 170 * j)
+             for j in range(8)]
+    cdf = spark.createDataFrame(
+        clicks, "click_id int, click_user string, click_s long, click_e long"
+    )
+    vdf = spark.createDataFrame(
+        views, "view_id int, view_user string, view_s long, view_e long"
+    )
+    got = {
+        r["epoch_day"]: (r["n_pairs"], r["sum_overlap_cs"])
+        for r in overlap_profile(cdf, vdf, band_cs=band).collect()
+    }
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    for _, cu, cs, ce in clicks:
+        for _, vu, vs, ve in views:
+            if cu == vu:
+                continue
+            mx, mn = max(cs, vs), min(ce, ve)
+            if mx < mn:
+                d = want[mx // 8640000]
+                d[0] += 1
+                d[1] += mn - mx
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert got, "fixture produced no overlapping pairs"
+
+
 def test_benford_partitions_of_unity(spark):
     """Nine digit rows; observed counts sum to the table count; ppm
     shares sum to 1e6 within the floor-division slack."""
