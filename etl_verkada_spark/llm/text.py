@@ -694,22 +694,29 @@ def llm_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed in fixed order so the float sum is order-identical too.
     """
     d = table(spark, sf_dir, "documents")
-    # This scan runs twice (stats pass + scoring pass — inherent to BM25
-    # unless the index is cached), so its per-row cost is the whole
-    # query. tf via split + array_remove: split(text,' ') produces
-    # VIEWS into the original UTF8String bytes (no copy), and
-    # size(ws) - size(array_remove(ws, t)) counts exact token equality.
-    # Measured per pass at synthesized sf1 (tools/profile_bm25): 0.43s
-    # vs 1.22s for the padded-substring-count it replaces (whose
+    # tf via split + array_remove: split(text,' ') produces VIEWS into
+    # the original UTF8String bytes (no copy), and size(ws) -
+    # size(array_remove(ws, t)) counts exact token equality. Measured
+    # per pass at synthesized sf1 (tools/profile_bm25): 0.43s vs 1.22s
+    # for the padded-substring-count it replaces (whose
     # replace(' ','  ') rewrote every byte of the corpus per pass) and
     # 0.78s for the interpreted higher-order filter form. dl =
     # size(split) = #spaces + 1, empty pieces included.
+    #
+    # base feeds BOTH the stats agg and the scoring scan; without the
+    # checkpoint the corpus tokenizes TWICE (DuckDB materializes the
+    # equivalent CTE once — that asymmetry was the whole 2.59x r10 sf1
+    # gap). The checkpoint is (doc_id, dl, tf0..2) — 5 ints/doc, the
+    # "index build" production BM25 amortizes anyway; measured sf1:
+    # 1.87 s -> 1.09 s (SCALE.md §25c).
     ws = F.split("text", " ")
     tf_cols = [
         (F.size(ws) - F.size(F.array_remove(ws, t))).alias(f"tf{i}")
         for i, t in enumerate(BM25_TERMS)
     ]
-    base = d.select("doc_id", F.size(ws).alias("dl"), *tf_cols)
+    base = d.select(
+        "doc_id", F.size(ws).alias("dl"), *tf_cols
+    ).localCheckpoint(eager=False)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -1156,6 +1163,14 @@ FROM per
 #: perplexity-gate drop fraction: the worst quarter by LM score goes
 PERPLEXITY_DROP_DEN = 4
 
+#: score-bucket width in s6 fixed-point. avg_s6 = score_s6_sum div
+#: n_bigrams is a probability ratio scaled by 1e6, so it lives in
+#: [0, 1e6] and ``avg_s6 div 1000`` has AT MOST 1001 distinct values —
+#: the histogram window's width is bounded a priori by a LITERAL, not
+#: by the data (the CCNet-style perplexity-bucket discipline; r10
+#: verdict item 5).
+PERPLEXITY_QUANT_S6 = 1_000
+
 
 def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-threshold quality gate on the corpus-LM fluency score —
@@ -1164,29 +1179,29 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT count semantics (ties broken by doc_id, so the kept set is
     bit-deterministic across engines, retries and partitionings).
 
-    The global rank is computed WITHOUT a global row sort: documents
-    collapse to the score-value histogram first, a cumulative-count
-    window over the DISTINCT score values (histogram-sized) gives each
-    value its rank offset, and a per-value row_number (window
-    partitioned BY VALUE — bounded by the largest tie class) finishes
-    the rank. rank = cum_before(value) + tie_rank; drop iff
-    rank <= n div 4. Scores are the integer fixed-point
-    ``score_s6_sum div n_bigrams`` — no float anywhere in the decision.
+    The gate ranks QUANTIZED scores (``avg_s6 div PERPLEXITY_QUANT_S6``
+    — the CCNet-style perplexity bucket): documents collapse to the
+    <=1001-row bucket histogram, a cumulative-count window over the
+    buckets (width literally bounded, never data-dependent) gives each
+    bucket its rank offset, and a per-bucket row_number finishes the
+    rank. rank = cum_before(bucket) + tie_rank; drop iff
+    rank <= n div 4. Scores are integer fixed-point end to end — no
+    float anywhere in the decision, and the oracle quantizes
+    identically so the kept set is hash-equal.
 
-    At 100 TB: the histogram window's width is the distinct-score
-    count, not the doc count (production would additionally quantize
-    scores to bound it a priori); everything else is hash joins against
-    a broadcast histogram.
+    At 100 TB: the histogram window is a <=1001-row single task by
+    construction; everything else is hash joins against a broadcast
+    histogram and a row_number bounded by the largest score bucket.
     """
     scored = llm_bigram_score(spark, sf_dir).select(
         "doc_id",
         "n_bigrams",
         F.expr("score_s6_sum div n_bigrams").alias("avg_s6"),
-    )
-    hist = scored.groupBy("avg_s6").agg(F.count(F.lit(1)).alias("cnt"))
-    hw = Window.orderBy("avg_s6")
+    ).withColumn("q_s6", F.expr(f"avg_s6 div {PERPLEXITY_QUANT_S6}"))
+    hist = scored.groupBy("q_s6").agg(F.count(F.lit(1)).alias("cnt"))
+    hw = Window.orderBy("q_s6")
     cum = hist.select(
-        "avg_s6",
+        "q_s6",
         F.coalesce(
             F.sum("cnt").over(
                 hw.rowsBetween(Window.unboundedPreceding, -1)
@@ -1198,9 +1213,9 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                              Window.unboundedFollowing))
         .alias("n_total"),
     )
-    tie = Window.partitionBy("avg_s6").orderBy("doc_id")
+    tie = Window.partitionBy("q_s6").orderBy("doc_id")
     ranked = (
-        scored.join(F.broadcast(cum), "avg_s6")
+        scored.join(F.broadcast(cum), "q_s6")
         .withColumn("tie_rank", F.row_number().over(tie))
         .withColumn("rank", F.col("cum_before") + F.col("tie_rank"))
     )
@@ -1231,16 +1246,18 @@ model AS (
 scored AS (
   SELECT p.doc_id,
          COUNT(*) AS n_bigrams,
-         CAST(SUM(m.r_s6) AS BIGINT) // COUNT(*) AS avg_s6
+         CAST(SUM(m.r_s6) AS BIGINT) // COUNT(*) AS avg_s6,
+         CAST(SUM(m.r_s6) AS BIGINT) // COUNT(*)
+           // {PERPLEXITY_QUANT_S6} AS q_s6
   FROM pairs p JOIN model m USING (w1, w2)
   GROUP BY p.doc_id
 ),
 hist AS (
-  SELECT avg_s6, COUNT(*) AS cnt FROM scored GROUP BY avg_s6
+  SELECT q_s6, COUNT(*) AS cnt FROM scored GROUP BY q_s6
 ),
 cum AS (
-  SELECT avg_s6,
-    CAST(COALESCE(SUM(cnt) OVER (ORDER BY avg_s6
+  SELECT q_s6,
+    CAST(COALESCE(SUM(cnt) OVER (ORDER BY q_s6
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
       AS cum_before,
     CAST(SUM(cnt) OVER () AS BIGINT) AS n_total
@@ -1249,10 +1266,10 @@ cum AS (
 ranked AS (
   SELECT s.doc_id, s.n_bigrams, s.avg_s6,
          c.cum_before
-           + ROW_NUMBER() OVER (PARTITION BY s.avg_s6 ORDER BY s.doc_id)
+           + ROW_NUMBER() OVER (PARTITION BY s.q_s6 ORDER BY s.doc_id)
            AS rank,
          c.n_total
-  FROM scored s JOIN cum c USING (avg_s6)
+  FROM scored s JOIN cum c USING (q_s6)
 )
 SELECT doc_id, n_bigrams, avg_s6
 FROM ranked WHERE rank > n_total // {PERPLEXITY_DROP_DEN}
@@ -1504,6 +1521,19 @@ def llm_eval_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ReuseExchange evaluates the shingle construction ONCE (renaming
     first produces two different subtrees and the whole chain runs
     per side).
+
+    sf1 decomposition (r11, SCALE.md §25a): on the perturbed sf1
+    corpus the fp blocking is NOT sparse — 169,502 groups, 11.48M
+    qualifying pairs, max group 243 — so the 25 s sf1 absolute is
+    ~2 us per pair-side of array_intersect over 11.5M emitted metric
+    rows, not overhead. A candidates-first variant (ship (doc_id, fp)
+    only, re-scan arrays for candidate docs) was built and measured
+    3.4x WORSE at sf1 (85 s): with half the corpus in the candidate
+    set it pays the shingle pass twice plus two extra row-count-scale
+    joins. The pair-dense regime wants the arrays ON the exchange;
+    its DuckDB denominator is SF1_TWIN_LLM_EVAL_NGRAM_RECALL below
+    (same algorithm, list_intersect form — the brute-force inverted-
+    index oracle stays the sf0.01 correctness twin).
     """
     base = (
         with_shingles(table(spark, sf_dir, "documents"))
@@ -1585,6 +1615,47 @@ SELECT
 FROM inter i
 JOIN sizes za ON i.doc_a = za.doc_id
 JOIN sizes zb ON i.doc_b = zb.doc_id
+"""
+
+
+#: BENCH-ONLY sf1 twin (the llm_dedup_prefixfilter discipline,
+#: dedup.py:788): the SAME algorithm as the Spark plan — per-doc
+#: distinct-shingle LIST + lexicographic-min blocking key, fp-equality
+#: self-join, per-pair list_intersect — instead of the correctness
+#: oracle's inverted-index re-join, which materializes the corpus-wide
+#: (doc_id, shingle) DISTINCT twice and never finished inside the sf1
+#: budget (BENCH_FULL r10 sf1.errors). Output is identical to the
+#: oracle's: the intersection of the two docs' distinct shingle sets
+#: is the same set however it is computed.
+SF1_TWIN_LLM_EVAL_NGRAM_RECALL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+da AS (
+  SELECT doc_id,
+    CASE WHEN LEN(ws) >= 4
+         THEN list_distinct([array_to_string(ws[i:i+3], ' ')
+                             for i in generate_series(1, LEN(ws) - 3)])
+         ELSE [text]
+    END AS arr
+  FROM w
+),
+fa AS (
+  SELECT doc_id, list_aggregate(arr, 'min') AS fp, arr FROM da
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         LEN(list_intersect(a.arr, b.arr)) AS n_common,
+         LEN(a.arr) AS sza, LEN(b.arr) AS szb
+  FROM fa a JOIN fa b ON a.fp = b.fp AND a.doc_id < b.doc_id
+)
+SELECT
+  doc_a,
+  doc_b,
+  CAST(n_common AS BIGINT) AS n_common,
+  CAST(n_common * 1000000 // sza AS BIGINT) AS precision_ppm,
+  CAST(n_common * 1000000 // szb AS BIGINT) AS recall_ppm
+FROM pairs
 """
 
 

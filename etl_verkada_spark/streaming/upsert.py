@@ -605,6 +605,87 @@ def _drift_oracle() -> str:
     return ORACLE_DQ_DRIFT
 
 
+def stream_drift_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE incremental drift-monitor refresh step — stream_drift's
+    batch-apply twin, completing the replay/steady-state pair the
+    mv_refresh/mv_apply and scd2_build/scd2_apply rows already have
+    (r10 verdict item 2).
+
+    stream_drift replays ALL chunks through availableNow micro-batch
+    machinery (DRIFT_CHUNKS triggers, a full state overwrite per
+    trigger) — a replay-stress statement. THIS query answers the
+    production question: counts are current through the last drop
+    (state folded from chunks 0..n-2, a cached parquet fixture primed
+    once per sf_dir), one new drop lands, what does bringing the TVD
+    alert current cost? Work = one aggregate over the arriving chunk +
+    a merge with the metadata-sized (feature, category) state. The
+    oracle is dq_drift's from-scratch SQL over ALL orders, so the
+    driver's hash check proves the incremental fold loses nothing.
+
+    At 100 TB: refresh cost scales with the arriving partition, never
+    with the reference window's history.
+    """
+    import os
+    import shutil
+
+    from ..operators.quality import drift_pairs, drift_tvd
+    from ..operators.scans import _land_dir
+    from ..session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    land = _land_dir(sf_dir, "drift_chunks")
+    done = os.path.join(land, "_LANDED")
+    if not os.path.exists(done):
+        # same landing fixture as stream_drift (build once per sf_dir)
+        shutil.rmtree(land, ignore_errors=True)
+        o = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderstatus",
+            "o_orderpriority", "o_totalprice",
+        )
+        for c in range(DRIFT_CHUNKS):
+            o.filter(F.col("o_orderkey") % DRIFT_CHUNKS == c).coalesce(
+                1
+            ).write.mode("append").parquet(land)
+        with open(done, "w") as f:
+            f.write("ok")
+    files = sorted(
+        f for f in os.listdir(land)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
+    prior, last = files[: DRIFT_CHUNKS - 1], files[DRIFT_CHUNKS - 1]
+    state_dir = land + "_prior_state"
+    primed = os.path.join(state_dir, "_PRIMED")
+
+    def chunk_counts(df: DataFrame) -> DataFrame:
+        return drift_pairs(df).groupBy("feature", "category").agg(
+            F.sum("is_ref").alias("cnt_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("cnt_cur"),
+        )
+
+    if not os.path.exists(primed):
+        # prime once per sf_dir: fold chunks 0..n-2 into the state
+        # fixture (the "monitor current through yesterday" precondition)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        chunk_counts(
+            spark.read.parquet(*[os.path.join(land, f) for f in prior])
+        ).coalesce(1).write.mode("overwrite").parquet(state_dir)
+        with open(primed, "w") as f:
+            f.write("ok")
+    part = chunk_counts(spark.read.parquet(os.path.join(land, last)))
+    state = spark.read.parquet(state_dir).select(
+        "feature", "category", "cnt_ref", "cnt_cur"
+    )
+    merged = (
+        state.unionByName(part)
+        .groupBy("feature", "category")
+        .agg(
+            F.sum("cnt_ref").alias("cnt_ref"),
+            F.sum("cnt_cur").alias("cnt_cur"),
+        )
+    )
+    return drift_tvd(merged)
+
+
 QUERIES = {
     "upsert_merge": spec(
         upsert_merge, ORACLE_UPSERT_MERGE, "reference:S9",
@@ -624,5 +705,10 @@ QUERIES = {
         stream_drift, _drift_oracle(), "beyond",
         doc="streaming drift monitor: micro-batch count folds -> TVD "
             "== batch dq_drift recompute (oracle is dq_drift's SQL)",
+    ),
+    "stream_drift_apply": spec(
+        stream_drift_apply, _drift_oracle(), "beyond",
+        doc="one delta-only drift refresh from cached count state == "
+            "full dq_drift recompute (the steady-state incremental cost)",
     ),
 }

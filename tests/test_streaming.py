@@ -539,6 +539,27 @@ def test_stream_drift_equals_batch_audit(spark):
     assert got == want
 
 
+def test_stream_drift_apply_equals_batch_audit(spark):
+    """ONE delta-only drift refresh from the cached prior-state fixture
+    must equal the batch dq_drift recompute exactly — the steady-state
+    twin of the replay test above (the scd2_apply discipline). Run
+    twice: the second call exercises the already-primed path."""
+    from etl_verkada_spark.operators.quality import dq_drift
+    from etl_verkada_spark.streaming.upsert import stream_drift_apply
+    from .conftest import SF_SMALL
+
+    want = {
+        r["feature"]: (r["n_ref"], r["n_cur"], r["n_categories"], r["tvd"])
+        for r in dq_drift(spark, SF_SMALL).collect()
+    }
+    for _ in range(2):
+        got = {
+            r["feature"]: (r["n_ref"], r["n_cur"], r["n_categories"], r["tvd"])
+            for r in stream_drift_apply(spark, SF_SMALL).collect()
+        }
+        assert got == want
+
+
 def test_drift_fold_skips_replayed_batch(spark, tmp_path):
     """At-least-once replay of a drift batch must not double-count any
     (feature, category) cell."""
