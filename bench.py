@@ -805,8 +805,47 @@ def compact_stdout_line(
             sf1_summary["cold"] = {
                 k: round(v, 1) for k, v in sf1["cold_sec"].items()
             }
+        # flag floor-bound rows (r10 verdict #6): a >2x sf1 ratio whose
+        # Spark absolute is ~1 s against a sub-100 ms DuckDB denominator
+        # prices fixed per-job scheduling, not the plan — name them so
+        # the worst-N list reads correctly without the detail file.
+        if sf1_summary.get("ratio") and sf1.get("queries") and sf1.get(
+            "duckdb"
+        ):
+            fb = sorted(
+                n
+                for n, r in sf1_summary["ratio"].items()
+                if r > 2.0
+                and sf1["queries"].get(n, 99.0) <= 1.5
+                and sf1["duckdb"].get(n, 99.0) <= 0.1
+            )
+            if fb:
+                sf1_summary["floor_bound"] = fb
     duck_total = sum(duck.values())
     covered = [n for n in duck if n in timings]
+    # per-query floor-adjusted ratio distribution (r10 verdict #6): the
+    # aggregate sum is a composition artifact over mostly-20 ms DuckDB
+    # denominators, so the line also carries the median and the >2x
+    # count — the two numbers the 2x-per-query verdict actually uses.
+    per_q = sorted(
+        max(timings[n] - floor_s, 0.0) / duck[n]
+        for n in covered
+        if duck[n] > 0
+    )
+    ratio_median = (
+        round(
+            (
+                per_q[len(per_q) // 2]
+                if len(per_q) % 2
+                else (per_q[len(per_q) // 2 - 1] + per_q[len(per_q) // 2])
+                / 2
+            ),
+            2,
+        )
+        if per_q
+        else None
+    )
+    n_gt2x = sum(1 for r in per_q if r > 2.0)
     final = {
         "metric": f"headline query wall-clock, noop sink, min-of-{N_RUNS}",
         "value": value,
@@ -828,6 +867,9 @@ def compact_stdout_line(
             if duck_total > 0
             else None
         ),
+        "ratio_median_floor_adjusted": ratio_median,
+        "n_queries_gt2x": n_gt2x,
+        "n_ratio_pairs": len(per_q),
         "sf1": sf1_summary,
         "detail_file": detail_path,
     }

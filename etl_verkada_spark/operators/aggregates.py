@@ -744,18 +744,23 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_sketch_merge's HLL (CMS answers "how often did key x occur"
     from fixed memory; HLL answers "how many distinct keys").
 
-    Build: each occurrence increments one bucket per hash row — here
-    the (depth, bucket) pairs EXPLODE (bounded x4) and one map-side-
-    combinable count collapses them to the 4x64 table; the exchange
-    carries at most depth*width partial rows per task regardless of
-    input size, which is the entire point of the sketch. Estimate:
-    each key probes its 4 buckets and takes the min — the 256-row CMS
-    broadcasts. Hashing is the cross-engine md5-slice (simhash/
-    sampling discipline), so every bucket, count, and min is
-    engine-identical.
+    Build (r11 rework, SCALE.md §25e): this query ALREADY computes the
+    exact per-key histogram for the error-band exhibit, and the CMS
+    bucket counts are a pure function of it — bucket(d,b) = sum of
+    n_exact over keys hashing there. So the 4x hash explode runs over
+    the DISTINCT-KEY table (|keys| rows), never the raw stream: md5
+    cost drops from 4x|stream| to 4x|keys| (2.53 s -> 1.02 s measured
+    at sf1, identical output). A production build WITHOUT the exact
+    side would hash the stream directly — one pass, O(depth x width)
+    state, map-side combinable — but paying that stream-scale hash
+    here, beside an exact histogram that already exists, priced the
+    pedagogy twice. Estimate: each key probes its 4 buckets and takes
+    the min — the 256-row CMS broadcasts. Hashing is the cross-engine
+    md5-slice (simhash/sampling discipline), so every bucket, count,
+    and min is engine-identical; the oracle derives the sketch from
+    the same histogram.
 
-    At 100 TB: the sketch build is ONE pass with O(1) state; the
-    exact counts computed beside it exist to exhibit the error band
+    At 100 TB: exact counts exist to exhibit the error band
     (est >= true always; test_properties pins it) and would be dropped
     at scale — exactly agg_sketch_merge's contract.
     """
@@ -775,17 +780,19 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(CMS_DEPTH)
         ]
     )
-    hits = li.select("k", F.explode(bucket_structs).alias("db")).select(
-        "k", "db.d", "db.b"
+    # |keys|-sized; checkpointed so the sketch derivation and the final
+    # join don't re-aggregate the stream
+    exact = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .localCheckpoint(eager=False)
     )
-    cms = hits.groupBy("d", "b").agg(F.count(F.lit(1)).alias("n_bucket"))
-    exact = li.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
-    # probe buckets re-derived from the DISTINCT key table (cardinality
-    # |keys|, not |stream|): hashing 4x per key beats a second full-
-    # stream md5 pass + distinct shuffle
     key_buckets = exact.select(
-        "k", F.explode(bucket_structs).alias("db")
-    ).select("k", "db.d", "db.b")
+        "k", "n_exact", F.explode(bucket_structs).alias("db")
+    ).select("k", "n_exact", "db.d", "db.b")
+    cms = key_buckets.groupBy("d", "b").agg(
+        F.sum("n_exact").alias("n_bucket")
+    )
     est = (
         key_buckets.join(F.broadcast(cms), ["d", "b"])
         .groupBy("k")
@@ -797,16 +804,19 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_AGG_COUNTMIN = f"""
-WITH s AS (SELECT l_suppkey AS k FROM lineitem),
-hits AS (
-  SELECT k, d.d,
+WITH ex AS (
+  SELECT l_suppkey AS k, COUNT(*) AS n_exact FROM lineitem GROUP BY 1
+),
+kb AS (
+  SELECT k, n_exact, d.d,
          ('0x' || substring(md5(d.d || ':' || CAST(k AS VARCHAR)), 1, 15))
            ::BIGINT % {CMS_WIDTH} AS b
-  FROM s, (VALUES ('0'), ('1'), ('2'), ('3')) d(d)
+  FROM ex, (VALUES ('0'), ('1'), ('2'), ('3')) d(d)
 ),
-cms AS (SELECT d, b, COUNT(*) AS n_bucket FROM hits GROUP BY d, b),
-ex AS (SELECT k, COUNT(*) AS n_exact FROM s GROUP BY k),
-kb AS (SELECT DISTINCT k, d, b FROM hits),
+cms AS (
+  SELECT d, b, CAST(SUM(n_exact) AS BIGINT) AS n_bucket
+  FROM kb GROUP BY d, b
+),
 est AS (
   SELECT kb.k, CAST(MIN(c.n_bucket) AS BIGINT) AS n_est
   FROM kb JOIN cms c USING (d, b) GROUP BY kb.k
@@ -1116,6 +1126,16 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One full shuffle instead of two, no single-task sort: 1.55s ->
     0.9s at sf0.1.
+
+    Exchange audit (r11, SCALE.md §25e): the plan's exchanges are
+    (a) the (flag, bkt)-CELL-sized partial-agg exchange for bucket
+    totals, (b) a 3-row window exchange for the carry, and (c) the one
+    row-scale exchange + per-bucket sort under the running-sum window.
+    A repartition-first variant that makes (a) and (c) share one
+    exchange via ReuseExchange measured 2.65 s vs 2.68 s at sf1 — no
+    win, because (a) is already cell-sized after map-side combine; the
+    cost IS (c), which any exact weighted median must pay once. Pinned;
+    plan unchanged.
     """
     from pyspark.sql import Window as W
 

@@ -1059,14 +1059,20 @@ def test_countmin_overestimates_only(spark):
 
 
 def test_countmin_sketch_exchange_is_bounded(spark):
-    """The CMS build's aggregate must partially combine map-side: the
-    exchange after the explode carries (d, b) groups — at most
-    depth x width rows per task — never per-occurrence rows. A missing
-    partial_count would ship the exploded stream."""
+    """The stream collapses to the exact per-key histogram with a
+    map-side partial count BEFORE any hash explode (the r11 rework:
+    bucket counts are derived as sum(n_exact) over the key table, so
+    md5 runs 4x|keys|, never 4x|stream|), and that sum itself partially
+    combines — no per-occurrence row ever rides an exchange."""
     from etl_verkada_spark.operators.aggregates import agg_countmin
 
     plan = formatted_plan(agg_countmin(spark, SF_SMALL))
-    assert "partial_count(1)" in plan
+    # the stream->key-histogram partial_count(1) lives in the
+    # localCheckpoint's own job (invisible to this explain); what this
+    # plan must show is that everything DOWNSTREAM of the checkpoint
+    # also partially combines
+    assert "partial_sum" in plan  # key histogram -> sketch buckets
+    assert "partial_min" in plan  # probe -> per-key estimate
 
 
 def test_schema_evolution_nullfills_old_generation(spark):
