@@ -66,131 +66,97 @@ def spec(
 # driver-green from an earlier round with unchanged code, plus full
 # parity coverage via tools/parity_check.py.
 #
-# ROUND-10 WINDOW. CORRECTNESS_r09 went 50/50 green, so every query
-# registered through r9 has a hash-green driver row somewhere in
-# r1-r9. Evidence state entering r10: 7 queries' newest green is r3,
-# 41 at r4, 47 at r5, 49 at r6, 50 at r9. This window, per the
-# rotation policy above:
+# ROUND-11 WINDOW. CORRECTNESS_r10 went 50/50 green; every registered
+# query has a hash-green driver row in r1-r10. Evidence state entering
+# r11 (newest green round -> count): r4 -> 25, r5 -> 43, r6 -> 46,
+# r9 -> 42, r10 -> 50, never -> 1 (this round's stream_drift_apply).
+# This window, per the rotation policy above AND the r10 verdict's
+# item 8 (rotate onto the ceded r4-evidence rows + the 8 sf1-unstable
+# queries):
 #   1. flagship;
-#   2. the nine queries whose IMPLEMENTATION changed in round 10 —
-#      sort_orderby + maintain_zorder (quantile-bucketed global rank
-#      replaced the unpartitioned window), graph_label_propagation +
-#      graph_pagerank (persist-co-partitioned supersteps),
-#      graph_bfs_levels (broadcast frontier/anti-join),
-#      stream_mv_refresh + stream_mv_apply (deterministic chunk
-#      landing), llm_bpe_train + llm_bpe_encode (regexp merge step
-#      replaced the join+windows plan). Policy clause (b): changed
-#      code re-earns its row;
-#   3. the four rows the r9 verdict asked to re-verify because their
-#      plans/docstrings were touched by r9's A/B work: ts_ohlc,
-#      pivot, agg_salted, cdc_snapshot_diff;
-#   4. the seven r3-evidence rows (oldest cohort): agg_collect,
-#      llm_clean_pipeline, llm_dedup_ngram, llm_sim_pairs, llm_tfidf,
-#      mm_resize_stub, project_struct_nested;
-#   5. 21 of the 40 remaining r4-evidence rows. Nineteen cede to the
-#      slots above and ride the local parity sweep until r11,
-#      rationale per row: scan_json_land + scan_orc_land (the shared
-#      land-then-read path was re-proven via scan_csv_land in r9;
-#      only the format branch differs), win_funnel (sequence-window
-#      sibling win_pattern_match r9-green), llm_mix_weights
-#      (driver-side weight arithmetic over the windowed sample_hash
-#      primitive), llm_pack_sequences (stable one-shuffle plan,
-#      pinned by test_pack_sequences_is_one_shuffle), fx_cond +
-#      fx_map + fx_hash + fx_regex + fx_json + fx_array + fx_string
-#      (pure scalar surfaces, unchanged since r4, family re-proven
-#      via fx_bitwise in r9; fx_math stays in), stream_slide +
-#      stream_static_join (in-window siblings stream_tumble +
-#      stream_session + stream_stream_join exercise the same
-#      watermark/join machinery), join_salted (the salting primitive
-#      re-proven via agg_salted's r9 row), llm_sample_stratified
-#      (shares the md5 selector discipline, which stays windowed via
-#      llm_sample_reservoir),
-#      ts_interpolate (unchanged since r4; the timeseries gapfill
-#      machinery re-proven via the r9 ts rows). Five cede to the
-#      round-10-changed graph_bfs_levels + llm_bpe_train +
-#      llm_bpe_encode, two more (see 5b inline) to the second batch of
-#      round-10 implementation changes, six to the round-10 additions:
-#   6. the TEN round-10 NEW queries (policy clause (a) — never had a
-#      driver row): skyline_pareto, agg_gini, geo_geofence_join,
-#      join_interval_overlap, dq_benford, llm_winnowing,
-#      agg_heavy_hitters, llm_sample_reservoir, llm_eval_ngram_recall,
-#      ts_mad_anomaly.
+#   2. clause (a) — the round-11 addition, never had a driver row:
+#      stream_drift_apply;
+#   3. clause (b) — the nine queries whose IMPLEMENTATION or oracle
+#      changed in round 11: sort_orderby + maintain_zorder
+#      (bucketed_global_rank now derives NULL routing from the leading
+#      order column), join_interval_overlap (sequence-banding, exact
+#      for any interval length), agg_heavy_hitters (true weighted
+#      Misra-Gries eviction), agg_countmin (sketch derived from the
+#      key histogram — oracle reworked too), llm_bm25 (checkpointed tf
+#      index), llm_perplexity_filter (quantized score buckets — oracle
+#      reworked too), llm_bpe_train + llm_bpe_encode (degenerate-step
+#      recording fix in the shared training loop);
+#   4. the ENTIRE r4-evidence cohort (25 rows — every query whose
+#      newest green is r4, including all rows that ceded slots in the
+#      r10 window);
+#   5. the eight queries BENCH_FULL r10 marked sf1-unstable (their
+#      correctness is not in doubt — spread flags the TIMING — but the
+#      verdict asked for fresh driver rows): agg_gini, dq_benford,
+#      geo_knn, join_asof_fwd, skyline_pareto, stream_mv_apply,
+#      ts_seasonal_baseline, upsert_merge;
+#   6. clause (c) fill from the r5-evidence cohort (oldest remaining),
+#      chosen for family coverage: flagship_features (the nested twin
+#      of slot 1), scd2_build (apply-twin discipline anchor),
+#      llm_dedup_minhash (banded-dedup family headline), win_frame,
+#      dq_profile, graph_triangle_count (its sf1 twin story changed
+#      this round — bench.py §25b).
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 2. round-10 implementation changes --
+    # -- 2. round-11 addition (clause a) --
+    "stream_drift_apply",
+    # -- 3. round-11 implementation/oracle changes (clause b) --
     "sort_orderby",
     "maintain_zorder",
-    "graph_label_propagation",
-    "graph_pagerank",
-    "graph_bfs_levels",
-    "stream_mv_refresh",
-    "stream_mv_apply",
+    "join_interval_overlap",
+    "agg_heavy_hitters",
+    "agg_countmin",
+    "llm_bm25",
+    "llm_perplexity_filter",
     "llm_bpe_train",
     "llm_bpe_encode",
-    # -- 3. r9-verdict re-verification asks --
-    "ts_ohlc",
-    "pivot",
-    "agg_salted",
-    "cdc_snapshot_diff",
-    # -- 4. r3-evidence rows (oldest) --
-    "agg_collect",
-    "llm_clean_pipeline",
-    "llm_dedup_ngram",
-    "llm_sim_pairs",
-    "llm_tfidf",
-    "mm_resize_stub",
-    "project_struct_nested",
-    # -- 5. r4-evidence rows --
-    "agg_mode",
-    "dq_referential",
-    "fx_math",
-    "join_bucketed",
-    "join_range",
-    "llm_dedup_fuzzy",
-    "llm_quality_repetition",
-    "llm_shard",
-    "llm_sim_ann_ivf",
-    "scan_partition_pruned",
-    "stream_session",
-    "stream_stateful",
-    "stream_stream_join",
-    "stream_tumble",
-    "udf_pandas",
-    # -- 5b. round-10 implementation changes, second batch (clause b):
-    #    llm_dedup_prefixfilter swapped its verify to array_jaccard;
-    #    agg_weighted_median moved to the bucket-carry two-level cumsum.
-    #    mm_feature_extract_arrow (sibling mm_feature_extract r9-green)
-    #    and llm_dedup_semantic (cluster machinery re-proven via
-    #    llm_dedup_cc + llm_dedup_embed r9 rows) cede their slots.
-    "llm_dedup_prefixfilter",
-    "agg_weighted_median",
-    # -- 6. round-10 additions (never had a driver row). The second
-    #    batch costs four more r4-evidence cessions: fx_date (scalar
-    #    family re-proven via fx_bitwise r9; fx_math stays),
-    #    llm_sample_hash (its md5-selector discipline enters the window
-    #    via llm_sample_reservoir), stream_dedup (streaming siblings
-    #    session/stateful/stream_join/tumble all stay in-window),
-    #    udtf_bigrams (the bigram surface is re-proven relationally by
-    #    in-window llm_clean_pipeline's shingle machinery; the UDTF
-    #    registration path stays pinned by pytest).
-    "skyline_pareto",
+    # -- 4. the full r4-evidence cohort (oldest, 25 rows) --
+    "scan_json_land",
+    "scan_orc_land",
+    "join_salted",
+    "agg_approx_percentile",
+    "win_funnel",
+    "ts_interpolate",
+    "subquery_lateral",
+    "fx_string",
+    "fx_date",
+    "fx_array",
+    "fx_json",
+    "fx_map",
+    "fx_regex",
+    "fx_cond",
+    "fx_hash",
+    "udtf_bigrams",
+    "llm_dedup_semantic",
+    "llm_sample_hash",
+    "llm_mix_weights",
+    "llm_pack_sequences",
+    "llm_sample_stratified",
+    "mm_feature_extract_arrow",
+    "stream_slide",
+    "stream_static_join",
+    "stream_dedup",
+    # -- 5. the r10 sf1-unstable set --
     "agg_gini",
-    "geo_geofence_join",
-    "join_interval_overlap",
     "dq_benford",
-    "llm_winnowing",
-    "agg_heavy_hitters",
-    "llm_sample_reservoir",
-    "llm_eval_ngram_recall",
-    "ts_mad_anomaly",
-    # -- 6b. round-10 batch-3 additions; two final cessions:
-    #    agg_approx_percentile (approx family re-proven via agg_approx
-    #    r9 + exact agg_percentile's parity sweep), subquery_lateral
-    #    (subquery family re-proven via subquery_all's r9 row; exists/
-    #    in/scalar unchanged since r4 and parity-swept locally).
-    "graph_clustering_coeff",
-    "ts_autocorr",
+    "geo_knn",
+    "join_asof_fwd",
+    "skyline_pareto",
+    "stream_mv_apply",
+    "ts_seasonal_baseline",
+    "upsert_merge",
+    # -- 6. clause (c) fill from the r5 cohort --
+    "flagship_features",
+    "scd2_build",
+    "llm_dedup_minhash",
+    "win_frame",
+    "dq_profile",
+    "graph_triangle_count",
 )
 
 
