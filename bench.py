@@ -135,6 +135,10 @@ HEADLINE = [
     # round-10 batch 3 (graph_clustering_coeff is sf1-only, same
     # wedge-join cost family as graph_triangle_count)
     "ts_autocorr",
+    # round-11 additions: delta-only drift fold, binary-seg changepoint
+    # (graph_kcore is sf1-only — wedge-join cost family)
+    "stream_drift_apply",
+    "ts_changepoint",
 ]
 
 
@@ -480,6 +484,12 @@ SF1_QUERIES = [
     "llm_eval_ngram_recall",
     "ts_mad_anomaly",
     "ts_autocorr",
+    # r11 additions — cheap fresh pairs first (stream_drift_apply is
+    # the delta-only fold; ts_changepoint is grid-sized after one
+    # rollup; graph_kcore's build shares the triangle wedge join)
+    "stream_drift_apply",
+    "ts_changepoint",
+    "graph_kcore",
     # -- B: established pairs --
     "flagship_flat",
     "dedup_lastwins",
@@ -524,7 +534,6 @@ SF1_QUERIES = [
     "llm_bigram_score",
     "llm_dedup_substring",
     "stream_drift",
-    "stream_drift_apply",
     "stream_mv_refresh",
 ]
 

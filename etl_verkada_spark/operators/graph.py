@@ -610,6 +610,117 @@ WHERE d.degree >= 2
 """
 
 
+#: k-core threshold and the fixed number of peel rounds. Four rounds
+#: converge on this graph (round 4 removes nothing — asserted by
+#: tests/test_relational.py's fixpoint check); the FIXED count is what
+#: lets the DuckDB oracle unroll to the identical state.
+KCORE_K = 3
+KCORE_PEELS = 4
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (membership form) of the part co-occurrence
+    graph: repeatedly peel nodes of degree < K; what survives is the
+    K-core — the standard "dense backbone" extraction (community
+    seeding, spam-graph pruning) that complements triangle counts.
+
+    Shares graph_triangle_count's canonical co-occurrence edge set,
+    symmetrized for degree counting. Each peel round is one mergeable
+    degree aggregate plus two semi-joins of the edge list against the
+    surviving-node set (both sides of an edge must survive);
+    localCheckpoint truncates lineage per round, and the edge set only
+    shrinks. The round count is FIXED (KCORE_PEELS) rather than
+    convergence-detected so the unrolled DuckDB oracle reproduces the
+    exact same state — on this graph the fixpoint arrives in 3 rounds
+    and round 4 is a verified no-op, so the output IS the true K-core,
+    not a truncation.
+
+    At 100 TB: the graph build dominates (same wedge-join bound as
+    graph_triangle_count); each peel shuffles the CURRENT edge set
+    once for degrees, and the survivor set joins back without
+    assuming broadcastability (AQE may choose it at this sf; a real
+    cluster would run it as a shuffle semi-join co-partitioned with
+    the edges). Peeling is the textbook distributed k-core
+    (Montresor et al.): O(peel rounds) supersteps, never per-node
+    sequential removal.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    canon = (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") >= TRI_MIN_COOCCUR)
+        .select("u", "v")
+    )
+    sym = (
+        canon.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(canon.select(F.col("v").alias("src"),
+                               F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KCORE_PEELS):
+        alive = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("src")
+        )
+        sym = (
+            sym.join(alive, "src", "left_semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy(F.col("src").alias("p_partkey")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-round twin of graph_kcore (the pagerank-oracle
+    discipline): alive_i from e_{i-1}'s degrees, e_i both-ends
+    filtered."""
+    sql = f"""
+WITH pp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+canon AS (
+  SELECT a.p AS u, b.p AS v
+  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+),
+e0 AS (
+  SELECT u AS src, v AS dst FROM canon
+  UNION ALL
+  SELECT v AS src, u AS dst FROM canon
+)"""
+    for i in range(1, KCORE_PEELS + 1):
+        sql += f""",
+a{i} AS (
+  SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+),
+e{i} AS (
+  SELECT e.src, e.dst
+  FROM e{i - 1} e
+  JOIN a{i} s ON e.src = s.src
+  JOIN a{i} t ON e.dst = t.src
+)"""
+    sql += f"""
+SELECT src AS p_partkey, COUNT(*) AS core_degree
+FROM e{KCORE_PEELS}
+GROUP BY src
+"""
+    return sql
+
+
+ORACLE_GRAPH_KCORE = _kcore_oracle()
+
+
 QUERIES = {
     "graph_pagerank": spec(
         graph_pagerank, ORACLE_GRAPH_PAGERANK, "beyond",
@@ -635,5 +746,10 @@ QUERIES = {
         graph_clustering_coeff, ORACLE_GRAPH_CLUSTERING_COEFF, "beyond",
         doc="per-node local clustering coefficient (canonical triangle "
             "join + integer-ppm quotient)",
+    ),
+    "graph_kcore": spec(
+        graph_kcore, ORACLE_GRAPH_KCORE, "beyond",
+        doc="k-core membership via fixed-round distributed peeling "
+            "(oracle: unrolled degree-filter CTEs)",
     ),
 }

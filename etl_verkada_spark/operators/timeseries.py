@@ -1088,6 +1088,116 @@ GROUP BY event_type
 """
 
 
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline single changepoint per series by binary segmentation:
+    the split k of the hourly series that MAXIMIZES the between-segment
+    objective f(k) = S_k^2/k + (S-S_k)^2/(n-k) — equivalently minimizes
+    within-segment SSE, the first step of the classic binary-seg
+    changepoint algorithm (ts_cusum's peak statistic flags WHERE the
+    mean drifts; this computes the optimal two-segment fit).
+
+    Determinism discipline: prefix sums, totals and positions are
+    EXACT BIGINTs (cents); the objective is evaluated in DOUBLE with
+    an expression tree written token-identically in both engines —
+    IEEE *, /, + are correctly rounded, so identical integer inputs
+    give bit-identical doubles (the llm_bm25 linear-odds argument).
+    Ties on the objective break to the earliest hour via min(bucket).
+
+    One corpus-scale rollup, then grid-sized windows (prefix sum +
+    per-series max) — the ts-family skew contract; no global sort, no
+    second scan.
+    """
+    e = table(spark, sf_dir, "events")
+    bucket = F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}")
+    hourly = (
+        e.select(
+            "event_type",
+            bucket.alias("bucket"),
+            scaled_long("value").alias("c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("x"))
+    )
+    seq = Window.partitionBy("event_type").orderBy("bucket")
+    full = Window.partitionBy("event_type")
+    scored = hourly.select(
+        "event_type",
+        "bucket",
+        F.row_number().over(seq).alias("k"),
+        F.sum("x").over(
+            seq.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sk"),
+        F.sum("x").over(full).alias("s"),
+        F.count(F.lit(1)).over(full).alias("n"),
+    ).filter(F.col("k") < F.col("n"))
+    obj = (
+        F.col("sk").cast("double") * F.col("sk").cast("double")
+        / F.col("k").cast("double")
+        + (F.col("s") - F.col("sk")).cast("double")
+        * (F.col("s") - F.col("sk")).cast("double")
+        / (F.col("n") - F.col("k")).cast("double")
+    )
+    peaked = scored.withColumn("obj", obj).withColumn(
+        "mx", F.max("obj").over(full)
+    )
+    return (
+        peaked.filter(F.col("obj") == F.col("mx"))
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n_hours"),
+            (F.min("bucket") * HOUR_US).alias("split_hour_us"),
+            (
+                F.min("mx")
+                - F.min("s").cast("double")
+                * F.min("s").cast("double")
+                / F.min("n").cast("double")
+            ).alias("sse_gain_c2"),
+        )
+    )
+
+
+ORACLE_TS_CHANGEPOINT = f"""
+WITH hourly AS (
+  SELECT
+    event_type,
+    (epoch_us(ts) // {HOUR_US}) AS bucket,
+    CAST(SUM(CAST(value AS DECIMAL(28,2)) * 100) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT
+    event_type,
+    bucket,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS k,
+    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY bucket
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS sk,
+    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+cand AS (
+  SELECT *,
+    CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE) / CAST(k AS DOUBLE)
+      + CAST(s - sk AS DOUBLE) * CAST(s - sk AS DOUBLE)
+        / CAST(n - k AS DOUBLE) AS obj
+  FROM scored WHERE k < n
+),
+peaked AS (
+  SELECT *, MAX(obj) OVER (PARTITION BY event_type) AS mx FROM cand
+)
+SELECT
+  event_type,
+  CAST(MIN(n) AS BIGINT) AS n_hours,
+  MIN(bucket) * {HOUR_US} AS split_hour_us,
+  MIN(mx) - CAST(MIN(s) AS DOUBLE) * CAST(MIN(s) AS DOUBLE)
+    / CAST(MIN(n) AS DOUBLE) AS sse_gain_c2
+FROM peaked
+WHERE obj = mx
+GROUP BY event_type
+"""
+
+
 def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation of each series' hourly totals — the
     seasonality/persistence diagnostic run before choosing a forecast
@@ -1351,5 +1461,10 @@ QUERIES = {
         ts_autocorr, ORACLE_TS_AUTOCORR, "beyond",
         doc="lag-1 autocorrelation per series from exact integer "
             "moments (agg_stats discipline on a lag self-pairing)",
+    ),
+    "ts_changepoint": spec(
+        ts_changepoint, ORACLE_TS_CHANGEPOINT, "beyond",
+        doc="binary-segmentation optimal split per series (exact "
+            "integer prefix sums, IEEE-identical objective)",
     ),
 }

@@ -74,8 +74,10 @@ def spec(
 # item 8 (rotate onto the ceded r4-evidence rows + the 8 sf1-unstable
 # queries):
 #   1. flagship;
-#   2. clause (a) — the round-11 addition, never had a driver row:
-#      stream_drift_apply;
+#   2. clause (a) — the round-11 additions, never had a driver row:
+#      stream_drift_apply, graph_kcore, ts_changepoint (these two cost
+#      the clause-c fills win_frame + dq_profile their slots — both
+#      cohorts stay covered by the local parity sweep);
 #   3. clause (b) — the nine queries whose IMPLEMENTATION or oracle
 #      changed in round 11: sort_orderby + maintain_zorder
 #      (bucketed_global_rank now derives NULL routing from the leading
@@ -103,8 +105,10 @@ def spec(
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 2. round-11 addition (clause a) --
+    # -- 2. round-11 additions (clause a) --
     "stream_drift_apply",
+    "graph_kcore",
+    "ts_changepoint",
     # -- 3. round-11 implementation/oracle changes (clause b) --
     "sort_orderby",
     "maintain_zorder",
@@ -154,8 +158,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "flagship_features",
     "scd2_build",
     "llm_dedup_minhash",
-    "win_frame",
-    "dq_profile",
     "graph_triangle_count",
 )
 

@@ -280,9 +280,13 @@ def test_boilerplate_coverage_bounds(spark):
 
 
 def test_perplexity_filter_drops_exact_quartile(spark):
-    """Kept set size must be exactly n - n//4 of the scored docs, and
-    no kept doc may score strictly below a dropped one."""
+    """Kept set size must be exactly n - n//4 of the scored docs, no
+    kept doc may land in a strictly lower SCORE BUCKET than a dropped
+    one (the r11 quantized-gate semantics: ranking is over
+    avg_s6 div PERPLEXITY_QUANT_S6, ties broken by doc_id), and the
+    kept set must equal the Python recompute of that exact rule."""
     from etl_verkada_spark.llm.text import (
+        PERPLEXITY_QUANT_S6,
         llm_bigram_score,
         llm_perplexity_filter,
     )
@@ -295,13 +299,22 @@ def test_perplexity_filter_drops_exact_quartile(spark):
     kept = {r["doc_id"] for r in llm_perplexity_filter(spark, sf).collect()}
     n = len(scored)
     assert len(kept) == n - n // 4
-    ranked = sorted(scored, key=lambda r: (r["avg_s6"], r["doc_id"]))
-    dropped_max = max(
-        (r["avg_s6"] for r in ranked[: n // 4]), default=None
+    ranked = sorted(
+        scored,
+        key=lambda r: (r["avg_s6"] // PERPLEXITY_QUANT_S6, r["doc_id"]),
     )
-    kept_min = min(r["avg_s6"] for r in ranked if r["doc_id"] in kept)
-    if dropped_max is not None:
-        assert kept_min >= dropped_max
+    assert kept == {r["doc_id"] for r in ranked[n // 4:]}
+    dropped_max_q = max(
+        (r["avg_s6"] // PERPLEXITY_QUANT_S6 for r in ranked[: n // 4]),
+        default=None,
+    )
+    kept_min_q = min(
+        r["avg_s6"] // PERPLEXITY_QUANT_S6
+        for r in ranked
+        if r["doc_id"] in kept
+    )
+    if dropped_max_q is not None:
+        assert kept_min_q >= dropped_max_q
 
 
 def test_cdc_merge_ops_roundtrip(spark):

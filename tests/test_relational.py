@@ -1853,3 +1853,96 @@ def test_autocorr_matches_python_recompute(spark):
         )
         assert got[et][0] == n
         assert abs(got[et][1] - r1) < 1e-12, et
+
+
+# --- round-11 additions: k-core / binary-seg changepoint ---------------------
+
+def test_kcore_is_fixpoint_and_matches_peel(spark):
+    """Every surviving node's degree clears K (so one MORE peel round
+    would remove nothing — KCORE_PEELS reached the true fixpoint, the
+    claim the docstring makes), and the surviving set equals a Python
+    peel-to-convergence over the collected canonical edges."""
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.graph import (
+        KCORE_K,
+        TRI_MIN_COOCCUR,
+        graph_kcore,
+    )
+
+    got = {
+        r["p_partkey"]: r["core_degree"]
+        for r in graph_kcore(spark, SF_SMALL).collect()
+    }
+    assert got, "empty k-core — lower KCORE_K"
+    assert all(d >= KCORE_K for d in got.values()), "not a fixpoint"
+
+    # brute-force peel to convergence
+    li = table_validated(spark, SF_SMALL, "lineitem")
+    pp = {(r["l_orderkey"], r["l_partkey"]) for r in li.collect()}
+    cooc = defaultdict(int)
+    by_o = defaultdict(list)
+    for o, p in pp:
+        by_o[o].append(p)
+    for ps in by_o.values():
+        ps.sort()
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                cooc[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (u, v), k in cooc.items():
+        if k >= TRI_MIN_COOCCUR:
+            adj[u].add(v)
+            adj[v].add(u)
+    while True:
+        dead = [n for n, nb in adj.items() if len(nb) < KCORE_K]
+        if not dead:
+            break
+        for n in dead:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = {n: len(nb) for n, nb in adj.items() if nb}
+    assert got == want
+
+
+def test_changepoint_matches_bruteforce(spark):
+    """The selected split maximizes the two-segment objective with
+    earliest-hour tiebreak, checked against a Python argmax over the
+    collected hourly series."""
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.timeseries import (
+        HOUR_US,
+        ts_changepoint,
+    )
+
+    got = {
+        r["event_type"]: (r["n_hours"], r["split_hour_us"])
+        for r in ts_changepoint(spark, SF_SMALL).collect()
+    }
+    e = table_validated(spark, SF_SMALL, "events")
+    rows = e.select(
+        "event_type",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {HOUR_US}").alias(
+            "b"
+        ),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("c"),
+    ).collect()
+    series = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        series[r["event_type"]][r["b"]] += r["c"]
+    for et, hs in series.items():
+        buckets = sorted(hs)
+        n = len(buckets)
+        s = sum(hs[b] for b in buckets)
+        best, best_b = None, None
+        sk = 0
+        for k, b in enumerate(buckets[:-1], start=1):
+            sk += hs[b]
+            obj = float(sk) * float(sk) / float(k) + float(s - sk) * float(
+                s - sk
+            ) / float(n - k)
+            if best is None or obj > best:
+                best, best_b = obj, b
+        assert got[et] == (n, best_b * HOUR_US), et
