@@ -1509,7 +1509,13 @@ def llm_eval_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection is ``array_intersect`` over the per-doc distinct
     4-gram arrays (the llm_dedup_prefixfilter verify pattern: pairs are
     few, so shipping the arrays to the pairs beats an inverted-index
-    re-join).
+    re-join). N-grams are represented by their cross-engine md5-slice
+    BIGINTs (the winnowing/simhash discipline, hashed identically by
+    the oracle, so equality is still exact cross-engine): intersecting
+    long arrays instead of string arrays measured 17.9 s -> 12.8 s at
+    sf1 (the 11.5M-pair intersect builds a long hash set per pair
+    instead of re-hashing variable-length strings), and the banded
+    exchange ships 8-byte elements instead of shingle text.
 
     Two deliberate plan choices, both measured at sf0.1: the block key
     is the LEXICOGRAPHIC-min shingle (array_min of the set — a scalar
@@ -1539,9 +1545,14 @@ def llm_eval_ngram_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_shingles(table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
-            F.array_distinct("shingles").alias("arr"),
+            F.array_distinct(
+                F.expr(
+                    "transform(shingles, s -> cast(conv(substring("
+                    "md5(s), 1, 15), 16, 10) as bigint))"
+                )
+            ).alias("arr"),
+            F.array_min("shingles").alias("fp"),
         )
-        .select("doc_id", "arr", F.array_min("arr").alias("fp"))
         .repartition(32, "fp")
     )
     a = base.select(
@@ -1580,7 +1591,7 @@ ORACLE_LLM_EVAL_NGRAM_RECALL = """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
 ),
-sh AS (
+raw AS (
   SELECT DISTINCT doc_id, s
   FROM (
     SELECT doc_id,
@@ -1591,8 +1602,13 @@ sh AS (
     SELECT doc_id, text AS s FROM w WHERE LEN(ws) < 4
   )
 ),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substring(md5(s), 1, 15))::BIGINT AS h
+  FROM raw
+),
 fp AS (
-  SELECT doc_id, MIN(s) AS f FROM sh GROUP BY doc_id
+  SELECT doc_id, MIN(s) AS f FROM raw GROUP BY doc_id
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1603,7 +1619,7 @@ inter AS (
   SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
   FROM pairs p
   JOIN sh a ON a.doc_id = p.doc_a
-  JOIN sh b ON b.doc_id = p.doc_b AND b.s = a.s
+  JOIN sh b ON b.doc_id = p.doc_b AND b.h = a.h
   GROUP BY 1, 2
 )
 SELECT
@@ -1637,11 +1653,15 @@ da AS (
          THEN list_distinct([array_to_string(ws[i:i+3], ' ')
                              for i in generate_series(1, LEN(ws) - 3)])
          ELSE [text]
-    END AS arr
+    END AS raw
   FROM w
 ),
 fa AS (
-  SELECT doc_id, list_aggregate(arr, 'min') AS fp, arr FROM da
+  SELECT doc_id,
+         list_aggregate(raw, 'min') AS fp,
+         list_distinct([('0x' || substring(md5(s), 1, 15))::BIGINT
+                        for s in raw]) AS arr
+  FROM da
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
