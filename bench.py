@@ -135,10 +135,11 @@ HEADLINE = [
     # round-10 batch 3 (graph_clustering_coeff is sf1-only, same
     # wedge-join cost family as graph_triangle_count)
     "ts_autocorr",
-    # round-11 additions: delta-only drift fold, binary-seg changepoint
-    # (graph_kcore is sf1-only — wedge-join cost family)
+    # round-11 additions: delta-only drift fold, binary-seg changepoint,
+    # nearest as-of (graph_kcore is sf1-only — wedge-join cost family)
     "stream_drift_apply",
     "ts_changepoint",
+    "join_asof_nearest",
 ]
 
 
@@ -490,6 +491,7 @@ SF1_QUERIES = [
     "stream_drift_apply",
     "ts_changepoint",
     "graph_kcore",
+    "join_asof_nearest",
     # -- B: established pairs --
     "flagship_flat",
     "dedup_lastwins",
@@ -779,6 +781,7 @@ def compact_stdout_line(
     sf1: dict | None,
     detail_path: str,
     partial: bool = False,
+    floor_1row_s: float | None = None,
 ) -> str:
     """One JSON line <= STDOUT_LINE_BUDGET bytes: the driver contract.
 
@@ -862,6 +865,7 @@ def compact_stdout_line(
         "sf": sf,
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "spark_fixed_overhead_sec": floor_s,
+        "spark_fixed_overhead_1row_sec": floor_1row_s,
         "duckdb_total_sec": round(duck_total, 3),
         "ratio_agg_floor_adjusted": (
             round(
@@ -1272,11 +1276,23 @@ def main() -> None:
     for _ in range(4):
         spark.range(1).write.mode("overwrite").format("noop").save()
 
-    # fixed per-query floor: plan + schedule + noop-commit a 1-row job,
-    # min-of-5 (same estimator as the queries). Sub-100ms DuckDB queries
-    # can never be within 2x of DuckDB at this sf because of it; the
-    # ratio signal is in the large-absolute queries.
-    def measure_floor(n: int = 5) -> float:
+    # fixed per-query floor, TWO probes (r11 — the r10 record's 1-row
+    # probe measured 0.025 s while the CHEAPEST real headline query was
+    # 0.152 s, so "floor-adjusted" ratios at sf0.1 still mostly priced
+    # harness fixed cost, not plans):
+    # * floor_1row — plan + schedule + noop-commit a single-stage 1-row
+    #   range job: the absolute lower bound, kept for cross-round
+    #   comparability;
+    # * floor (used for adjustment) — the same min-of-5 over a REAL
+    #   minimal query: scan the 5-row region parquet through the
+    #   catalog, one hash aggregate, noop sink. Two stages, a parquet
+    #   reader, codegen, an exchange — the fixed machinery EVERY
+    #   headline query pays before touching data. DuckDB's side is not
+    #   floor-adjusted at all (its fixed cost stays in its timings), so
+    #   the comparison remains conservative.
+    from etl_verkada_spark.catalog import table as _cat_table
+
+    def measure_floor_1row(n: int = 5) -> float:
         best = float("inf")
         for _ in range(n):
             t0 = time.perf_counter()
@@ -1284,6 +1300,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    def measure_floor(n: int = 5) -> float:
+        from pyspark.sql import functions as _F
+
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _cat_table(spark, sf_dir, "region").groupBy().agg(
+                _F.count(_F.lit(1)).alias("n")
+            ).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    floor_1row_s = measure_floor_1row()
     floor_s = measure_floor()
 
     timings: dict[str, float] = {}
@@ -1296,6 +1325,7 @@ def main() -> None:
     # floor is a LOWER bound on fixed overhead, so the min is the
     # honest estimate (an inflated floor flatters every ratio).
     floor_s = round(min(floor_s, measure_floor()), 3)
+    floor_1row_s = round(min(floor_1row_s, measure_floor_1row()), 3)
 
     duck: dict[str, float] = {}
     duck_detail: dict[str, dict] = {}
@@ -1335,6 +1365,7 @@ def main() -> None:
         "sf": sf,
         "duckdb": duck,
         "spark_fixed_overhead_sec": floor_s,
+        "spark_fixed_overhead_1row_sec": floor_1row_s,
         "ratio_floor_adjusted": ratios,
         "sf1": "pending",
         # tagged so a first-JSON-line consumer cannot mistake this for
@@ -1349,6 +1380,7 @@ def main() -> None:
             headline["value"], sf, timings, floor_s, duck, None,
             os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_full.json"),
             partial=True,
+            floor_1row_s=floor_1row_s,
         ),
         flush=True,
     )
@@ -1449,7 +1481,8 @@ def main() -> None:
 
     print(
         compact_stdout_line(
-            headline["value"], sf, timings, floor_s, duck, sf1, detail_path
+            headline["value"], sf, timings, floor_s, duck, sf1, detail_path,
+            floor_1row_s=floor_1row_s,
         ),
         flush=True,
     )

@@ -431,6 +431,119 @@ FROM c WHERE is_p = 1
 BAND_S = 600  # range-join band width = the range bound (10 minutes)
 
 
+#: nearest-join tolerance: a click counts only within +/- 1 hour
+NEAREST_TOL_US = 3_600 * 1_000_000
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference: NEAREST as-of join — each purchase matches the
+    click closest in time in EITHER direction within +/-1 h, ties to
+    the earlier click (sensor-fusion alignment semantics; pandas
+    merge_asof direction='nearest').
+
+    Same union machinery as join_asof/join_asof_fwd, fused: ONE
+    exchange on user_id, then two window passes over it — a backward
+    running max carries the latest click at-or-before each row, a
+    forward running min (descending order, same partitioning, so
+    Spark re-sorts but never re-shuffles) carries the earliest click
+    at-or-after. The nearest pick and the tolerance gate are pure row
+    expressions in integer microseconds. At tie timestamps the click
+    sorts ahead of the purchase in BOTH directions, so a same-instant
+    click matches at distance 0; equal fore/aft distances resolve to
+    the earlier (preceding) click deterministically.
+
+    At 100 TB: identical scaling to join_asof — no range explosion, no
+    self-join; skew rides the user_id hash like every window op here.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.lit(0).alias("is_p"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.lit(1).alias("is_p"),
+    )
+    unioned = clicks.unionByName(purchases)
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").desc(), "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "prev_us",
+        F.max(F.when(F.col("is_p") == 0, F.col("us"))).over(back),
+    ).withColumn(
+        "next_us",
+        F.min(F.when(F.col("is_p") == 0, F.col("us"))).over(fwd),
+    )
+    d_prev = F.col("us") - F.col("prev_us")
+    d_next = F.col("next_us") - F.col("us")
+    prev_ok = F.col("prev_us").isNotNull() & (d_prev <= NEAREST_TOL_US)
+    next_ok = F.col("next_us").isNotNull() & (d_next <= NEAREST_TOL_US)
+    nearest = F.when(
+        prev_ok & (~next_ok | (d_prev <= d_next)), F.col("prev_us")
+    ).otherwise(F.when(next_ok, F.col("next_us")))
+    return (
+        carried.filter(F.col("is_p") == 1)
+        .withColumn("click_us", nearest)
+        .filter(F.col("click_us").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").alias("ts_us"),
+            "click_us",
+            F.abs(F.col("us") - F.col("click_us")).alias("dist_us"),
+        )
+    )
+
+
+ORACLE_JOIN_ASOF_NEAREST = f"""
+WITH u AS (
+  SELECT CAST(NULL AS BIGINT) AS event_id, user_id,
+         epoch_us(ts) AS us, 0 AS is_p
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, user_id, epoch_us(ts) AS us, 1 AS is_p
+  FROM events WHERE event_type = 'purchase'
+),
+b AS (
+  SELECT *,
+    MAX(CASE WHEN is_p = 0 THEN us END) OVER (
+      PARTITION BY user_id ORDER BY us, is_p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+    MIN(CASE WHEN is_p = 0 THEN us END) OVER (
+      PARTITION BY user_id ORDER BY us DESC, is_p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_us
+  FROM u
+),
+p AS (
+  SELECT *,
+    CASE
+      WHEN prev_us IS NOT NULL AND us - prev_us <= {NEAREST_TOL_US}
+           AND (next_us IS NULL OR next_us - us > {NEAREST_TOL_US}
+                OR us - prev_us <= next_us - us)
+        THEN prev_us
+      WHEN next_us IS NOT NULL AND next_us - us <= {NEAREST_TOL_US}
+        THEN next_us
+    END AS click_us
+  FROM b WHERE is_p = 1
+)
+SELECT event_id, user_id, us AS ts_us, click_us,
+       ABS(us - click_us) AS dist_us
+FROM p WHERE click_us IS NOT NULL
+"""
+
+
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: range join (interval containment), same-relation
     form — purchases attributed to same-user clicks within the
@@ -699,6 +812,11 @@ QUERIES = {
     "join_asof_fwd": spec(
         join_asof_fwd, ORACLE_JOIN_ASOF_FWD, "beyond",
         doc="forward as-of join with 1h tolerance (union + running min)",
+    ),
+    "join_asof_nearest": spec(
+        join_asof_nearest, ORACLE_JOIN_ASOF_NEAREST, "beyond",
+        doc="nearest as-of join (either direction, 1h tolerance, "
+            "earlier-click ties) — one exchange, two window passes",
     ),
     "join_range": spec(
         join_range, ORACLE_JOIN_RANGE, "beyond",

@@ -75,9 +75,11 @@ def spec(
 # queries):
 #   1. flagship;
 #   2. clause (a) — the round-11 additions, never had a driver row:
-#      stream_drift_apply, graph_kcore, ts_changepoint (these two cost
-#      the clause-c fills win_frame + dq_profile their slots — both
-#      cohorts stay covered by the local parity sweep);
+#      stream_drift_apply, graph_kcore, ts_changepoint,
+#      join_asof_nearest (these cost the clause-c fills win_frame,
+#      dq_profile and llm_dedup_minhash their slots — the ceded
+#      cohorts stay covered by the local parity sweep, and minhash's
+#      banding family keeps an in-window row via llm_dedup_semantic);
 #   3. clause (b) — the nine queries whose IMPLEMENTATION or oracle
 #      changed in round 11: sort_orderby + maintain_zorder
 #      (bucketed_global_rank now derives NULL routing from the leading
@@ -99,9 +101,8 @@ def spec(
 #   6. clause (c) fill from the r5-evidence cohort (oldest remaining),
 #      chosen for family coverage: flagship_features (the nested twin
 #      of slot 1), scd2_build (apply-twin discipline anchor),
-#      llm_dedup_minhash (banded-dedup family headline), win_frame,
-#      dq_profile, graph_triangle_count (its sf1 twin story changed
-#      this round — bench.py §25b).
+#      graph_triangle_count (its sf1 twin story changed this round —
+#      SCALE.md §25b).
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -109,6 +110,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_drift_apply",
     "graph_kcore",
     "ts_changepoint",
+    "join_asof_nearest",
     # -- 3. round-11 implementation/oracle changes (clause b) --
     "sort_orderby",
     "maintain_zorder",
@@ -157,7 +159,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # -- 6. clause (c) fill from the r5 cohort --
     "flagship_features",
     "scd2_build",
-    "llm_dedup_minhash",
     "graph_triangle_count",
 )
 

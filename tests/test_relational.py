@@ -1946,3 +1946,48 @@ def test_changepoint_matches_bruteforce(spark):
             if best is None or obj > best:
                 best, best_b = obj, b
         assert got[et] == (n, best_b * HOUR_US), et
+
+
+def test_asof_nearest_matches_bruteforce(spark):
+    """Nearest-either-direction pick with 1h tolerance and
+    earlier-click tiebreak equals an all-pairs Python recompute."""
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.joins import (
+        NEAREST_TOL_US,
+        join_asof_nearest,
+    )
+
+    got = {
+        r["event_id"]: (r["click_us"], r["dist_us"])
+        for r in join_asof_nearest(spark, SF_SMALL).collect()
+    }
+    e = table_validated(spark, SF_SMALL, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    rows = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    ).collect()
+    clicks = defaultdict(list)
+    for r in rows:
+        if r["event_type"] == "click":
+            clicks[r["user_id"]].append(r["us"])
+    want = {}
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        best = None
+        for c in clicks.get(r["user_id"], []):
+            d = abs(r["us"] - c)
+            if d > NEAREST_TOL_US:
+                continue
+            # nearer wins; equal distance -> earlier click
+            if best is None or d < best[1] or (d == best[1] and c < best[0]):
+                best = (c, d)
+        if best is not None:
+            want[r["event_id"]] = best
+    assert got == want
+    assert got, "no nearest matches at sf0.001"
