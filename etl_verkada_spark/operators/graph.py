@@ -126,21 +126,21 @@ def _pagerank_oracle() -> str:
     token (integer //), so ranks match exactly."""
     S, d, n_it = PR_SCALE, PR_DAMP_PCT, PR_ITERS
     sql = f"""
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
   FROM lineitem
   UNION
   SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
   FROM lineitem
 ),
-deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
-n AS (SELECT COUNT(*) AS n_nodes FROM deg),
-r0 AS (
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+n AS MATERIALIZED (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS MATERIALIZED (
   SELECT d.src AS node, ({S} // n.n_nodes) AS rank FROM deg d, n
 )"""
     for i in range(n_it):
         sql += f""",
-r{i + 1} AS (
+r{i + 1} AS MATERIALIZED (
   SELECT
     e.dst AS node,
     (100 - {d}) * ({S} // n.n_nodes) // 100
@@ -229,16 +229,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GRAPH_TRIANGLE_COUNT = f"""
-WITH pp AS (
+WITH pp AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a.p AS u, b.p AS v
   FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2
   HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM edges e1
   JOIN edges e2 ON e2.u = e1.v
@@ -571,16 +571,16 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_GRAPH_CLUSTERING_COEFF = f"""
-WITH pp AS (
+WITH pp AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a.p AS u, b.p AS v
   FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2
   HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
 ),
-tri AS (
+tri AS MATERIALIZED (
   SELECT e1.u AS x, e1.v AS y, e2.v AS z
   FROM edges e1
   JOIN edges e2 ON e2.u = e1.v
@@ -664,11 +664,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(KCORE_PEELS):
+        # node-sized; checkpointed so the TWO semi-joins below don't
+        # each re-run the degree aggregate
         alive = (
             sym.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
             .filter(F.col("d") >= KCORE_K)
             .select("src")
+            .localCheckpoint(eager=True)
         )
         sym = (
             sym.join(alive, "src", "left_semi")
@@ -685,26 +688,26 @@ def _kcore_oracle() -> str:
     discipline): alive_i from e_{i-1}'s degrees, e_i both-ends
     filtered."""
     sql = f"""
-WITH pp AS (
+WITH pp AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
 ),
-canon AS (
+canon AS MATERIALIZED (
   SELECT a.p AS u, b.p AS v
   FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
   GROUP BY 1, 2
   HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
 ),
-e0 AS (
+e0 AS MATERIALIZED (
   SELECT u AS src, v AS dst FROM canon
   UNION ALL
   SELECT v AS src, u AS dst FROM canon
 )"""
     for i in range(1, KCORE_PEELS + 1):
         sql += f""",
-a{i} AS (
+a{i} AS MATERIALIZED (
   SELECT src FROM e{i - 1} GROUP BY src HAVING COUNT(*) >= {KCORE_K}
 ),
-e{i} AS (
+e{i} AS MATERIALIZED (
   SELECT e.src, e.dst
   FROM e{i - 1} e
   JOIN a{i} s ON e.src = s.src

@@ -652,6 +652,11 @@ def stream_drift_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         f for f in os.listdir(land)
         if f.endswith(".parquet") and not f.startswith("_")
     )
+    if len(files) != DRIFT_CHUNKS:
+        raise RuntimeError(
+            f"drift landing {land} holds {len(files)} chunk files "
+            f"(expected {DRIFT_CHUNKS}): {files}"
+        )
     prior, last = files[: DRIFT_CHUNKS - 1], files[DRIFT_CHUNKS - 1]
     state_dir = land + "_prior_state"
     primed = os.path.join(state_dir, "_PRIMED")
