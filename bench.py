@@ -140,6 +140,7 @@ HEADLINE = [
     "stream_drift_apply",
     "ts_changepoint",
     "join_asof_nearest",
+    "llm_dedup_bloom",
 ]
 
 
@@ -231,6 +232,13 @@ def run_duckdb(con, sql: str, n_runs: int = N_RUNS) -> dict:
 #: over-slow query into a per-query `dnf_budget` error instead of a
 #: section-wide loss.
 SF1_DUCK_QUERY_BUDGET_S = 150.0
+
+#: per-query budget overrides: llm_eval_ngram_recall's equal-work twin
+#: runs ~43 s per pass (11.5M list_intersect pairs), so warmup + 2
+#: timed runs sits exactly at the default budget and interrupts under
+#: load (r11 run 2 lost the pair run 1 had recorded); 300 s fits the
+#: three passes with margin while staying a bounded worst case.
+SF1_DUCK_BUDGET_OVERRIDES = {"llm_eval_ngram_recall": 300.0}
 
 
 def run_duckdb_budgeted(
@@ -492,6 +500,7 @@ SF1_QUERIES = [
     "ts_changepoint",
     "graph_kcore",
     "join_asof_nearest",
+    "llm_dedup_bloom",
     # -- B: established pairs --
     "flagship_flat",
     "dedup_lastwins",
@@ -1064,7 +1073,9 @@ def bench_sf1(
         if duck_over_deadline():
             skipped_deadline.append(f"duckdb:{name}")
             continue
-        budget = SF1_DUCK_QUERY_BUDGET_S
+        budget = SF1_DUCK_BUDGET_OVERRIDES.get(
+            name, SF1_DUCK_QUERY_BUDGET_S
+        )
         if duck_deadline is not None:
             budget = min(
                 budget,

@@ -1238,6 +1238,150 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 """
 
 
+#: Bloom prejoin parameters: m = 4096 bits (64 BIGINT words), k = 3
+#: md5-slice hashes. Production sizes m to the history cardinality
+#: (~10 bits/key for ~1% FP); the FIXED test-scale m keeps the oracle
+#: literal and deliberately spans the filter's whole operating range
+#: across the test SFs — near-empty at sf0.001, ~25% load at sf0.01
+#: (real false positives, engine-identical), SATURATED at the
+#: synthesized sf1 (every probe a maybe: the undersized-filter failure
+#: mode, where the exact verify carries the full incoming set — the
+#: cost curve production sizing exists to avoid, priced honestly in
+#: the bench row).
+BLOOM_M_BITS = 4096
+BLOOM_K = 3
+
+
+def llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter prejoin for INCREMENTAL ingest dedup: the history
+    corpus (doc_id % 10 < 8) is summarized into a 16 KB bit table; each
+    incoming doc (doc_id % 10 >= 8) probes k=3 bits and only
+    bloom-maybe docs proceed to the exact digest verification — the
+    standard new-data-vs-petabyte-history gate (a Bloom side filter
+    materialized as data, the pattern Spark's runtime row-level filters
+    apply inside joins).
+
+    Determinism discipline: the k hash functions are md5-slice BIGINTs
+    (8 hex chars per slice of the content digest), so both engines set
+    and probe IDENTICAL bits — the false-positive SET itself is
+    engine-identical, which is what makes a probabilistic structure
+    oracle-checkable. No false negatives by construction (the test
+    pins: every exact dup is bloom_maybe=1); false positives appear as
+    bloom_maybe=1 / is_exact_dup=0 rows — the honest cost of the
+    filter, visible in the output.
+
+    At 100 TB: the filter build is one map-side-combined bit_or over
+    history digests (word-indexed, 2048 groups); probes broadcast-join
+    the 16 KB table; ONLY maybe-docs reach the exact semi-join against
+    history — incoming-scale work everywhere, history touched once.
+    """
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.md5(normalized_text()).alias("dg")
+    )
+    hist = docs.filter(F.col("doc_id") % 10 < 8)
+    inc = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    def slices(df: DataFrame) -> DataFrame:
+        hs = F.array(
+            *[
+                F.expr(
+                    f"cast(conv(substring(dg, {1 + j * 8}, 8), 16, 10) "
+                    f"as bigint) % {BLOOM_M_BITS}"
+                )
+                for j in range(BLOOM_K)
+            ]
+        )
+        return df.select("doc_id", "dg", F.explode(hs).alias("h"))
+
+    bloom = (
+        slices(hist)
+        .select(
+            F.expr("h div 64").alias("w"),
+            F.expr("shiftleft(1L, int(h % 64))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    hits = (
+        slices(inc)
+        .join(F.broadcast(bloom), F.expr("h div 64") == F.col("w"), "left")
+        .select(
+            "doc_id",
+            "dg",
+            F.when(
+                F.col("word").isNotNull()
+                & (F.expr("(word >> int(h % 64)) & 1") == 1),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+    )
+    maybe = hits.groupBy("doc_id", "dg").agg(
+        F.min("hit").alias("bloom_maybe")
+    )
+    exact = (
+        inc.join(hist.select("dg").distinct(), "dg", "left_semi")
+        .select("doc_id")
+        .withColumn("is_exact_dup", F.lit(1))
+    )
+    return (
+        maybe.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("bloom_maybe").cast("long").alias("bloom_maybe"),
+            F.coalesce("is_exact_dup", F.lit(0))
+            .cast("long")
+            .alias("is_exact_dup"),
+        )
+    )
+
+
+ORACLE_LLM_DEDUP_BLOOM = f"""
+WITH docs AS (
+  SELECT doc_id,
+         md5(LOWER(TRIM(regexp_replace(text, '\\s+', ' ', 'g')))) AS dg
+  FROM documents
+),
+hist AS (SELECT * FROM docs WHERE doc_id % 10 < 8),
+inc AS (SELECT * FROM docs WHERE doc_id % 10 >= 8),
+hbits AS (
+  SELECT ('0x' || substring(dg, 1 + j.j * 8, 8))::BIGINT
+           % {BLOOM_M_BITS} AS h
+  FROM hist, (VALUES (0), (1), (2)) j(j)
+),
+bloom AS (
+  SELECT h // 64 AS w,
+         bit_or(CAST(1 AS UBIGINT) << CAST(h % 64 AS INT)) AS word
+  FROM hbits GROUP BY 1
+),
+probes AS (
+  SELECT inc.doc_id, inc.dg,
+         ('0x' || substring(dg, 1 + j.j * 8, 8))::BIGINT
+           % {BLOOM_M_BITS} AS h
+  FROM inc, (VALUES (0), (1), (2)) j(j)
+),
+hits AS (
+  SELECT p.doc_id, p.dg,
+         CASE WHEN b.word IS NOT NULL
+                   AND ((b.word >> CAST(p.h % 64 AS INT)) & 1) = 1
+              THEN 1 ELSE 0 END AS hit
+  FROM probes p LEFT JOIN bloom b ON b.w = p.h // 64
+),
+maybe AS (
+  SELECT doc_id, dg, MIN(hit) AS bloom_maybe FROM hits GROUP BY 1, 2
+),
+ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN hist h ON h.dg = i.dg)
+SELECT
+  m.doc_id,
+  CAST(m.bloom_maybe AS BIGINT) AS bloom_maybe,
+  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS is_exact_dup
+FROM maybe m LEFT JOIN ex USING (doc_id)
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": spec(
         llm_dedup_exact, ORACLE_LLM_DEDUP_EXACT, "llm",
@@ -1276,6 +1420,11 @@ QUERIES = {
     "llm_dedup_cc": spec(
         llm_dedup_cc, ORACLE_LLM_DEDUP_CC, "llm",
         doc="transitive near-dup clustering (iterative CC vs recursive CTE)",
+    ),
+    "llm_dedup_bloom": spec(
+        llm_dedup_bloom, ORACLE_LLM_DEDUP_BLOOM, "llm",
+        doc="Bloom-filter prejoin for incremental ingest dedup "
+            "(md5-slice bits, engine-identical FP set, exact verify)",
     ),
     "llm_dedup_incremental": spec(
         llm_dedup_incremental, ORACLE_LLM_DEDUP_INCREMENTAL, "llm",

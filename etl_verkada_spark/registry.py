@@ -76,20 +76,23 @@ def spec(
 #   1. flagship;
 #   2. clause (a) — the round-11 additions, never had a driver row:
 #      stream_drift_apply, graph_kcore, ts_changepoint,
-#      join_asof_nearest (these cost the clause-c fills win_frame,
-#      dq_profile and llm_dedup_minhash their slots — the ceded
-#      cohorts stay covered by the local parity sweep, and minhash's
-#      banding family keeps an in-window row via llm_dedup_semantic);
-#   3. clause (b) — the nine queries whose IMPLEMENTATION or oracle
-#      changed in round 11: sort_orderby + maintain_zorder
+#      join_asof_nearest, llm_dedup_bloom;
+#   3. clause (b) — the queries whose IMPLEMENTATION or oracle changed
+#      in round 11: sort_orderby + maintain_zorder
 #      (bucketed_global_rank now derives NULL routing from the leading
 #      order column), join_interval_overlap (sequence-banding, exact
 #      for any interval length), agg_heavy_hitters (true weighted
 #      Misra-Gries eviction), agg_countmin (sketch derived from the
 #      key histogram — oracle reworked too), llm_bm25 (checkpointed tf
 #      index), llm_perplexity_filter (quantized score buckets — oracle
-#      reworked too), llm_bpe_train + llm_bpe_encode (degenerate-step
-#      recording fix in the shared training loop);
+#      reworked too), llm_bpe_train (degenerate-step recording fix in
+#      the shared training loop — llm_bpe_encode shares that loop
+#      verbatim and keeps its fresh r10 row, so it cedes the 51st
+#      slot), plus
+#      graph_triangle_count + graph_clustering_coeff + graph_pagerank
+#      (oracles gained MATERIALIZED CTEs — SCALE.md §25h; comment-only
+#      on the Spark side but the ORACLE text changed, so clause (b)
+#      applies);
 #   4. the ENTIRE r4-evidence cohort (25 rows — every query whose
 #      newest green is r4, including all rows that ceded slots in the
 #      r10 window);
@@ -97,12 +100,11 @@ def spec(
 #      correctness is not in doubt — spread flags the TIMING — but the
 #      verdict asked for fresh driver rows): agg_gini, dq_benford,
 #      geo_knn, join_asof_fwd, skyline_pareto, stream_mv_apply,
-#      ts_seasonal_baseline, upsert_merge;
-#   6. clause (c) fill from the r5-evidence cohort (oldest remaining),
-#      chosen for family coverage: flagship_features (the nested twin
-#      of slot 1), scd2_build (apply-twin discipline anchor),
-#      graph_triangle_count (its sf1 twin story changed this round —
-#      SCALE.md §25b).
+#      ts_seasonal_baseline, upsert_merge.
+#   The clause-(a)+(b) growth consumes every clause-(c) fill slot this
+#   round (win_frame, dq_profile, llm_dedup_minhash, flagship_features,
+#   scd2_build considered and ceded — all r5-evidence, unchanged code,
+#   covered by the local 207-query parity sweep).
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
@@ -111,6 +113,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "graph_kcore",
     "ts_changepoint",
     "join_asof_nearest",
+    "llm_dedup_bloom",
     # -- 3. round-11 implementation/oracle changes (clause b) --
     "sort_orderby",
     "maintain_zorder",
@@ -120,7 +123,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_bm25",
     "llm_perplexity_filter",
     "llm_bpe_train",
-    "llm_bpe_encode",
+    "graph_triangle_count",
+    "graph_clustering_coeff",
+    "graph_pagerank",
     # -- 4. the full r4-evidence cohort (oldest, 25 rows) --
     "scan_json_land",
     "scan_orc_land",
@@ -156,10 +161,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "stream_mv_apply",
     "ts_seasonal_baseline",
     "upsert_merge",
-    # -- 6. clause (c) fill from the r5 cohort --
-    "flagship_features",
-    "scd2_build",
-    "graph_triangle_count",
 )
 
 

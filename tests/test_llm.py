@@ -902,3 +902,56 @@ def test_eval_ngram_recall_python_recompute(spark):
         assert n_common == inter, (a, b)
         assert p_ppm == inter * 1_000_000 // len(ga)
         assert r_ppm == inter * 1_000_000 // len(gb)
+
+
+def test_bloom_prejoin_invariants(spark):
+    """is_exact_dup equals a direct digest-membership recompute; every
+    exact dup is bloom_maybe=1 (no false negatives — vacuously true on
+    this duplicate-free corpus, asserted anyway); and a Python replay
+    of the bit arithmetic reproduces the bloom_maybe column exactly,
+    INCLUDING the false positives — the property that makes a
+    probabilistic structure oracle-checkable. At sf0.01 (~25% bit
+    load) false positives must actually occur."""
+    import hashlib
+
+    from etl_verkada_spark.llm.dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        llm_dedup_bloom,
+    )
+    from etl_verkada_spark.llm.text import normalized_text
+    from etl_verkada_spark.catalog import table as cat_table
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: (r["bloom_maybe"], r["is_exact_dup"])
+        for r in llm_dedup_bloom(spark, sf).collect()
+    }
+    docs = cat_table(spark, sf, "documents").select(
+        "doc_id", F.md5(normalized_text()).alias("dg")
+    ).collect()
+    hist = [r for r in docs if r["doc_id"] % 10 < 8]
+    inc = [r for r in docs if r["doc_id"] % 10 >= 8]
+    assert set(got) == {r["doc_id"] for r in inc}
+
+    def bits(dg: str) -> list[int]:
+        return [
+            int(dg[j * 8: j * 8 + 8], 16) % BLOOM_M_BITS
+            for j in range(BLOOM_K)
+        ]
+
+    bloom = set()
+    for r in hist:
+        bloom.update(bits(r["dg"]))
+    hist_dgs = {r["dg"] for r in hist}
+    n_fp = 0
+    for r in inc:
+        maybe = 1 if all(b in bloom for b in bits(r["dg"])) else 0
+        is_dup = 1 if r["dg"] in hist_dgs else 0
+        assert got[r["doc_id"]] == (maybe, is_dup), r["doc_id"]
+        if is_dup:
+            assert maybe == 1, "false negative!"
+        if maybe and not is_dup:
+            n_fp += 1
+    assert n_fp > 0, "no false positives at sf0.01 — m is oversized"
