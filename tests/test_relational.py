@@ -1991,3 +1991,17 @@ def test_asof_nearest_matches_bruteforce(spark):
             want[r["event_id"]] = best
     assert got == want
     assert got, "no nearest matches at sf0.001"
+
+
+def test_asof_nearest_single_exchange_two_sorts(spark):
+    """The fused nearest plan shuffles ONCE on user_id: the forward
+    window shares the backward window's hash partitioning and re-sorts
+    in place — a second Exchange would double the wire cost for no
+    semantic gain."""
+    from etl_verkada_spark.operators.joins import join_asof_nearest
+
+    import re
+
+    plan = formatted_plan(join_asof_nearest(spark, SF_SMALL))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, plan
