@@ -442,15 +442,20 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_asof direction='nearest').
 
     Same union machinery as join_asof/join_asof_fwd, fused: ONE
-    exchange on user_id, then two window passes over it — a backward
-    running max carries the latest click at-or-before each row, a
-    forward running min (descending order, same partitioning, so
-    Spark re-sorts but never re-shuffles) carries the earliest click
-    at-or-after. The nearest pick and the tolerance gate are pure row
-    expressions in integer microseconds. At tie timestamps the click
-    sorts ahead of the purchase in BOTH directions, so a same-instant
-    click matches at distance 0; equal fore/aft distances resolve to
-    the earlier (preceding) click deterministically.
+    exchange on user_id and ONE sort — the backward running max uses
+    the (unboundedPreceding, current) frame and the forward running
+    min uses (current, unboundedFollowing) over the SAME ascending
+    (us, is_p) order, so both windows ride a single WindowExec sort
+    (plan-pinned: 1 Exchange, 1 Sort). The nearest pick and the
+    tolerance gate are pure row expressions in integer microseconds.
+
+    Tie proof: with is_p ascending, a click at the purchase's exact
+    timestamp sorts BEFORE it — inside the preceding frame (so
+    d_prev = 0) and OUTSIDE the following frame. Missing it from
+    next_us is harmless: d_prev = 0 is minimal and the equal-distance
+    rule prefers prev, so the pick is that click either way; equal
+    fore/aft distances resolve to the earlier (preceding) click
+    deterministically.
 
     At 100 TB: identical scaling to join_asof — no range explosion, no
     self-join; skew rides the user_id hash like every window op here.
@@ -476,8 +481,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fwd = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("us").desc(), "is_p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy("us", "is_p")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = unioned.withColumn(
         "prev_us",

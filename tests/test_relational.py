@@ -1993,15 +1993,18 @@ def test_asof_nearest_matches_bruteforce(spark):
     assert got, "no nearest matches at sf0.001"
 
 
-def test_asof_nearest_single_exchange_two_sorts(spark):
-    """The fused nearest plan shuffles ONCE on user_id: the forward
-    window shares the backward window's hash partitioning and re-sorts
-    in place — a second Exchange would double the wire cost for no
-    semantic gain."""
+def test_asof_nearest_single_exchange_single_sort(spark):
+    """The fused nearest plan shuffles ONCE on user_id and sorts ONCE:
+    both window frames ride the same ascending (us, is_p) order —
+    a second Exchange or Sort would double the wire/CPU cost for no
+    semantic gain (the same-instant-click tie proof is in the
+    docstring)."""
     from etl_verkada_spark.operators.joins import join_asof_nearest
 
     import re
 
     plan = formatted_plan(join_asof_nearest(spark, SF_SMALL))
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    n_sorts = len(re.findall(r"^\(\d+\) Sort", plan, re.M))
     assert n_exchanges == 1, plan
+    assert n_sorts == 1, plan
