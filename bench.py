@@ -602,6 +602,13 @@ SF1_ANNOTATIONS = {
         "per trigger) vs a one-shot batch twin; the steady-state "
         "incremental refresh cost is the stream_drift_apply row"
     ),
+    "llm_dedup_bloom": (
+        "the fixed test-scale filter (4096 bits) SATURATES at sf1: "
+        "every probe is a maybe and the exact verify carries the full "
+        "incoming set — the undersized-filter failure mode, priced "
+        "deliberately (production sizes m to history; see the operator "
+        "docstring's operating-range note)"
+    ),
 }
 
 #: iteration-heavy operators where a min-of-N would measure a cache, not
