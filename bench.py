@@ -490,7 +490,6 @@ SF1_QUERIES = [
     "llm_winnowing",
     "agg_heavy_hitters",
     "llm_sample_reservoir",
-    "llm_eval_ngram_recall",
     "ts_mad_anomaly",
     "ts_autocorr",
     # r11 additions — cheap fresh pairs first (stream_drift_apply is
@@ -540,10 +539,16 @@ SF1_QUERIES = [
     # window and turns two forfeits into honest ratio pairs.
     "graph_triangle_count",
     "graph_clustering_coeff",
-    # -- C: heavy tail (degrades first) --
+    # -- C: heavy tail (degrades first, ordered by marginal evidence
+    # value: llm_eval_ngram_recall moved here in r11 — its equal-work
+    # twin carries a 300 s budget (SF1_DUCK_BUDGET_OVERRIDES) and in
+    # run 3 that bite cost the section its two cold pairs; the two
+    # replay-stress rows sit last because their steady-state price is
+    # already the *_apply rows' job) --
     "llm_sim_ann_pq",
     "llm_bigram_score",
     "llm_dedup_substring",
+    "llm_eval_ngram_recall",
     "stream_drift",
     "stream_mv_refresh",
 ]
