@@ -545,6 +545,121 @@ FROM seqs
 """
 
 
+def win_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch session attribution — the conversion-credit query
+    every events pipeline runs: purchases are credited to the FIRST
+    click of their session (win_sessionize's 30-min gap sessions), and
+    revenue rolls up by the epoch-day of that first click.
+
+    One exchange on user_id carries everything: the same two-window
+    sessionization pass as win_sessionize (lag -> boundary flag ->
+    running sum, one Window operator), then a hash aggregate per
+    (user, session) computes the first-click timestamp and the
+    purchase revenue side by side, keeps only sessions that HAVE both
+    a click and a purchase (attribution defined), and a final
+    day-grouped aggregate emits exact-cent revenue (DECIMAL-routed,
+    bit-identical cross-engine).
+
+    At 100 TB: sessionization's standard shape — one shuffle, one
+    sort, grid-sized output; no self-join between clicks and purchases
+    because the session aggregate carries both roles in one pass.
+    """
+    from .aggregates import scaled_long, unscale
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    order = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    gap = ts_us - F.lag(ts_us).over(order)
+    is_new = F.when(
+        gap.isNull() | (gap >= SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy(
+        ts_us, F.col("event_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    with_sess = e.select(
+        "user_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        scaled_long("value").alias("value_c"),
+        F.sum(is_new).over(run).alias("session_no"),
+    )
+    sessions = (
+        with_sess.groupBy("user_id", "session_no")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("ts_us"))
+            ).alias("first_click_us"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value_c")
+                ).otherwise(F.lit(0))
+            ).alias("revenue_c"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        )
+        .filter(
+            F.col("first_click_us").isNotNull() & (F.col("n_purchases") > 0)
+        )
+    )
+    return sessions.groupBy(
+        F.expr("first_click_us div 86400000000").alias("epoch_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_purchases").alias("n_purchases"),
+        unscale(F.sum("revenue_c"), 2).alias("attributed_revenue"),
+    )
+
+
+ORACLE_WIN_SESSION_ATTRIBUTION = """
+WITH flagged AS (
+  SELECT
+    user_id,
+    event_id,
+    event_type,
+    epoch_us(ts) AS ts_us,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_c,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+numbered AS (
+  SELECT *,
+    CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_no
+  FROM flagged
+),
+sessions AS (
+  SELECT
+    user_id,
+    session_no,
+    MIN(CASE WHEN event_type = 'click' THEN ts_us END) AS first_click_us,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN value_c ELSE 0 END)
+         AS BIGINT) AS revenue_c,
+    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_purchases
+  FROM numbered
+  GROUP BY user_id, session_no
+)
+SELECT
+  first_click_us // 86400000000 AS epoch_day,
+  COUNT(*) AS n_sessions,
+  CAST(SUM(n_purchases) AS BIGINT) AS n_purchases,
+  CAST(CAST(SUM(revenue_c) AS DECIMAL(38,0)) / 100 AS DOUBLE)
+    AS attributed_revenue
+FROM sessions
+WHERE first_click_us IS NOT NULL AND n_purchases > 0
+GROUP BY epoch_day
+"""
+
+
 QUERIES = {
     "win_rownum": spec(
         win_rownum, ORACLE_WIN_ROWNUM, "beyond", "reference:J2",
@@ -577,6 +692,11 @@ QUERIES = {
     "win_sessionize": spec(
         win_sessionize, ORACLE_WIN_SESSIONIZE, "beyond",
         doc="batch gaps-and-islands sessionization (one sort, two windows)",
+    ),
+    "win_session_attribution": spec(
+        win_session_attribution, ORACLE_WIN_SESSION_ATTRIBUTION, "beyond",
+        doc="first-touch session attribution: purchase revenue credited "
+            "to the session's first click (one exchange, no self-join)",
     ),
     "win_funnel": spec(
         win_funnel, ORACLE_WIN_FUNNEL, "beyond",

@@ -105,6 +105,8 @@ def spec(
 #   round (win_frame, dq_profile, llm_dedup_minhash, flagship_features,
 #   scd2_build considered and ceded — all r5-evidence, unchanged code,
 #   covered by the local 207-query parity sweep).
+#   win_session_attribution landed after the window froze at 50; it is
+#   parity-swept locally this round and heads r12's clause (a).
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",

@@ -2008,3 +2008,57 @@ def test_asof_nearest_single_exchange_single_sort(spark):
     n_sorts = len(re.findall(r"^\(\d+\) Sort", plan, re.M))
     assert n_exchanges == 1, plan
     assert n_sorts == 1, plan
+
+
+def test_session_attribution_matches_bruteforce(spark):
+    """First-touch credit equals a Python replay: 30-min-gap sessions,
+    first click per session, purchase revenue in exact cents."""
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.windows import (
+        SESSION_GAP_US,
+        win_session_attribution,
+    )
+
+    got = {
+        r["epoch_day"]: (
+            r["n_sessions"], r["n_purchases"], round(r["attributed_revenue"], 2)
+        )
+        for r in win_session_attribution(spark, SF_SMALL).collect()
+    }
+    rows = (
+        table_validated(spark, SF_SMALL, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("c"),
+        )
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    agg = defaultdict(lambda: [0, 0, 0])
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r["us"], r["event_id"]))
+        sessions = []
+        for r in evs:
+            if not sessions or r["us"] - sessions[-1][-1]["us"] >= SESSION_GAP_US:
+                sessions.append([])
+            sessions[-1].append(r)
+        for s in sessions:
+            clicks = [r["us"] for r in s if r["event_type"] == "click"]
+            purch = [r["c"] for r in s if r["event_type"] == "purchase"]
+            if clicks and purch:
+                day = min(clicks) // 86400000000
+                agg[day][0] += 1
+                agg[day][1] += len(purch)
+                agg[day][2] += sum(purch)
+    want = {
+        d: (v[0], v[1], round(v[2] / 100, 2)) for d, v in agg.items()
+    }
+    assert got == want
+    assert got, "no attributable sessions at sf0.001"
