@@ -141,6 +141,7 @@ HEADLINE = [
     "ts_changepoint",
     "join_asof_nearest",
     "llm_dedup_bloom",
+    "win_session_attribution",
 ]
 
 
@@ -500,6 +501,7 @@ SF1_QUERIES = [
     "graph_kcore",
     "join_asof_nearest",
     "llm_dedup_bloom",
+    "win_session_attribution",
     # -- B: established pairs --
     "flagship_flat",
     "dedup_lastwins",
