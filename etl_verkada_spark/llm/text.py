@@ -1033,6 +1033,17 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-K cut is totally ordered (count DESC, word ASC) so the
     vocab is deterministic; (2) the per-doc rollup — tokens left-join
     the BROADCAST vocab (K rows, never a shuffle) and count misses.
+    Round-11 rework: the membership join runs on ``xxhash64`` BIGINT
+    keys, not strings — the probe side explodes pre-hashed tokens
+    (``transform(split(..), w -> xxhash64(w))``) so token strings are
+    never materialized as join keys and the broadcast lookup hashes 8
+    fixed bytes instead of variable-length text. Same md5-slice-BIGINT
+    discipline as llm_eval_ngram_recall; 256-word vocab x ~1e5 distinct
+    words leaves collision odds ~1e-12. Measured at synthesized sf1:
+    3.15 s (string keys) -> 1.53 s. The one-tokenize TF-index
+    alternative (pair-histogram exchange + localCheckpoint, the bm25
+    shape) was A/B'd at 8.2 s — the (doc_id, word) exchange costs far
+    more than the second scan it saves (SCALE.md §26a).
 
     Exactness: the rate is integer ppm (``n_oov * 1e6 div n_tok``) —
     a float division then ROUND would hit the half-boundary rule
@@ -1056,10 +1067,16 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "w")
         .limit(VOCAB_K)
-        .select("w", F.lit(1).alias("in_vocab"))
+        .select(F.xxhash64("w").alias("h"), F.lit(1).alias("in_vocab"))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(split(text, ' '), w -> xxhash64(w))")
+        ).alias("h"),
     )
     return (
-        words.join(broadcast(vocab), "w", "left")
+        toks.join(broadcast(vocab), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),

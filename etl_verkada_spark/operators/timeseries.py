@@ -615,31 +615,51 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     features). A day counts once no matter how many events it holds;
     a streak is a maximal run of adjacent calendar days.
 
-    Construction: collapse events to distinct (user, day) — the big
-    shuffle, and the only one that sees event-scale data — then the
-    classic island key ``day - row_number()`` (consecutive days share
-    an anchor because both sides step by one), one count per island,
-    and a per-user rollup. No self-join, no explode: O(active-days)
-    state after the first collapse.
+    Construction (round-11 rewrite): ONE exchange. Events collapse
+    straight to a per-user sorted day-set (``collect_set`` of day
+    ordinals — the partial aggregate dedups map-side, so the shuffle
+    carries day-sets, not event rows), then a single whole-stage-codegen
+    ``aggregate()`` fold over each sorted array computes the longest
+    run of consecutive ordinals, the island count, and the active-day
+    total in O(days) with no window sort. The previous form (distinct
+    -> row_number island key -> two aggregates) was equivalent but paid
+    an extra exchange plus a per-user sort; at synthesized sf1 this
+    fold is one stage pair instead of three (1.50 s -> measured below).
 
-    At 100 TB: the distinct is a mergeable pre-aggregate (map-side
-    combine collapses each partition's duplicate days before the
-    exchange); the window partitions are per-user day lists (bounded
-    by the calendar, not by event volume), so no skewed-reducer risk
-    — the same scale contract as ts_cohort_retention. Reference scope:
-    beyond (task.ts has no sessionization/streak analytics).
+    At 100 TB: the day-set is calendar-bounded (<= ~365*years ints per
+    user regardless of event volume), so per-group state is tiny and
+    the one exchange is a mergeable ObjectHashAggregate — the same
+    bounded-state contract as ts_cohort_retention. ``collect_set``
+    drops NULLs; ``ts`` is non-null in this corpus (and a NULL day is
+    not a calendar day, so the streak semantics would not want it).
+    Reference scope: beyond (task.ts has no streak analytics).
     """
     e = table(spark, sf_dir, "events")
-    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
-    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
-    islands = days.select("user_id", "d", F.date_sub("d", rn).alias("anchor"))
-    streaks = islands.groupBy("user_id", "anchor").agg(
-        F.count(F.lit(1)).alias("len")
+    days = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("d"),
     )
-    return streaks.groupBy("user_id").agg(
-        F.max("len").alias("best_streak"),
-        F.count(F.lit(1)).alias("n_streaks"),
-        F.sum("len").alias("n_active_days"),
+    per_user = days.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("d")).alias("ds")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          ds,
+          named_struct('prev', -2, 'cur', 0L, 'best', 0L, 'n', 0L),
+          (s, d) -> named_struct(
+            'prev', d,
+            'cur',  IF(d = s.prev + 1, s.cur + 1, 1L),
+            'best', GREATEST(s.best, IF(d = s.prev + 1, s.cur + 1, 1L)),
+            'n',    s.n + IF(d = s.prev + 1, 0L, 1L)),
+          s -> s)
+        """
+    )
+    return per_user.select(
+        "user_id",
+        fold["best"].alias("best_streak"),
+        fold["n"].alias("n_streaks"),
+        F.size("ds").cast("long").alias("n_active_days"),
     )
 
 
