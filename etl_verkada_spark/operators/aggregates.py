@@ -1107,35 +1107,33 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     buys nothing on a near-all-distinct value column (600k lineitem
     rows -> 594k histogram cells) — it just pays a full two-phase
     hash-agg shuffle before the window pays ANOTHER full shuffle into
-    3 single-task sorts. The implementation instead does the two-level
-    cumulative sum directly on rows:
+    3 single-task sorts. Round-11 plan: the classic TWO-SCAN exact
+    median — no row-scale exchange AT ALL:
 
-    1. value-range BUCKETS (price_c div {WM_BUCKET_C}) give the only
-       full-data exchange a (group, bucket) key — ~26 buckets x 3
-       flags, so the per-partition sorts parallelize instead of
-       serializing per group;
-    2. per-(group, bucket) totals are a map-side-combining aggregate
-       (bucket-count-sized), a tiny window over them yields each
-       bucket's exclusive carry-in and the group total;
-    3. the carry table broadcasts back onto the rows — cumw =
-       carry + within-bucket running sum, and the smallest value whose
-       row-cum clears half the total is the weighted median (within a
-       tie class the LAST row's running sum equals cumw(v), so
-       min(price_c) over qualifying rows is exact regardless of tie
-       order inside the frame).
+    1. scan 1 collapses rows to (group, value-range bucket) totals
+       (``price_c div {WM_BUCKET_C}``, map-side-combining aggregate,
+       cell-sized exchange); a tiny window over the ~26x3 cells yields
+       each bucket's exclusive carry-in and the group total, and a
+       filter on ``carry < half <= carry + bw`` names the ONE median
+       bucket per group;
+    2. scan 2 re-reads the table, keeps only rows in a median bucket
+       (broadcast semi-style join against the 3-row bucket table —
+       ~1/26 of the data survives), collapses the survivors to a
+       per-value histogram, and a small cumulative window finds the
+       smallest value whose carry + running weight clears half the
+       total. Ties are exact: within a tie class the LAST row's
+       running sum equals cumw(v), so min(price_c) over qualifying
+       rows is order-independent.
 
-    One full shuffle instead of two, no single-task sort: 1.55s ->
-    0.9s at sf0.1.
-
-    Exchange audit (r11, SCALE.md §25e): the plan's exchanges are
-    (a) the (flag, bkt)-CELL-sized partial-agg exchange for bucket
-    totals, (b) a 3-row window exchange for the carry, and (c) the one
-    row-scale exchange + per-bucket sort under the running-sum window.
-    A repartition-first variant that makes (a) and (c) share one
-    exchange via ReuseExchange measured 2.65 s vs 2.68 s at sf1 — no
-    win, because (a) is already cell-sized after map-side combine; the
-    cost IS (c), which any exact weighted median must pay once. Pinned;
-    plan unchanged.
+    The r10 plan shipped every row through one (group, bucket)
+    exchange + per-bucket sort; its r11 exchange audit (SCALE.md §25e)
+    pinned that cost as "any exact weighted median must pay it once" —
+    WRONG once the scan is repeatable: a second parquet scan + a
+    1/26-selectivity filter is cheaper than shuffling and sorting the
+    full table (2.82 s -> 2.00 s at synthesized sf1, SCALE.md §26c),
+    and at 100 TB a rescan is bandwidth while a full-data exchange is
+    the cluster bisection. Two scans, two cell-sized exchanges, one
+    bucket-sized sort.
     """
     from pyspark.sql import Window as W
 
@@ -1158,6 +1156,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0),
         ).alias("carry"),
+        F.col("bw"),
         F.sum("bw")
         .over(
             bw_win.rowsBetween(
@@ -1166,16 +1165,24 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("totw"),
     )
-    local = (
-        W.partitionBy("l_returnflag", "bkt")
+    med_bkt = carry.filter(
+        (2 * F.col("carry") < F.col("totw"))
+        & (2 * (F.col("carry") + F.col("bw")) >= F.col("totw"))
+    ).select("l_returnflag", "bkt", "carry", "totw")
+    sub = rows.join(F.broadcast(med_bkt), ["l_returnflag", "bkt"])
+    hist = sub.groupBy("l_returnflag", "price_c", "carry", "totw").agg(
+        F.sum("w").alias("wv")
+    )
+    cw = (
+        W.partitionBy("l_returnflag")
         .orderBy("price_c")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    cum = rows.join(F.broadcast(carry), ["l_returnflag", "bkt"]).select(
+    cum = hist.select(
         "l_returnflag",
         "price_c",
-        (F.col("carry") + F.sum("w").over(local)).alias("cumw"),
         "totw",
+        (F.col("carry") + F.sum("wv").over(cw)).alias("cumw"),
     )
     return (
         cum.filter(2 * F.col("cumw") >= F.col("totw"))
