@@ -653,12 +653,15 @@ GROUP BY p.event_id, p.user_id
 """
 
 
-#: overlap-join band width, centiseconds (600 s). On the test corpus
-#: intervals are at most ~490 s (events.value <= 490.02), so the
-#: sequence-explode below emits <=2 copies per interval; the plan stays
-#: CORRECT for longer intervals too (every touched band is emitted),
-#: the band width only tunes the explode factor vs join selectivity.
-_OVERLAP_BAND_CS = 60_000
+#: overlap-join band width, centiseconds (200 s). The plan is CORRECT
+#: for any band width and any interval length (sequence-explode emits
+#: every touched band); the width only tunes explode factor vs join
+#: selectivity. Swept at synthesized sf1 (min-of-3, SCALE.md §26d):
+#: 600 s -> 1.83 s, 300 s -> 1.37 s, 200 s -> 1.18 s, 120 s -> 1.23 s —
+#: narrower bands shrink each band's candidate cross-product faster
+#: than the <=ceil(490s/200s)+1 = 4-copy explode grows the probe side,
+#: until per-copy overhead wins below ~200 s.
+_OVERLAP_BAND_CS = 20_000
 
 
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
