@@ -724,6 +724,116 @@ GROUP BY src
 ORACLE_GRAPH_KCORE = _kcore_oracle()
 
 
+#: minimum shared-neighbor count for a Jaccard candidate pair — bounds
+#: the output to pairs with actual neighborhood overlap (a single
+#: shared neighbor is noise on a co-occurrence graph).
+JACC_MIN_COMMON = 2
+
+
+def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity between part pairs — the
+    link-prediction / "customers also bought" primitive: two parts are
+    similar when their co-occurrence neighborhoods overlap
+    (|N(u) ∩ N(v)| / |N(u) ∪ N(v)|), including pairs that are NOT
+    themselves connected.
+
+    Same graph as graph_triangle_count (co-occurrence edges with
+    >= {TRI_MIN_COOCCUR} shared orders, canonical u < v). Candidate
+    pairs are generated by the WEDGE join — only pairs with at least
+    one common neighbor can have Jaccard > 0, so the all-pairs space
+    is never touched: symmetrized edges self-join on the middle node
+    with u < v on the endpoints, and one hash aggregate counts common
+    neighbors per pair. Degrees come from a cell-sized aggregate and
+    attach by two node-keyed joins; similarity is integer ppm
+    (``common * 1e6 div (du + dv - common)``) so both engines agree
+    bit-for-bit.
+
+    At 100 TB: the wedge join is the bound — sum over middle nodes of
+    deg(w)^2 — the SAME bound as triangle counting/clustering
+    coefficient above (degree-capping the hubs is the standard
+    refinement, one extra filter against the degree table, plan shape
+    unchanged). Everything shuffles on node keys; nothing assumes the
+    graph fits anywhere. Output is filtered to common >=
+    {JACC_MIN_COMMON} to keep the pair list overlap-bearing.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pp.alias("a"), pp.alias("b")
+    canon = (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") >= TRI_MIN_COOCCUR)
+        .select("u", "v")
+    )
+    sym = canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    w1, w2 = sym.alias("w1"), sym.alias("w2")
+    common = (
+        w1.join(w2, (F.col("w1.u") == F.col("w2.u"))
+                & (F.col("w1.v") < F.col("w2.v")))
+        .groupBy(F.col("w1.v").alias("x"), F.col("w2.v").alias("y"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= JACC_MIN_COMMON)
+    )
+    du = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
+    dv = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    return (
+        common.join(du, "x")
+        .join(dv, "y")
+        .select(
+            F.col("x").alias("p_a"),
+            F.col("y").alias("p_b"),
+            "common",
+            F.expr("common * 1000000 div (dx + dy - common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_GRAPH_JACCARD = f"""
+WITH pp AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+canon AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v
+  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+),
+sym AS MATERIALIZED (
+  SELECT u, v FROM canon
+  UNION ALL
+  SELECT v AS u, u AS v FROM canon
+),
+deg AS MATERIALIZED (
+  SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u
+),
+common AS MATERIALIZED (
+  SELECT w1.v AS x, w2.v AS y, COUNT(*) AS common
+  FROM sym w1 JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {JACC_MIN_COMMON}
+)
+SELECT
+  c.x AS p_a,
+  c.y AS p_b,
+  c.common,
+  c.common * 1000000 // (du.deg + dv.deg - c.common) AS jaccard_ppm
+FROM common c
+JOIN deg du ON du.node = c.x
+JOIN deg dv ON dv.node = c.y
+"""
+
+
 QUERIES = {
     "graph_pagerank": spec(
         graph_pagerank, ORACLE_GRAPH_PAGERANK, "beyond",
@@ -754,5 +864,10 @@ QUERIES = {
         graph_kcore, ORACLE_GRAPH_KCORE, "beyond",
         doc="k-core membership via fixed-round distributed peeling "
             "(oracle: unrolled degree-filter CTEs)",
+    ),
+    "graph_jaccard": spec(
+        graph_jaccard, ORACLE_GRAPH_JACCARD, "beyond",
+        doc="neighborhood Jaccard link prediction via wedge join "
+            "(integer-ppm similarity, common-neighbor candidates only)",
     ),
 }

@@ -1416,6 +1416,283 @@ WHERE 2 * dev.d2 > {MAD_MULT} * mad.mad4
 """
 
 
+def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series winsorized mean: clip values at the exact p05/p95
+    before averaging — the robust-mean every metrics pipeline wants
+    when a sensor glitch or a whale order would drag the plain mean
+    (trimmed/winsorized stats are the standard alternative to median
+    when the magnitude, not just the rank, matters).
+
+    Two-scan construction, every exchange CELL-sized (the
+    agg_weighted_median discipline):
+
+    1. scan 1 collapses rows to the per-(series, cent-value) histogram
+       — value has 2 decimals and is bounded, so the cell count is
+       bounded by the value domain, not the row count; a cumulative
+       window over the cells finds the exact thresholds with the
+       PERCENTILE_DISC lower convention (smallest v with cum/n >= p,
+       decided by the integer predicate ``20*cum >= n`` / ``>= 19*n``
+       — no float percentile);
+    2. scan 2 re-reads the rows, clips against the broadcast per-series
+       thresholds, and one mergeable aggregate emits the winsorized
+       mean plus clip counts.
+
+    Exactness: thresholds and the clipped sum are BIGINT cents; the
+    mean divides the decimal-unscaled sum by the count in ONE double
+    division, same expression shape as the oracle, so the engines agree
+    bit-for-bit. At 100 TB both scans are bandwidth; nothing row-scale
+    is ever exchanged or sorted.
+    """
+    e = table(spark, sf_dir, "events")
+    rows = e.select("event_type", scaled_long("value").alias("v_c"))
+    cells = rows.groupBy("event_type", "v_c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("v_c")
+    cum = cells.select(
+        "event_type",
+        "v_c",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    th = cum.groupBy("event_type").agg(
+        F.min(F.when(20 * F.col("cum") >= F.col("n"), F.col("v_c"))).alias(
+            "lo"
+        ),
+        F.min(
+            F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("v_c"))
+        ).alias("hi"),
+    )
+    clipped = rows.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "v_c",
+        "lo",
+        "hi",
+        F.least(F.greatest("v_c", "lo"), "hi").alias("v_w"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        unscale(F.min("lo")).alias("p05"),
+        unscale(F.min("hi")).alias("p95"),
+        F.sum((F.col("v_c") < F.col("lo")).cast("long")).alias("n_clip_lo"),
+        F.sum((F.col("v_c") > F.col("hi")).cast("long")).alias("n_clip_hi"),
+        (unscale(F.sum("v_w")) / F.count(F.lit(1))).alias("wins_mean"),
+    )
+
+
+ORACLE_TS_WINSORIZE = """
+WITH rows_c AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+cells AS (
+  SELECT event_type, v_c, COUNT(*) AS cnt
+  FROM rows_c GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, v_c,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM cells
+),
+th AS (
+  SELECT event_type,
+         MIN(CASE WHEN 20 * cum >= n THEN v_c END) AS lo,
+         MIN(CASE WHEN 20 * cum >= 19 * n THEN v_c END) AS hi
+  FROM cum GROUP BY event_type
+),
+clipped AS (
+  SELECT r.event_type, r.v_c, t.lo, t.hi,
+         LEAST(GREATEST(r.v_c, t.lo), t.hi) AS v_w
+  FROM rows_c r JOIN th t USING (event_type)
+)
+SELECT
+  event_type,
+  COUNT(*) AS n,
+  CAST(CAST(MIN(lo) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS p05,
+  CAST(CAST(MIN(hi) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS p95,
+  CAST(SUM(CASE WHEN v_c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+  CAST(SUM(CASE WHEN v_c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+  CAST(CAST(SUM(v_w) AS DECIMAL(38,0)) / 100 AS DOUBLE) / COUNT(*)
+    AS wins_mean
+FROM clipped
+GROUP BY event_type
+"""
+
+
+#: LTTB downsample target bucket count per series.
+LTTB_BUCKETS = 64
+
+
+def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle downsampling per series: pick, in each of
+    {LTTB_BUCKETS} equal time buckets, the point that subtends the
+    largest triangle with the NEIGHBORING buckets' centroids — the
+    standard chart-decimation operator (Steinarsson's LTTB with fixed
+    bucket anchors, the batch-friendly variant: strict LTTB anchors on
+    the previously SELECTED point, a sequential dependency; anchoring
+    on bucket centroids keeps the pick embarrassingly parallel with
+    near-identical visual output).
+
+    Plan: one cell-sized aggregate builds per-bucket (n, sum_x, sum_y);
+    a lag/lead window over the ~{LTTB_BUCKETS} cells per series attaches
+    neighbor centroids; the cells broadcast back onto the rows and a
+    per-(series, bucket) window picks the max-area point. The area
+    comparison is EXACT: centroid fractions are cleared by multiplying
+    through by n_prev^2 * n_next (documented below), so the score is
+    pure integer arithmetic in DECIMAL(38,0) — Spark and the HUGEINT
+    oracle agree bit-for-bit. First/last buckets (no both-side
+    neighbors) keep their first/last point by timestamp.
+
+    At 100 TB: rows are never exchanged — the only row-scale work is
+    the scan feeding the cell aggregate and the pick window, whose
+    partitions are (series, bucket) — fine-grained and skew-free; cells
+    are series x {LTTB_BUCKETS}. Output is the decimated series.
+    """
+    e = table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias(
+            "t_s"
+        ),
+        scaled_long("value").alias("v_c"),
+    )
+    bounds = pts.groupBy("event_type").agg(
+        F.min("t_s").alias("mn"), (F.max("t_s") - F.min("t_s") + 1).alias(
+            "span"
+        )
+    )
+    xb = pts.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "event_id",
+        "v_c",
+        (F.col("t_s") - F.col("mn")).alias("x"),
+        F.least(
+            F.expr(f"(t_s - mn) * {LTTB_BUCKETS} div span"),
+            F.lit(LTTB_BUCKETS - 1),
+        ).alias("bkt"),
+    )
+    bsum = xb.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).alias("bn"),
+        F.sum("x").alias("bsx"),
+        F.sum("v_c").alias("bsy"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bkt")
+    anc = bsum.select(
+        "event_type",
+        "bkt",
+        F.lag("bn").over(wb).alias("pn"),
+        F.lag("bsx").over(wb).alias("psx"),
+        F.lag("bsy").over(wb).alias("psy"),
+        F.lead("bn").over(wb).alias("nn"),
+        F.lead("bsx").over(wb).alias("nsx"),
+        F.lead("bsy").over(wb).alias("nsy"),
+    )
+    j = xb.join(F.broadcast(anc), ["event_type", "bkt"])
+    # triangle area x (2 * pn^2 * nn), fraction-free:
+    #   2A = |(x_p - x_n)(y - y_p) - (x_p - x)(y_n - y_p)|   (centroids
+    #   p = (psx/pn, psy/pn), n = (nsx/nn, nsy/nn)); multiplying by
+    #   pn^2 * nn clears every denominator, leaving the integers below.
+    dec = "decimal(38,0)"
+    area2 = F.abs(
+        (
+            F.col("psx").cast(dec) * F.col("nn") - F.col("nsx").cast(dec)
+            * F.col("pn")
+        )
+        * (F.col("v_c").cast(dec) * F.col("pn") - F.col("psy"))
+        - (F.col("psx").cast(dec) - F.col("x").cast(dec) * F.col("pn"))
+        * (F.col("nsy").cast(dec) * F.col("pn") - F.col("psy").cast(dec)
+           * F.col("nn"))
+    )
+    ord1 = (
+        F.when(F.col("pn").isNull(), F.col("x").cast(dec))
+        .when(F.col("nn").isNull(), -F.col("x").cast(dec))
+        .otherwise(-area2)
+    )
+    pick = Window.partitionBy("event_type", "bkt").orderBy(
+        "ord1", "x", "event_id"
+    )
+    return (
+        j.withColumn("ord1", ord1)
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "bkt",
+            "event_id",
+            F.col("x").alias("x_s"),
+            unscale(F.col("v_c")).alias("value"),
+        )
+    )
+
+
+ORACLE_TS_LTTB = f"""
+WITH pts AS (
+  SELECT event_type, event_id,
+         epoch_us(ts) // 1000000 AS t_s,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+bounds AS (
+  SELECT event_type, MIN(t_s) AS mn, MAX(t_s) - MIN(t_s) + 1 AS span
+  FROM pts GROUP BY event_type
+),
+xb AS (
+  SELECT p.event_type, p.event_id, p.v_c,
+         p.t_s - b.mn AS x,
+         LEAST((p.t_s - b.mn) * {LTTB_BUCKETS} // b.span,
+               {LTTB_BUCKETS - 1}) AS bkt
+  FROM pts p JOIN bounds b USING (event_type)
+),
+bsum AS (
+  SELECT event_type, bkt, COUNT(*) AS bn,
+         SUM(x) AS bsx, SUM(v_c) AS bsy
+  FROM xb GROUP BY 1, 2
+),
+anc AS (
+  SELECT event_type, bkt,
+         LAG(bn)  OVER w AS pn,  LAG(bsx)  OVER w AS psx,
+         LAG(bsy) OVER w AS psy, LEAD(bn)  OVER w AS nn,
+         LEAD(bsx) OVER w AS nsx, LEAD(bsy) OVER w AS nsy
+  FROM bsum
+  WINDOW w AS (PARTITION BY event_type ORDER BY bkt)
+),
+scored AS (
+  SELECT x.event_type, x.bkt, x.event_id, x.x, x.v_c,
+         CASE
+           WHEN a.pn IS NULL THEN CAST(x.x AS HUGEINT)
+           WHEN a.nn IS NULL THEN -CAST(x.x AS HUGEINT)
+           ELSE -ABS(
+             (CAST(a.psx AS HUGEINT) * a.nn - CAST(a.nsx AS HUGEINT) * a.pn)
+             * (CAST(x.v_c AS HUGEINT) * a.pn - a.psy)
+             - (CAST(a.psx AS HUGEINT) - CAST(x.x AS HUGEINT) * a.pn)
+             * (CAST(a.nsy AS HUGEINT) * a.pn - CAST(a.psy AS HUGEINT) * a.nn)
+           )
+         END AS ord1
+  FROM xb x JOIN anc a USING (event_type, bkt)
+),
+ranked AS (
+  SELECT event_type, bkt, event_id, x, v_c,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bkt
+                            ORDER BY ord1, x, event_id) AS rn
+  FROM scored
+)
+SELECT event_type, bkt, event_id, x AS x_s,
+       CAST(CAST(v_c AS DECIMAL(38,0)) / 100 AS DOUBLE) AS value
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "ts_gapfill": spec(
         ts_gapfill, ORACLE_TS_GAPFILL, "beyond",
@@ -1486,5 +1763,15 @@ QUERIES = {
         ts_changepoint, ORACLE_TS_CHANGEPOINT, "beyond",
         doc="binary-segmentation optimal split per series (exact "
             "integer prefix sums, IEEE-identical objective)",
+    ),
+    "ts_winsorize": spec(
+        ts_winsorize, ORACLE_TS_WINSORIZE, "beyond",
+        doc="exact p05/p95 winsorized mean per series (two scans, "
+            "cell-sized histogram thresholds, no row-scale exchange)",
+    ),
+    "ts_lttb": spec(
+        ts_lttb, ORACLE_TS_LTTB, "beyond",
+        doc="largest-triangle chart decimation per series "
+            "(fraction-free integer area, centroid-anchored LTTB)",
     ),
 }
