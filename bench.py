@@ -142,6 +142,15 @@ HEADLINE = [
     "join_asof_nearest",
     "llm_dedup_bloom",
     "win_session_attribution",
+    # round-11 session-2 additions: wedge-join Jaccard link prediction,
+    # two-scan winsorized mean, centroid-anchored LTTB decimation,
+    # per-lang BPE fertility, star-schema dim chain (stream_topk is a
+    # streaming fold — benched at sf1 only, with the replay rows)
+    "graph_jaccard",
+    "ts_winsorize",
+    "ts_lttb",
+    "llm_tokenizer_fertility",
+    "join_star",
 ]
 
 
@@ -502,6 +511,15 @@ SF1_QUERIES = [
     "join_asof_nearest",
     "llm_dedup_bloom",
     "win_session_attribution",
+    # r11 session-2 additions — fresh pairs (graph_jaccard shares the
+    # wedge-join cost family; stream_topk's fold replays 4 triggers,
+    # priced against the one-shot ranking like the other fold rows)
+    "ts_winsorize",
+    "ts_lttb",
+    "llm_tokenizer_fertility",
+    "join_star",
+    "graph_jaccard",
+    "stream_topk",
     # -- B: established pairs --
     "flagship_flat",
     "dedup_lastwins",

@@ -396,6 +396,83 @@ ORDER BY wn DESC, w LIMIT {BPE_ENCODE_TOP}
 )
 
 
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE tokens emitted per word,
+    the standard tokenizer-vs-corpus fitness metric (a vocab trained on
+    English 'costs' more tokens per word on other languages — fertility
+    is how that is measured and reported, e.g. in multilingual
+    tokenizer papers).
+
+    Reuses the training loop's final vocabulary state verbatim
+    (:func:`_bpe_train_state` — the segmentation of a word is
+    language-independent, so the per-word token count is computed ONCE
+    on the distinct vocab), then a per-(lang, word) frequency aggregate
+    joins the vocab-sized segmentation table and rolls up to per-lang
+    totals. Fertility is integer ppm (``n_tokens * 1e6 div n_words``).
+
+    At 100 TB: the (lang, word) aggregate is the only corpus-scale
+    exchange (map-side combined to vocabulary scale); the segmentation
+    side is the distinct vocab — joinable by broadcast until the vocab
+    outgrows memory, shuffle-on-word after (Catalyst's call here). The
+    train-state reuse means the expensive part (3 merge passes) is
+    shared machinery, not re-derived.
+    """
+    words, _ = _bpe_train_state(spark, sf_dir)
+    seg = words.select(
+        "w", F.size(F.split("seq", " ")).alias("n_tok")
+    )
+    docs = table(spark, sf_dir, "documents")
+    lw = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike(_WORD_RE))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        lw.join(seg, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_tok")).alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_words").alias(
+                "fertility_ppm"
+            ),
+        )
+    )
+
+
+ORACLE_LLM_TOKENIZER_FERTILITY = (
+    _ORACLE_BPE_BASE
+    + ","
+    + ",".join(_oracle_iter_ctes(k) for k in range(1, BPE_TRAIN_ITERS + 1))
+    + f"""
+, lang_words AS (
+  SELECT lang, w, COUNT(*) AS n
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]{{2,}}$')
+  GROUP BY 1, 2
+),
+seg AS (
+  SELECT w, LEN(string_split(seq, ' ')) AS n_tok
+  FROM W{BPE_TRAIN_ITERS}
+)
+SELECT
+  l.lang,
+  CAST(SUM(l.n) AS BIGINT) AS n_words,
+  CAST(SUM(l.n * s.n_tok) AS BIGINT) AS n_tokens,
+  CAST(SUM(l.n * s.n_tok) * 1000000 // SUM(l.n) AS BIGINT)
+    AS fertility_ppm
+FROM lang_words l JOIN seg s USING (w)
+GROUP BY l.lang
+"""
+)
+
+
 QUERIES = {
     "llm_bpe_pair_count": spec(
         llm_bpe_pair_count, ORACLE_LLM_BPE_PAIR_COUNT, "llm",
@@ -408,5 +485,10 @@ QUERIES = {
     "llm_bpe_encode": spec(
         llm_bpe_encode, ORACLE_LLM_BPE_ENCODE, "llm",
         doc="tokenize the top words with the freshly-trained BPE merges",
+    ),
+    "llm_tokenizer_fertility": spec(
+        llm_tokenizer_fertility, ORACLE_LLM_TOKENIZER_FERTILITY, "llm",
+        doc="BPE tokens-per-word by language (integer-ppm fertility "
+            "from the shared train state)",
     ),
 }

@@ -783,6 +783,64 @@ GROUP BY epoch_day
 """
 
 
+def join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact (orders) against a dimension CHAIN
+    (customer -> nation -> region), rolled up to revenue per region and
+    order year — the TPC-H Q5 shape and the bread-and-butter BI query a
+    warehouse engine must plan well.
+
+    Strategy mix is the point: customer is fact-scale (shuffle hash /
+    SMJ territory — left to Catalyst + AQE, which broadcasts it at
+    local SFs and switches to a shuffle join when it outgrows the
+    threshold), while nation (25 rows) and region (5) are FORCED
+    broadcasts — a star plan should never shuffle the fact table for
+    kilobyte dimensions. Revenue is exact integer cents
+    (scaled_long -> unscale), counts BIGINT.
+
+    At 100 TB: one fact-scale exchange at most (orders x customer on
+    custkey), dimension hops are map-side; the final rollup is a
+    mergeable hash aggregate on a (region x year)-sized key space.
+    Reference scope: beyond J1 (task.ts joins exactly one dimension,
+    task.ts:122-128; the chain form is what warehouses actually run).
+    """
+    from .aggregates import scaled_long, unscale
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("order_year"),
+        scaled_long("o_totalprice").alias("price_c"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            unscale(F.sum("price_c")).alias("revenue"),
+        )
+    )
+
+
+ORACLE_JOIN_STAR = """
+SELECT
+  r.r_name AS region,
+  CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "join_broadcast_left": spec(
         join_broadcast_left, ORACLE_JOIN_BROADCAST_LEFT,
@@ -838,5 +896,10 @@ QUERIES = {
         join_interval_overlap, ORACLE_JOIN_INTERVAL_OVERLAP, "beyond",
         doc="keyless interval-overlap join via temporal banding + "
             "max-start ownership dedup",
+    ),
+    "join_star": spec(
+        join_star, ORACLE_JOIN_STAR, "beyond",
+        doc="star-schema dimension chain (fact shuffle join + forced "
+            "kilobyte-dim broadcasts), revenue by region x year",
     ),
 }

@@ -105,8 +105,13 @@ def spec(
 #   round (win_frame, dq_profile, llm_dedup_minhash, flagship_features,
 #   scd2_build considered and ceded — all r5-evidence, unchanged code,
 #   covered by the local 207-query parity sweep).
-#   win_session_attribution landed after the window froze at 50; it is
-#   parity-swept locally this round and heads r12's clause (a).
+#   win_session_attribution and the session-2 additions (graph_jaccard,
+#   ts_winsorize, ts_lttb, llm_tokenizer_fertility, stream_topk,
+#   join_star) landed after the window froze at 50; all are
+#   parity-swept locally this round and head r12's clause (a). The
+#   session-2 implementation changes past the freeze (ts_streaks,
+#   llm_vocab_coverage, agg_weighted_median, join_interval_overlap —
+#   SCALE.md §26) likewise head r12's clause (b).
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",

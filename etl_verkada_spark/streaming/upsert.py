@@ -691,6 +691,159 @@ def stream_drift_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_tvd(merged)
 
 
+#: streaming top-K: chunks landed / K kept per series
+TOPK_CHUNKS = 4
+TOPK_K = 5
+
+
+def topk_fold(state_dir: str):
+    """foreachBatch fold for the streaming top-K leaderboard: prune the
+    arriving batch to its per-series top-K, union with the K-row state,
+    re-prune, overwrite. Top-K is a SEMILATTICE merge —
+    ``topK(A ∪ B) = topK(topK(A) ∪ topK(B))`` — so the fold is
+    associative and batch-order-independent, and state never exceeds
+    K x |series| rows no matter how much history streamed through.
+    Same at-least-once replay guard as mv_fold/drift_fold (top-K merge
+    is idempotent for REPEATED rows but the guard keeps the discipline
+    uniform and the batch work skippable)."""
+    from pyspark.sql import Window
+
+    def _prune(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("v_c").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOPK_K)
+            .drop("rn")
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.aggregates import scaled_long
+
+        bspark = batch_df.sparkSession
+        state = _read_state(bspark, state_dir)
+        if state is not None:
+            last_bid = state.agg(F.max("last_bid")).first()[0]
+            if last_bid is not None and batch_id <= last_bid:
+                return  # at-least-once replay: already folded, skip
+        part = _prune(
+            batch_df.select(
+                "event_type", "event_id", scaled_long("value").alias("v_c")
+            )
+        )
+        merged = (
+            part
+            if state is None
+            else _prune(
+                state.select("event_type", "event_id", "v_c").unionByName(
+                    part
+                )
+            )
+        ).withColumn("last_bid", F.lit(batch_id))
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    return _fold
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-series top-K leaderboard — the continuously
+    maintained "largest transactions" board every ops dashboard has.
+    Events arrive as micro-batches (one landed chunk per trigger); a
+    foreachBatch fold keeps only K rows per series as state (the
+    semilattice prune-merge in :func:`topk_fold`); the final
+    leaderboard read FROM STATE must equal the from-scratch ranking
+    over all events — the oracle is that one-shot SQL, so the driver's
+    hash check proves no batch boundary dropped a contender.
+
+    Windowed ranking is not expressible as a built-in streaming
+    aggregate (rank needs its peers); the bounded prune-merge fold is
+    the standard scalable answer: per-batch work is a TakeOrdered over
+    the arriving chunk, state is K x |series| rows forever. At 100 TB
+    that is the difference between maintaining a leaderboard and
+    re-sorting history per refresh. Ordering is exact integer cents
+    with event_id tiebreak, so the fold and the oracle agree
+    bit-for-bit.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.aggregates import unscale
+    from ..operators.scans import _land_dir
+    from ..session import ensure_session_defaults
+
+    ensure_session_defaults(spark)
+    land = _land_dir(sf_dir, "topk_chunks")
+    state_dir = land + "_state"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    done = os.path.join(land, "_LANDED")
+    if not os.path.exists(done):
+        shutil.rmtree(land, ignore_errors=True)
+        e = table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        for c in range(TOPK_CHUNKS):
+            e.filter(F.col("event_id") % TOPK_CHUNKS == c).coalesce(
+                1
+            ).write.mode("append").parquet(land)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(topk_fold(state_dir))
+        .queryName(f"topk_{uuid.uuid4().hex[:12]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("v_c").desc(), F.col("event_id").desc()
+    )
+    return (
+        spark.read.parquet(state_dir)
+        .select("event_type", "event_id", "v_c")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "event_type",
+            "rnk",
+            "event_id",
+            unscale(F.col("v_c")).alias("value"),
+        )
+    )
+
+
+ORACLE_STREAM_TOPK = f"""
+WITH ranked AS (
+  SELECT
+    event_type,
+    event_id,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type
+      ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC,
+               event_id DESC
+    ) AS rnk
+  FROM events
+)
+SELECT event_type, rnk, event_id,
+       CAST(CAST(v_c AS DECIMAL(38,0)) / 100 AS DOUBLE) AS value
+FROM ranked
+WHERE rnk <= {TOPK_K}
+"""
+
+
 QUERIES = {
     "upsert_merge": spec(
         upsert_merge, ORACLE_UPSERT_MERGE, "reference:S9",
@@ -715,5 +868,10 @@ QUERIES = {
         stream_drift_apply, _drift_oracle(), "beyond",
         doc="one delta-only drift refresh from cached count state == "
             "full dq_drift recompute (the steady-state incremental cost)",
+    ),
+    "stream_topk": spec(
+        stream_topk, ORACLE_STREAM_TOPK, "beyond",
+        doc="streaming per-series top-K leaderboard via bounded "
+            "semilattice prune-merge fold (oracle: one-shot ranking)",
     ),
 }

@@ -955,3 +955,19 @@ def test_bloom_prejoin_invariants(spark):
         if maybe and not is_dup:
             n_fp += 1
     assert n_fp > 0, "no false positives at sf0.01 — m is oversized"
+
+
+def test_tokenizer_fertility_invariants(spark):
+    """Fertility is bounded below by 1e6 ppm (a word is >= 1 token) and
+    above by max word length x 1e6; totals are consistent."""
+    from etl_verkada_spark.llm.bpe import llm_tokenizer_fertility
+
+    from .conftest import SF_SMALL
+
+    rows = llm_tokenizer_fertility(spark, SF_SMALL).collect()
+    assert rows, "no languages"
+    for r in rows:
+        assert r["n_words"] > 0
+        assert r["n_tokens"] >= r["n_words"]
+        assert r["fertility_ppm"] >= 1_000_000
+        assert r["fertility_ppm"] == r["n_tokens"] * 1_000_000 // r["n_words"]

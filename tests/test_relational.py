@@ -2062,3 +2062,174 @@ def test_session_attribution_matches_bruteforce(spark):
     }
     assert got == want
     assert got, "no attributable sessions at sf0.001"
+
+
+def test_jaccard_matches_bruteforce(spark):
+    """Neighborhood Jaccard equals a Python recompute over the same
+    co-occurrence edges (wedge candidates = every pair with >= 1 common
+    neighbor; output thresholded at JACC_MIN_COMMON)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from etl_verkada_spark.operators.graph import (
+        JACC_MIN_COMMON,
+        TRI_MIN_COOCCUR,
+        graph_jaccard,
+    )
+
+    got = {
+        (r["p_a"], r["p_b"]): (r["common"], r["jaccard_ppm"])
+        for r in graph_jaccard(spark, SF_SMALL).collect()
+    }
+    pp = (
+        table_validated(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in pp:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    cooc = defaultdict(int)
+    for parts in by_order.values():
+        for u, v in combinations(sorted(parts), 2):
+            cooc[(u, v)] += 1
+    nbr = defaultdict(set)
+    for (u, v), k in cooc.items():
+        if k >= TRI_MIN_COOCCUR:
+            nbr[u].add(v)
+            nbr[v].add(u)
+    want = {}
+    cand = set()
+    for w, ns in nbr.items():
+        for x, y in combinations(sorted(ns), 2):
+            cand.add((x, y))
+    for x, y in cand:
+        common = len(nbr[x] & nbr[y])
+        if common >= JACC_MIN_COMMON:
+            want[(x, y)] = (
+                common,
+                common * 1_000_000 // (len(nbr[x]) + len(nbr[y]) - common),
+            )
+    assert got == want
+    assert got, "no jaccard pairs at sf0.001"
+
+
+def test_winsorize_matches_python_recompute(spark):
+    """Winsorized mean / clip counts equal a Python recompute with the
+    PERCENTILE_DISC lower convention on exact cents."""
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.timeseries import ts_winsorize
+
+    got = {
+        r["event_type"]: (
+            r["n"], r["p05"], r["p95"], r["n_clip_lo"], r["n_clip_hi"],
+            round(r["wins_mean"], 9),
+        )
+        for r in ts_winsorize(spark, SF_SMALL).collect()
+    }
+    rows = (
+        table_validated(spark, SF_SMALL, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("c"),
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(r["c"])
+    want = {}
+    for t, vs in series.items():
+        vs.sort()
+        n = len(vs)
+        lo = next(v for i, v in enumerate(vs) if 20 * (i + 1) >= n)
+        hi = next(v for i, v in enumerate(vs) if 20 * (i + 1) >= 19 * n)
+        clipped = [min(max(v, lo), hi) for v in vs]
+        want[t] = (
+            n,
+            lo / 100,
+            hi / 100,
+            sum(1 for v in vs if v < lo),
+            sum(1 for v in vs if v > hi),
+            round(sum(clipped) / 100 / n, 9),
+        )
+    assert got == want
+
+
+def test_lttb_matches_bruteforce(spark):
+    """LTTB picks equal a Python recompute of the fraction-free integer
+    area argmax (first/last buckets keep their first/last point)."""
+    from collections import defaultdict
+
+    from etl_verkada_spark.operators.timeseries import LTTB_BUCKETS, ts_lttb
+
+    got = {
+        (r["event_type"], r["bkt"]): (r["event_id"], r["x_s"], r["value"])
+        for r in ts_lttb(spark, SF_SMALL).collect()
+    }
+    rows = (
+        table_validated(spark, SF_SMALL, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias(
+                "t"
+            ),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("c"),
+        )
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append((r["t"], r["event_id"], r["c"]))
+    want = {}
+    for typ, pts in series.items():
+        mn = min(p[0] for p in pts)
+        span = max(p[0] for p in pts) - mn + 1
+        buckets = defaultdict(list)
+        for t, eid, c in pts:
+            x = t - mn
+            buckets[min(x * LTTB_BUCKETS // span, LTTB_BUCKETS - 1)].append(
+                (x, eid, c)
+            )
+        order = sorted(buckets)
+        for i, b in enumerate(order):
+            prev = buckets[order[i - 1]] if i > 0 else None
+            nxt = buckets[order[i + 1]] if i + 1 < len(order) else None
+            members = buckets[b]
+            if prev is None:
+                pick = min(members, key=lambda m: (m[0], m[1]))
+            elif nxt is None:
+                pick = min(members, key=lambda m: (-m[0], m[0], m[1]))
+            else:
+                pn = len(prev)
+                psx = sum(m[0] for m in prev)
+                psy = sum(m[2] for m in prev)
+                nn = len(nxt)
+                nsx = sum(m[0] for m in nxt)
+                nsy = sum(m[2] for m in nxt)
+
+                def area2(m):
+                    x, _, y = m
+                    return abs(
+                        (psx * nn - nsx * pn) * (y * pn - psy)
+                        - (psx - x * pn) * (nsy * pn - psy * nn)
+                    )
+
+                pick = min(members, key=lambda m: (-area2(m), m[0], m[1]))
+            want[(typ, b)] = (pick[1], pick[0], pick[2] / 100)
+    assert got == want
+
+
+def test_join_star_broadcasts_kilobyte_dims(spark):
+    """The star plan must not shuffle the fact table for nation/region:
+    both dimension hops are BroadcastHashJoins."""
+    import re
+
+    from etl_verkada_spark.operators.joins import join_star
+
+    plan = formatted_plan(join_star(spark, SF_SMALL))
+    n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M))
+    assert n_bhj >= 2, plan

@@ -622,3 +622,60 @@ def test_mv_fold_recovers_from_mid_write_crash(spark, tmp_path):
     assert _mv_latest_version(state) == 1
     row = spark.read.parquet(os.path.join(state, "v1")).collect()[0]
     assert (row.event_type, row.n) == ("a", 3)
+
+
+def test_topk_fold_is_batch_order_independent(spark, tmp_path):
+    """Top-K is a semilattice merge: folding the same batches in any
+    order yields the identical state (the property that makes the
+    streaming leaderboard deterministic under micro-batch re-planning)."""
+    from etl_verkada_spark.streaming.upsert import topk_fold
+
+    batches = [
+        spark.createDataFrame(
+            [(i * 100 + j, "t%d" % (j % 2), float(v))
+             for j, v in enumerate(vals)],
+            "event_id long, event_type string, value double",
+        )
+        for i, vals in enumerate(
+            [[5.0, 9.0, 1.0, 9.0], [7.0, 2.0, 8.0], [3.0, 9.5, 0.5, 4.0]]
+        )
+    ]
+
+    def run(order, name):
+        state = str(tmp_path / name)
+        fold = topk_fold(state)
+        for bid, b in enumerate(order):
+            fold(b, bid)
+        return {
+            (r.event_type, r.event_id, r.v_c)
+            for r in spark.read.parquet(state).collect()
+        }
+
+    fwd = run(batches, "fwd")
+    rev = run(list(reversed(batches)), "rev")
+    assert fwd == rev
+    assert fwd, "empty top-k state"
+
+
+def test_topk_fold_state_stays_bounded(spark, tmp_path):
+    """State after any number of folds holds at most K rows per series."""
+    from collections import Counter
+
+    from etl_verkada_spark.streaming.upsert import TOPK_K, topk_fold
+
+    state = str(tmp_path / "state")
+    fold = topk_fold(state)
+    for bid in range(3):
+        rows = [
+            (bid * 1000 + i, "s", float(i % 17)) for i in range(50)
+        ]
+        fold(
+            spark.createDataFrame(
+                rows, "event_id long, event_type string, value double"
+            ),
+            bid,
+        )
+    per = Counter(
+        r.event_type for r in spark.read.parquet(state).collect()
+    )
+    assert per and all(n <= TOPK_K for n in per.values()), per
