@@ -634,6 +634,20 @@ SF1_ANNOTATIONS = {
         "deliberately (production sizes m to history; see the operator "
         "docstring's operating-range note)"
     ),
+    "stream_topk": (
+        "replay-stress row: replays ALL chunks through availableNow "
+        "micro-batch machinery (4 triggers, each a SINGLE-file — so "
+        "single-task — chunk scan + K-row state overwrite) vs the "
+        "one-shot ranking twin; the fold's own marginal work is the "
+        "per-chunk TakeOrdered, bounded by K x |series| state forever"
+    ),
+    "graph_jaccard": (
+        "equal-work empty fixpoint at sf1 (the graph_kcore precedent): "
+        "the perturbed replicas thin the co-occurrence graph below the "
+        "common>=2 threshold, so BOTH engines grind the same wedge "
+        "join to the same 0-row answer; the populated-output "
+        "correctness signal lives at sf0.01 (76 rows, hash-green)"
+    ),
 }
 
 #: iteration-heavy operators where a min-of-N would measure a cache, not
