@@ -151,6 +151,13 @@ HEADLINE = [
     "ts_lttb",
     "llm_tokenizer_fertility",
     "join_star",
+    # mm_phash is sf0.1-only: its oracle re-derives every pixel BYTE in
+    # SQL (generate_series per position) — a correctness twin, not an
+    # equal-work plan; at sf1 that explode is ~200M rows of ascii() and
+    # would price the oracle's construction, not the hash (the
+    # mm_resize not-benched precedent, relaxed to sf0.1 where the twin
+    # is 2M rows and honest).
+    "mm_phash",
 ]
 
 

@@ -629,6 +629,110 @@ FROM f JOIN p USING (doc_id)
 """
 
 
+PHASH_SCHEMA = "doc_id long, phash string, n_ones long"
+
+
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) duplicate detection over the
+    REAL decoded images — the image-dedup primitive every multimodal
+    corpus pipeline runs before training (near-identical frames and
+    re-encoded copies collapse to one hash; Hamming-near variants
+    bucket together under a banded extension of the same hash).
+
+    Kernel: decode each PPM payload (same parse as mm_decode), reduce
+    the pixel array to an 8x8 grid of block sums (grayscale = the RGB
+    byte sum — a constant factor that cancels in the threshold), and
+    emit one bit per non-empty cell: 1 iff the cell mean exceeds the
+    image mean. The comparison is FRACTION-FREE (``cell_sum * total_n
+    > total_sum * cell_n``), so the hash is pure integer arithmetic
+    and the SQL twin — which re-derives every pixel byte from the
+    repeated document text — reproduces it bit-for-bit. The hash rides
+    as a bitstring; a window over it sizes each duplicate group.
+
+    At 100 TB: decode + hash is map-only Arrow-batched Python; the
+    only exchange is the group-size window keyed on the 64-bit-ish
+    hash — exact-duplicate groups, the same shuffle shape as
+    llm_dedup_exact's digest groupBy. Reference scope: beyond (tag
+    "llm"); the mm family's scale notes (module docstring) apply.
+    """
+    import numpy as np
+
+    payloads = with_ppm_payload(table(spark, sf_dir, "documents"))
+
+    def hash_batch(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, px = _ppm_parse(bytes(payload))
+                gray = px.reshape(h, w, 3).sum(axis=2, dtype=np.int64)
+                rr = (np.arange(h) * 8 // h)[:, None]
+                cc = (np.arange(w) * 8 // w)[None, :]
+                cell = (rr * 8 + cc).ravel()
+                sums = np.bincount(cell, weights=gray.ravel(), minlength=64)
+                cnts = np.bincount(cell, minlength=64)
+                ts, tn = int(sums.sum()), int(cnts.sum())
+                live = cnts > 0
+                bits = (sums[live] * tn) > (ts * cnts[live])
+                phash = "".join("1" if b else "0" for b in bits)
+                rows.append((doc_id, phash, int(bits.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "phash", "n_ones"]
+            )
+
+    hashed = payloads.mapInPandas(hash_batch, PHASH_SCHEMA)
+    from pyspark.sql import Window
+
+    return hashed.select(
+        "doc_id",
+        "phash",
+        "n_ones",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("phash"))
+        .alias("group_size"),
+    )
+
+
+ORACLE_MM_PHASH = """
+WITH d AS (
+  SELECT doc_id, text,
+         8 + (doc_id % 4) * 4 AS w,
+         6 + (doc_id % 3) * 2 AS h,
+         LEN(text) AS tl
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, g.i AS pos,
+         ascii(substr(text, CAST((g.i - 1) % tl AS INT) + 1, 1)) AS b
+  FROM d, unnest(generate_series(1, w * h * 3)) AS g(i)
+),
+cells AS (
+  SELECT doc_id,
+         ((((pos - 1) // 3) // w) * 8 // h) * 8
+           + (((pos - 1) // 3) % w) * 8 // w AS cell,
+         SUM(b) AS s, COUNT(*) AS n
+  FROM px GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, SUM(s) AS ts, SUM(n) AS tn FROM cells GROUP BY doc_id
+),
+hashes AS (
+  SELECT c.doc_id,
+         STRING_AGG(CASE WHEN c.s * t.tn > t.ts * c.n
+                         THEN '1' ELSE '0' END, '' ORDER BY c.cell)
+           AS phash,
+         CAST(SUM(CASE WHEN c.s * t.tn > t.ts * c.n
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ones
+  FROM cells c JOIN tot t USING (doc_id)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, phash, n_ones,
+       COUNT(*) OVER (PARTITION BY phash) AS group_size
+FROM hashes
+"""
+
+
 QUERIES = {
     "mm_binary_stats": spec(
         mm_binary_stats, ORACLE_MM_BINARY_STATS, "llm",
@@ -660,5 +764,11 @@ QUERIES = {
         mm_frame_sample, ORACLE_MM_FRAME_SAMPLE, "llm",
         doc="binary frame sampling: evenly spaced byte slices, "
             "oracle-checked (unlike the stubbed codec path)",
+    ),
+    "mm_phash": spec(
+        mm_phash, ORACLE_MM_PHASH, "llm",
+        doc="perceptual average-hash image dedup over REAL decoded "
+            "PPM pixels (fraction-free integer threshold, "
+            "byte-level SQL twin)",
     ),
 }

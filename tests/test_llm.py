@@ -971,3 +971,33 @@ def test_tokenizer_fertility_invariants(spark):
         assert r["n_tokens"] >= r["n_words"]
         assert r["fertility_ppm"] >= 1_000_000
         assert r["fertility_ppm"] == r["n_tokens"] * 1_000_000 // r["n_words"]
+
+
+def test_phash_bit_surface_invariants(spark):
+    """Hash length equals the image's non-empty 8x8 cells (dims-derived),
+    n_ones counts its 1-bits, and group sizes partition the corpus."""
+    from etl_verkada_spark.llm.multimodal import mm_phash
+
+    from .conftest import SF_SMALL
+
+    rows = mm_phash(spark, SF_SMALL).collect()
+    assert rows
+    total = 0
+    seen_groups = {}
+    for r in rows:
+        w = 8 + (r["doc_id"] % 4) * 4
+        h = 6 + (r["doc_id"] % 3) * 2
+        n_cells = len({x * 8 // h for x in range(h)}) * len(
+            {x * 8 // w for x in range(w)}
+        )
+        assert len(r["phash"]) == n_cells, (r["doc_id"], w, h)
+        assert r["n_ones"] == r["phash"].count("1")
+        seen_groups.setdefault(r["phash"], set()).add(r["doc_id"])
+        total += 1
+    assert all(
+        len(v) == next(
+            rr["group_size"] for rr in rows if rr["phash"] == k
+        )
+        for k, v in list(seen_groups.items())[:20]
+    )
+    assert total == sum(len(v) for v in seen_groups.values())
