@@ -158,6 +158,7 @@ HEADLINE = [
     # mm_resize not-benched precedent, relaxed to sf0.1 where the twin
     # is 2M rows and honest).
     "mm_phash",
+    "llm_dataset_card",
 ]
 
 
@@ -527,6 +528,7 @@ SF1_QUERIES = [
     "join_star",
     "graph_jaccard",
     "stream_topk",
+    "llm_dataset_card",
     # -- B: established pairs --
     "flagship_flat",
     "dedup_lastwins",

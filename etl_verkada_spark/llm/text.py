@@ -1696,6 +1696,109 @@ FROM pairs
 """
 
 
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card: the one-row-per-source summary a
+    corpus release ships (HuggingFace dataset cards, Dolma/RedPajama
+    release notes) — volume, token mass, language mix, dominant
+    language, and the exact-duplicate rate.
+
+    One corpus scan feeds two mergeable aggregates: (a) the per-source
+    rollup (docs, tokens, distinct digests for the dup rate, distinct
+    langs — the count-distincts ride one expand-aggregate, the
+    dq_profile shape); (b) per-(source, lang) counts, topped per source
+    by a window over the cell table (source x lang rows, never
+    corpus-scale). Rates are integer ppm; the mean is one IEEE division
+    of exact integers, same expression shape as the oracle.
+
+    At 100 TB: both aggregates are map-side combined; the only
+    corpus-scale exchange carries (source, lang, digest) partials. The
+    card is the cheap front page BEFORE the deep audits (llm_dedup_*,
+    llm_quality*, llm_tokenizer_fertility) run. Reference scope:
+    beyond (tag "llm").
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("dig"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    s = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.countDistinct("dig").alias("n_uniq"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    top = (
+        lc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("cnt").desc(), F.col("lang").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "cnt")
+    )
+    return s.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("n_docs")).alias(
+            "mean_doc_tokens"
+        ),
+        "n_langs",
+        "top_lang",
+        F.expr("cnt * 1000000 div n_docs").alias("top_lang_ppm"),
+        F.expr("(n_docs - n_uniq) * 1000000 div n_docs").alias(
+            "exact_dup_ppm"
+        ),
+    )
+
+
+ORACLE_LLM_DATASET_CARD = """
+WITH base AS (
+  SELECT source, lang, md5(text) AS dig,
+         LEN(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+s AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         COUNT(DISTINCT dig) AS n_uniq,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM base GROUP BY source
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS cnt
+  FROM base GROUP BY 1, 2
+),
+top AS (
+  SELECT source, lang AS top_lang, cnt
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY cnt DESC, lang DESC) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT
+  s.source,
+  s.n_docs,
+  s.n_tokens,
+  CAST(s.n_tokens AS DOUBLE) / s.n_docs AS mean_doc_tokens,
+  s.n_langs,
+  t.top_lang,
+  t.cnt * 1000000 // s.n_docs AS top_lang_ppm,
+  (s.n_docs - s.n_uniq) * 1000000 // s.n_docs AS exact_dup_ppm
+FROM s JOIN top t USING (source)
+"""
+
+
 QUERIES = {
     "llm_text_stats": spec(
         llm_text_stats, ORACLE_LLM_TEXT_STATS, "llm",
@@ -1784,5 +1887,11 @@ QUERIES = {
         llm_eval_ngram_recall, ORACLE_LLM_EVAL_NGRAM_RECALL, "llm",
         doc="n-gram precision/recall (ROUGE-style, integer ppm) over "
             "fingerprint-blocked candidate pairs",
+    ),
+    "llm_dataset_card": spec(
+        llm_dataset_card, ORACLE_LLM_DATASET_CARD, "llm",
+        doc="per-source dataset card: volume, token mass, language "
+            "mix, dominant lang, exact-dup rate (one scan, two "
+            "mergeable aggregates)",
     ),
 }

@@ -1557,6 +1557,11 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan feeding the cell aggregate and the pick window, whose
     partitions are (series, bucket) — fine-grained and skew-free; cells
     are series x {LTTB_BUCKETS}. Output is the decimated series.
+    Headroom note: the fraction-clearing multiplier is pn^2 * nn, so
+    the score magnitude grows with (rows/bucket)^3; DECIMAL(38,0)
+    covers ~1e9-row buckets at this fixture's value/time ranges —
+    beyond that, pre-aggregate each bucket to a per-second rollup
+    first (the decimation is visually identical), which re-bounds n.
     """
     e = table(spark, sf_dir, "events")
     pts = e.select(

@@ -1001,3 +1001,25 @@ def test_phash_bit_surface_invariants(spark):
         for k, v in list(seen_groups.items())[:20]
     )
     assert total == sum(len(v) for v in seen_groups.values())
+
+
+def test_dataset_card_internal_consistency(spark):
+    """Card totals cross-check against independent recomputes: doc
+    counts partition the corpus, top_lang ppm <= 1e6, dup rate 0 when
+    all digests are unique."""
+    from etl_verkada_spark.llm.text import llm_dataset_card
+
+    from .conftest import SF_SMALL
+
+    from etl_verkada_spark.catalog import table
+
+    rows = llm_dataset_card(spark, SF_SMALL).collect()
+    assert rows
+    docs = table(spark, SF_SMALL, "documents")
+    n_total = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    for r in rows:
+        assert 0 < r["top_lang_ppm"] <= 1_000_000
+        assert 0 <= r["exact_dup_ppm"] < 1_000_000
+        assert r["mean_doc_tokens"] == r["n_tokens"] / r["n_docs"]
+        assert r["n_langs"] >= 1
