@@ -159,6 +159,11 @@ HEADLINE = [
     # is 2M rows and honest).
     "mm_phash",
     "llm_dataset_card",
+    # session-2 batch 3: one-pass exact Pearson matrix, steady-state
+    # leaderboard refresh, NOT-IN three-valued-logic pin
+    "agg_corr",
+    "stream_topk_apply",
+    "subquery_not_in",
 ]
 
 
@@ -529,6 +534,9 @@ SF1_QUERIES = [
     "graph_jaccard",
     "stream_topk",
     "llm_dataset_card",
+    "agg_corr",
+    "stream_topk_apply",
+    "subquery_not_in",
     # -- B: established pairs --
     "flagship_flat",
     "dedup_lastwins",

@@ -1368,6 +1368,117 @@ WHERE sum_bal > 0
 """
 
 
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix per group, one pass — the
+    feature-redundancy screen every ML feature store runs (which
+    columns move together, per segment) and a staple of warehouse
+    ANALYZE tooling.
+
+    All ten moments (counts, sums, squares, cross-products) accumulate
+    as EXACT DECIMAL(38,0) over integer-scaled columns — products fit
+    LONG per row (price_c^2 <= 1e14), the sums go through decimal so
+    no 64-bit overflow at any corpus size and no order-sensitive float
+    accumulation; then the textbook r runs in DOUBLE on those exact
+    moments with the identical expression in both engines (the
+    ts_autocorr discipline), so every correlation is bit-identical to
+    the oracle. ONE hash-aggregate exchange, map-side combined, output
+    is |groups| rows — nothing else touches row-scale data.
+
+    At 100 TB this is the shape corr must take: built-in ``corr()`` is
+    float-accumulating (order-sensitive partials) and one-pair-per-call;
+    the moment matrix gets every pair from the same single pass.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        scaled_long("l_extendedprice").alias("p"),
+        scaled_long("l_discount").alias("d"),
+    )
+    dec = "decimal(38,0)"
+
+    def s(expr: str, name: str):
+        return F.sum(F.expr(expr).cast(dec)).alias(name)
+
+    mom = rows.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        s("q", "sq"), s("p", "sp"), s("d", "sd"),
+        s("q*q", "sqq"), s("p*p", "spp"), s("d*d", "sdd"),
+        s("q*p", "sqp"), s("q*d", "sqd"), s("p*d", "spd"),
+    )
+
+    def r(a: str, b: str, ab: str) -> str:
+        nd = "cast(n as double)"
+        return (
+            f"({nd} * cast(s{ab} as double)"
+            f" - cast(s{a} as double) * cast(s{b} as double))"
+            f" / (sqrt({nd} * cast(s{a}{a} as double)"
+            f"          - cast(s{a} as double) * cast(s{a} as double))"
+            f"    * sqrt({nd} * cast(s{b}{b} as double)"
+            f"           - cast(s{b} as double) * cast(s{b} as double)))"
+        )
+
+    return mom.select(
+        "l_returnflag",
+        "n",
+        F.expr(r("q", "p", "qp")).alias("corr_qty_price"),
+        F.expr(r("q", "d", "qd")).alias("corr_qty_disc"),
+        F.expr(r("p", "d", "pd")).alias("corr_price_disc"),
+    )
+
+
+ORACLE_AGG_CORR = """
+WITH r AS (
+  SELECT
+    l_returnflag,
+    CAST(l_quantity AS BIGINT) AS q,
+    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+    CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS d
+  FROM lineitem
+),
+m AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    SUM(CAST(q AS HUGEINT)) AS sq,
+    SUM(CAST(p AS HUGEINT)) AS sp,
+    SUM(CAST(d AS HUGEINT)) AS sd,
+    SUM(CAST(q * q AS HUGEINT)) AS sqq,
+    SUM(CAST(p * p AS HUGEINT)) AS spp,
+    SUM(CAST(d * d AS HUGEINT)) AS sdd,
+    SUM(CAST(q * p AS HUGEINT)) AS sqp,
+    SUM(CAST(q * d AS HUGEINT)) AS sqd,
+    SUM(CAST(p * d AS HUGEINT)) AS spd
+  FROM r GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n,
+  (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+   - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+            - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+    AS corr_qty_price,
+  (CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+   - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+            - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+    AS corr_qty_disc,
+  (CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+   - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))
+     * sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+            - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+    AS corr_price_disc
+FROM m
+"""
+
+
 QUERIES = {
     "agg_count": spec(
         agg_count, ORACLE_AGG_COUNT, "reference:A1",
@@ -1462,6 +1573,11 @@ QUERIES = {
         agg_gini, ORACLE_AGG_GINI, "beyond",
         doc="per-group exact Gini coefficient (integer sorted formula, "
             "partitioned rank window)",
+    ),
+    "agg_corr": spec(
+        agg_corr, ORACLE_AGG_CORR, "beyond",
+        doc="pairwise Pearson matrix per group from exact DECIMAL "
+            "moments, one pass (bit-identical r)",
     ),
     "agg_heavy_hitters": spec(
         agg_heavy_hitters, ORACLE_AGG_HEAVY_HITTERS, "beyond",

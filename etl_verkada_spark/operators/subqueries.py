@@ -184,6 +184,53 @@ WHERE s_acctbal > ALL (
 """
 
 
+def subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULL-tainted subquery — the three-valued-logic
+    trap every SQL engine must get right and naive anti-join rewrites
+    get wrong: one NULL in the list makes ``x NOT IN (list)`` UNKNOWN
+    for every x, so the tainted predicate admits ZERO rows, while the
+    null-filtered form is a plain anti join.
+
+    One row pins all three counts side by side: the corpus size, the
+    NULL-tainted NOT IN count (must be 0 — Spark plans this as a
+    null-aware anti join, NAAJ), and the null-filtered NOT IN count
+    (customers with no non-P order — ordinary left-anti). The driver's
+    hash check proves both engines implement the same standard
+    semantics, which is exactly the property a user migrating
+    hand-written SQL onto this engine needs guaranteed.
+
+    At 100 TB: the null-filtered form is a shuffled left-anti join
+    (scales like J4); the tainted form degenerates to a broadcast
+    nested loop BY SEMANTIC NECESSITY (any NULL anywhere decides every
+    row) — the docstring-level advice is what every warehouse gives:
+    write NOT EXISTS, which this engine also ships (subquery_exists).
+    """
+    c = _view(spark, sf_dir, "customer")
+    o = _view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT
+          (SELECT COUNT(*) FROM {c}) AS n_customers,
+          (SELECT COUNT(*) FROM {c} WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                          ELSE o_custkey END FROM {o})) AS n_tainted,
+          (SELECT COUNT(*) FROM {c} WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM {o} WHERE o_orderstatus <> 'P'))
+            AS n_filtered
+    """)
+
+
+ORACLE_SUBQUERY_NOT_IN = """
+SELECT
+  (SELECT COUNT(*) FROM customer) AS n_customers,
+  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+     (SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                  ELSE o_custkey END FROM orders)) AS n_tainted,
+  (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+     (SELECT o_custkey FROM orders WHERE o_orderstatus <> 'P'))
+    AS n_filtered
+"""
+
+
 QUERIES = {
     "subquery_exists": spec(
         subquery_exists, ORACLE_SUBQUERY_EXISTS, "beyond",
@@ -205,5 +252,10 @@ QUERIES = {
         subquery_all, ORACLE_SUBQUERY_ALL, "beyond",
         doc="quantified > ALL comparison, manually decorrelated to "
             "max-grid + null-armed left join",
+    ),
+    "subquery_not_in": spec(
+        subquery_not_in, ORACLE_SUBQUERY_NOT_IN, "beyond",
+        doc="NOT IN three-valued-logic trap: NULL-tainted list admits "
+            "zero rows (null-aware anti join) vs the filtered anti join",
     ),
 }

@@ -107,8 +107,8 @@ def spec(
 #   covered by the local 207-query parity sweep).
 #   win_session_attribution and the session-2 additions (graph_jaccard,
 #   ts_winsorize, ts_lttb, llm_tokenizer_fertility, stream_topk,
-#   join_star, mm_phash, llm_dataset_card) landed after the window
-#   froze at 50; all are
+#   join_star, mm_phash, llm_dataset_card, agg_corr, stream_topk_apply,
+#   subquery_not_in) landed after the window froze at 50; all are
 #   parity-swept locally this round and head r12's clause (a). The
 #   session-2 implementation changes past the freeze (ts_streaks,
 #   llm_vocab_coverage, agg_weighted_median, join_interval_overlap —

@@ -2233,3 +2233,55 @@ def test_join_star_broadcasts_kilobyte_dims(spark):
     plan = formatted_plan(join_star(spark, SF_SMALL))
     n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M))
     assert n_bhj >= 2, plan
+
+
+def test_not_in_null_trap_counts(spark):
+    """The NULL-tainted NOT IN admits zero rows; the filtered form is a
+    plain anti join and must be >= 0 with n_customers an upper bound."""
+    from etl_verkada_spark.operators.subqueries import subquery_not_in
+
+    r = subquery_not_in(spark, SF_SMALL).collect()[0]
+    assert r["n_tainted"] == 0
+    assert 0 <= r["n_filtered"] <= r["n_customers"]
+
+
+def test_corr_matches_python_recompute(spark):
+    """Pearson r equals a numpy recompute on the exact scaled ints."""
+    import numpy as np
+
+    from etl_verkada_spark.operators.aggregates import agg_corr
+
+    got = {
+        r["l_returnflag"]: (
+            r["n"], r["corr_qty_price"], r["corr_qty_disc"],
+            r["corr_price_disc"],
+        )
+        for r in agg_corr(spark, SF_SMALL).collect()
+    }
+    rows = (
+        table_validated(spark, SF_SMALL, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("q"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("p"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).alias("d"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in rows:
+        by[r["l_returnflag"]].append((r["q"], r["p"], r["d"]))
+    for flag, triples in by.items():
+        a = np.array(triples, dtype=np.float64)
+        want = (
+            len(triples),
+            float(np.corrcoef(a[:, 0], a[:, 1])[0, 1]),
+            float(np.corrcoef(a[:, 0], a[:, 2])[0, 1]),
+            float(np.corrcoef(a[:, 1], a[:, 2])[0, 1]),
+        )
+        got_f = got[flag]
+        assert got_f[0] == want[0]
+        for g, w in zip(got_f[1:], want[1:]):
+            assert abs(g - w) < 1e-9, (flag, g, w)

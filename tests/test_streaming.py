@@ -679,3 +679,22 @@ def test_topk_fold_state_stays_bounded(spark, tmp_path):
         r.event_type for r in spark.read.parquet(state).collect()
     )
     assert per and all(n <= TOPK_K for n in per.values()), per
+
+
+def test_topk_apply_equals_full_ranking(spark):
+    """The delta-only leaderboard refresh must equal the from-scratch
+    ranking (the semilattice prune loses no contender)."""
+    from etl_verkada_spark.streaming.upsert import (
+        TOPK_K,
+        stream_topk,
+        stream_topk_apply,
+    )
+
+    full = sorted(map(tuple, stream_topk(spark, SF_SMALL).collect()))
+    delta = sorted(map(tuple, stream_topk_apply(spark, SF_SMALL).collect()))
+    assert full == delta
+    assert full
+    per = {}
+    for t, rnk, _, _ in full:
+        per[t] = max(per.get(t, 0), rnk)
+    assert all(v <= TOPK_K for v in per.values())
