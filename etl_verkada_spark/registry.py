@@ -66,62 +66,68 @@ def spec(
 # driver-green from an earlier round with unchanged code, plus full
 # parity coverage via tools/parity_check.py.
 #
-# ROUND-11 WINDOW. CORRECTNESS_r10 went 50/50 green; every registered
-# query has a hash-green driver row in r1-r10. Evidence state entering
-# r11 (newest green round -> count): r4 -> 25, r5 -> 43, r6 -> 46,
-# r9 -> 42, r10 -> 50, never -> 1 (this round's stream_drift_apply).
-# This window, per the rotation policy above AND the r10 verdict's
-# item 8 (rotate onto the ceded r4-evidence rows + the 8 sf1-unstable
-# queries):
+# ROUND-11 WINDOW (re-rotated by session 2 — the session-1 freeze plan
+# is preserved in git history at commit 757713c). CORRECTNESS_r10 went
+# 50/50 green; every registered query has a hash-green driver row in
+# r1-r10. Evidence state entering r11 (newest green round -> count):
+# r4 -> 25, r5 -> 43, r6 -> 46, r9 -> 42, r10 -> 50, never -> 17
+# (the round's 17 additions across both sessions). Per the rotation
+# policy above, clauses (a) and (b) outrank everything else, and this
+# round produced an unusually large (a)+(b) set:
 #   1. flagship;
-#   2. clause (a) — the round-11 additions, never had a driver row:
-#      stream_drift_apply, graph_kcore, ts_changepoint,
-#      join_asof_nearest, llm_dedup_bloom;
-#   3. clause (b) — the queries whose IMPLEMENTATION or oracle changed
-#      in round 11: sort_orderby + maintain_zorder
-#      (bucketed_global_rank now derives NULL routing from the leading
-#      order column), join_interval_overlap (sequence-banding, exact
-#      for any interval length), agg_heavy_hitters (true weighted
-#      Misra-Gries eviction), agg_countmin (sketch derived from the
-#      key histogram — oracle reworked too), llm_bm25 (checkpointed tf
-#      index), llm_perplexity_filter (quantized score buckets — oracle
-#      reworked too), llm_bpe_train (degenerate-step recording fix in
-#      the shared training loop — llm_bpe_encode shares that loop
-#      verbatim and keeps its fresh r10 row, so it cedes the 51st
-#      slot), plus
-#      graph_triangle_count + graph_clustering_coeff + graph_pagerank
-#      (oracles gained MATERIALIZED CTEs — SCALE.md §25h; comment-only
-#      on the Spark side but the ORACLE text changed, so clause (b)
-#      applies);
-#   4. the ENTIRE r4-evidence cohort (25 rows — every query whose
-#      newest green is r4, including all rows that ceded slots in the
-#      r10 window);
-#   5. the eight queries BENCH_FULL r10 marked sf1-unstable (their
-#      correctness is not in doubt — spread flags the TIMING — but the
-#      verdict asked for fresh driver rows): agg_gini, dq_benford,
-#      geo_knn, join_asof_fwd, skyline_pareto, stream_mv_apply,
-#      ts_seasonal_baseline, upsert_merge.
-#   The clause-(a)+(b) growth consumes every clause-(c) fill slot this
-#   round (win_frame, dq_profile, llm_dedup_minhash, flagship_features,
-#   scd2_build considered and ceded — all r5-evidence, unchanged code,
-#   covered by the local 207-query parity sweep).
-#   win_session_attribution and the session-2 additions (graph_jaccard,
-#   ts_winsorize, ts_lttb, llm_tokenizer_fertility, stream_topk,
-#   join_star, mm_phash, llm_dataset_card, agg_corr, stream_topk_apply,
-#   subquery_not_in) landed after the window froze at 50; all are
-#   parity-swept locally this round and head r12's clause (a). The
-#   session-2 implementation changes past the freeze (ts_streaks,
-#   llm_vocab_coverage, agg_weighted_median, join_interval_overlap —
-#   SCALE.md §26) likewise head r12's clause (b).
+#   2. clause (a) — round-11 additions, never had a driver row:
+#      session 1: stream_drift_apply, graph_kcore, ts_changepoint,
+#      join_asof_nearest, llm_dedup_bloom, win_session_attribution;
+#      session 2: graph_jaccard, ts_winsorize, ts_lttb,
+#      llm_tokenizer_fertility, stream_topk, join_star, mm_phash,
+#      llm_dataset_card, agg_corr, stream_topk_apply, subquery_not_in
+#      (17 total);
+#   3. clause (b) — IMPLEMENTATION or oracle changed in round 11:
+#      session 1: sort_orderby + maintain_zorder (null-aware bucketed
+#      rank), join_interval_overlap (sequence banding; session 2 also
+#      swept its band width), agg_heavy_hitters (true Misra-Gries
+#      eviction), agg_countmin (histogram-derived sketch),
+#      llm_bm25 (checkpointed tf index), llm_perplexity_filter
+#      (quantized buckets), llm_bpe_train (degenerate-step fix),
+#      graph_triangle_count/clustering_coeff/pagerank (MATERIALIZED
+#      oracle CTEs, SCALE.md §25h);
+#      session 2: ts_streaks (single-exchange fold, §26b),
+#      llm_vocab_coverage (hash-keyed membership join, §26a),
+#      agg_weighted_median (two-scan median-bucket plan, §26c)
+#      (14 total);
+#   4. the remaining 18 slots go to the r4-evidence cohort (oldest
+#      evidence, clause c). DISPLACED by the clause-(a)/(b) growth:
+#      7 r4-cohort rows (llm_dedup_semantic, llm_sample_hash,
+#      llm_mix_weights, llm_pack_sequences, llm_sample_stratified,
+#      mm_feature_extract_arrow + stream_slide/static_join/dedup trim
+#      to fit) and the r10 verdict's 8 sf1-unstable rows (agg_gini,
+#      dq_benford, geo_knn, join_asof_fwd, skyline_pareto,
+#      stream_mv_apply, ts_seasonal_baseline, upsert_merge) — their
+#      CORRECTNESS is not in doubt (the flag was timing spread; all
+#      are r4-r10 hash-green and covered by this session's local
+#      223-query parity sweep at sf0.01), and the policy ranks
+#      never-checked and changed code above evidence refresh.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 2. round-11 additions (clause a) --
+    # -- 2. round-11 additions (clause a), both sessions --
     "stream_drift_apply",
     "graph_kcore",
     "ts_changepoint",
     "join_asof_nearest",
     "llm_dedup_bloom",
+    "win_session_attribution",
+    "graph_jaccard",
+    "ts_winsorize",
+    "ts_lttb",
+    "llm_tokenizer_fertility",
+    "stream_topk",
+    "join_star",
+    "mm_phash",
+    "llm_dataset_card",
+    "agg_corr",
+    "stream_topk_apply",
+    "subquery_not_in",
     # -- 3. round-11 implementation/oracle changes (clause b) --
     "sort_orderby",
     "maintain_zorder",
@@ -134,7 +140,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "graph_triangle_count",
     "graph_clustering_coeff",
     "graph_pagerank",
-    # -- 4. the full r4-evidence cohort (oldest, 25 rows) --
+    "ts_streaks",
+    "llm_vocab_coverage",
+    "agg_weighted_median",
+    # -- 4. r4-evidence cohort (clause c fill, oldest evidence) --
     "scan_json_land",
     "scan_orc_land",
     "join_salted",
@@ -151,24 +160,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "fx_cond",
     "fx_hash",
     "udtf_bigrams",
-    "llm_dedup_semantic",
-    "llm_sample_hash",
-    "llm_mix_weights",
-    "llm_pack_sequences",
-    "llm_sample_stratified",
-    "mm_feature_extract_arrow",
     "stream_slide",
-    "stream_static_join",
     "stream_dedup",
-    # -- 5. the r10 sf1-unstable set --
-    "agg_gini",
-    "dq_benford",
-    "geo_knn",
-    "join_asof_fwd",
-    "skyline_pareto",
-    "stream_mv_apply",
-    "ts_seasonal_baseline",
-    "upsert_merge",
 )
 
 
