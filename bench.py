@@ -164,6 +164,12 @@ HEADLINE = [
     "agg_corr",
     "stream_topk_apply",
     "subquery_not_in",
+    # sf0.1-only like llm_dedup_prefixfilter and for the same reason:
+    # the correctness twin is brute-force all-pairs, which prices pair
+    # materialization (not the asymmetric prefix blocking) on the
+    # perturbed sf1 corpus; the directional family's scale argument is
+    # in the operator docstring.
+    "llm_dedup_containment",
 ]
 
 

@@ -1382,6 +1382,118 @@ FROM maybe m LEFT JOIN ex USING (doc_id)
 """
 
 
+#: containment threshold: doc A is an excerpt/quote of doc B when
+#: |S(A) ∩ S(B)| / |S(A)| >= CT_TAU.
+CT_TAU = 0.8
+
+
+def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: find documents whose shingle set
+    is >= {CT_TAU} contained in ANOTHER document — the quote-inclusion
+    / excerpt-dup case Jaccard misses by construction (a 50-word quote
+    inside a 5000-word page has Jaccard ~0.01 but containment ~1.0;
+    RealNewsLike/C4 dedup and eval-set decontamination both need the
+    directional form).
+
+    Candidate generation is the containment variant of prefix
+    filtering: C(A,B) >= tau bounds MISSES FROM A ONLY (<= |A| -
+    ceil(tau|A|)), so A indexes just its ``|A| - ceil(tau|A|) + 1``
+    globally rarest shingles while B indexes everything — and the join
+    still runs on the rare tail, because the fan-out of shingle s is
+    prefix_df(s) x full_df(s) and the df-ascending prefix keeps
+    exactly the s with tiny full_df. A size prune (|B| >= tau|A|,
+    necessary since C <= |B|/|A|) rides the same ranked projection.
+    Verification ships the per-doc shingle arrays to the candidates
+    (the array_jaccard discipline) and keeps integer
+    ``inter * 1e6 div |A|`` ppm — bit-identical to the brute-force
+    oracle, recall 1 by the prefix lemma. Output is DIRECTIONAL
+    (contained -> container); near-equal pairs appear in both
+    directions, which is the correct reading.
+
+    At 100 TB: same scale contract as llm_dedup_prefixfilter — the
+    inverted index is (1-tau)-sized on the A side, text never ships,
+    candidates per doc are few by construction.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs)
+    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df_, "s")
+        .withColumn("sz", F.count(F.lit(1)).over(by_doc))
+        .withColumn("r", F.row_number().over(by_doc.orderBy("df", "s")))
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("sz") - F.ceil(F.lit(CT_TAU) * F.col("sz")) + 1
+    ).select(F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a"))
+    full = ranked.select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sz_b")
+    )
+    cands = (
+        prefix.join(full, "s")
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("sz_b") >= F.ceil(F.lit(CT_TAU) * F.col("sz_a")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    arrs = with_shingles(docs).select(
+        "doc_id", F.array_distinct("shingles").alias("arr")
+    )
+    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                f"{1_000_000} * size(array_intersect(arr_a, arr_b))"
+                " div size(arr_a)"
+            ).alias("containment_ppm"),
+            F.size("arr_a").cast("long").alias("n_shingles_a"),
+        )
+        .filter(
+            inter * 10 >= F.lit(int(CT_TAU * 10)) * F.size("arr_a")
+        )
+    )
+
+
+ORACLE_LLM_DEDUP_CONTAINMENT = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(ws[i:i+3], ' ')
+                   for i in generate_series(1, LEN(ws) - 3)]) AS s
+    FROM w WHERE LEN(ws) >= 4
+    UNION ALL
+    SELECT doc_id, text AS s FROM w WHERE LEN(ws) < 4
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  i.doc_a,
+  i.doc_b,
+  i.inter * 1000000 // za.sz AS containment_ppm,
+  za.sz AS n_shingles_a
+FROM inter i
+JOIN sizes za ON i.doc_a = za.doc_id
+WHERE i.inter * 10 >= {int(CT_TAU * 10)} * za.sz
+"""
+
+
 QUERIES = {
     "llm_dedup_exact": spec(
         llm_dedup_exact, ORACLE_LLM_DEDUP_EXACT, "llm",
@@ -1404,6 +1516,12 @@ QUERIES = {
         llm_dedup_prefixfilter, ORACLE_LLM_DEDUP_PREFIXFILTER, "llm",
         doc="exact Jaccard join via PPJoin-style prefix filtering "
             "(recall 1 by construction; oracle: brute force >= 0.5)",
+    ),
+    "llm_dedup_containment": spec(
+        llm_dedup_containment, ORACLE_LLM_DEDUP_CONTAINMENT, "llm",
+        doc="directional excerpt/quote dedup: shingle containment "
+            ">= 0.8 via asymmetric prefix filtering (recall 1; "
+            "oracle: brute force)",
     ),
     "llm_dedup_fuzzy": spec(
         llm_dedup_fuzzy, ORACLE_LLM_DEDUP_FUZZY, "llm",

@@ -1023,3 +1023,32 @@ def test_dataset_card_internal_consistency(spark):
         assert 0 <= r["exact_dup_ppm"] < 1_000_000
         assert r["mean_doc_tokens"] == r["n_tokens"] / r["n_docs"]
         assert r["n_langs"] >= 1
+
+
+def test_containment_finds_planted_excerpt(spark):
+    """A short doc fully contained in a long doc must be flagged in the
+    contained->container direction only (Jaccard would miss it)."""
+    from etl_verkada_spark.llm.dedup import llm_dedup_containment
+
+    # build a corpus-like frame: route through a temp parquet dir so the
+    # operator's table() loader sees it
+    import tempfile
+
+    long_text = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(50, 70))  # strict excerpt
+    other = " ".join(f"x{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, long_text, "en", "s", len(long_text)),
+         (2, quote, "en", "s", len(quote)),
+         (3, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["containment_ppm"]
+            for r in llm_dedup_containment(spark, d).collect()
+        }
+    assert (2, 1) in got and got[(2, 1)] == 1_000_000
+    assert (1, 2) not in got          # direction matters
+    assert all(3 not in p for p in got)
