@@ -170,6 +170,12 @@ HEADLINE = [
     # perturbed sf1 corpus; the directional family's scale argument is
     # in the operator docstring.
     "llm_dedup_containment",
+    # geo_dbscan is correctness-only (the mm_resize precedent): its
+    # oracle is brute-force all-pairs + WITH RECURSIVE reachability,
+    # whose cost is quadratic in cluster size — measured >300 s at
+    # sf0.1 where eps=0.5deg makes each nation one giant cluster. The
+    # sf0.01 gate exercises the intended sparse regime (177 cores /
+    # 1500 points); the Spark side's scale story is in its docstring.
 ]
 
 

@@ -305,6 +305,194 @@ GROUP BY fence_id
 """
 
 
+#: DBSCAN radius (e-4 degrees) and density threshold. Cell size == eps
+#: so the 3x3 neighborhood is a proof (the geo_knn argument). minPts
+#: counts the point itself, the textbook convention.
+DBSCAN_EPS_E4 = 5_000
+DBSCAN_MINPTS = 3
+
+
+def geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN over the camera surface: density clusters
+    with core/border/noise labels — the spatial clustering every
+    fleet/coverage analysis reaches for, and a flagship example of an
+    operator a SQL engine cannot express but a composition of this
+    repo's primitives can.
+
+    Decomposition (every stage scalable on its own terms):
+
+    1. eps-neighbor pairs by 3x3 grid blocking (cell == eps, so the
+       neighborhood is exact — the geo_knn proof): a cell-keyed
+       equi-join; per-cell work is density-bounded, never all-pairs;
+    2. neighbor COUNTS (self included) -> core points
+       (>= {DBSCAN_MINPTS});
+    3. core-core eps edges -> :func:`connected_components`
+       (llm/dedup.py's min-label propagation) -> cluster roots;
+       isolated cores root to themselves;
+    4. border points (non-core with >= 1 core neighbor) attach to the
+       MINIMUM core root in range — the deterministic resolution of
+       classic DBSCAN's order-dependent border tie; everything else is
+       noise.
+
+    All distances are exact e-4-degree BIGINTs, the min-label CC is
+    order-independent, and the border rule is a pure min — so the
+    whole labeling is deterministic and the DuckDB oracle (brute-force
+    pairs + WITH RECURSIVE min-root reachability) must agree
+    bit-for-bit.
+
+    At 100 TB: stage 1 shuffles on cell ids (AQE-splittable, skew =
+    spatial hotspots, the known DBSCAN regime); CC rounds are bounded
+    by cluster diameter; nothing materializes all-pairs. Reference
+    scope: beyond (the reference emits point features, task.ts:190-226;
+    clustering them is the downstream analytics this engine adds).
+    """
+    from ..llm.dedup import connected_components
+
+    eps2 = DBSCAN_EPS_E4 * DBSCAN_EPS_E4
+    shift = _LON_SHIFT_CELLS * DBSCAN_EPS_E4
+    c = table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_nationkey").cast("long") * 10_000).alias("lat"),
+        scaled_long("c_acctbal").alias("lon"),
+    ).select(
+        "id",
+        "lat",
+        "lon",
+        F.expr(f"(lon + {shift}) div {DBSCAN_EPS_E4}").alias("cx"),
+        F.expr(f"(lat + {shift}) div {DBSCAN_EPS_E4}").alias("cy"),
+    )
+    nbr9 = (
+        pts.select(
+            F.col("id").alias("nid"),
+            F.col("lat").alias("nlat"),
+            F.col("lon").alias("nlon"),
+            "cx",
+            "cy",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "nid", "nlat", "nlon",
+            (F.col("cx") + F.col("dx")).alias("ncx"),
+            "cy",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"),
+        )
+        .select(
+            "nid", "nlat", "nlon", "ncx",
+            (F.col("cy") + F.col("dy")).alias("ncy"),
+        )
+    )
+    d2 = (
+        (F.col("lat") - F.col("nlat")) * (F.col("lat") - F.col("nlat"))
+        + (F.col("lon") - F.col("nlon")) * (F.col("lon") - F.col("nlon"))
+    )
+    pairs = (
+        pts.join(
+            nbr9,
+            (F.col("cx") == F.col("ncx")) & (F.col("cy") == F.col("ncy")),
+        )
+        .select("id", "nid", d2.alias("d2"))
+        .filter(F.col("d2") <= eps2)
+    )
+    cores = (
+        pairs.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_nbr"))
+        .filter(F.col("n_nbr") >= DBSCAN_MINPTS)
+        .select("id")
+    )
+    core_edges = (
+        pairs.filter(F.col("id") < F.col("nid"))
+        .join(cores, "id")
+        .join(cores.select(F.col("id").alias("nid")), "nid")
+        .select(F.col("id").alias("doc_a"), F.col("nid").alias("doc_b"))
+    )
+    cc = connected_components(core_edges).select(
+        F.col("doc_id").alias("id"), F.col("cluster_root").alias("root")
+    )
+    core_roots = cores.join(cc, "id", "left").select(
+        "id", F.coalesce("root", "id").alias("root")
+    )
+    border = (
+        pairs.filter(F.col("id") != F.col("nid"))
+        .join(cores, "id", "left_anti")
+        .join(
+            core_roots.select(
+                F.col("id").alias("nid"), F.col("root").alias("nroot")
+            ),
+            "nid",
+        )
+        .groupBy("id")
+        .agg(F.min("nroot").alias("root"))
+    )
+    labeled = core_roots.select(
+        "id", F.lit("core").alias("label"), "root"
+    ).unionByName(
+        border.select("id", F.lit("border").alias("label"), "root")
+    )
+    return (
+        pts.select("id")
+        .join(labeled, "id", "left")
+        .select(
+            F.col("id").alias("c_custkey"),
+            F.coalesce("label", F.lit("noise")).alias("label"),
+            F.col("root").alias("cluster_root"),
+        )
+    )
+
+
+ORACLE_GEO_DBSCAN = f"""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS id,
+         CAST(c_nationkey AS BIGINT) * 10000 AS lat,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS lon
+  FROM customer
+),
+d AS (
+  SELECT a.id AS ida, b.id AS idb
+  FROM p a JOIN p b
+    ON (a.lat - b.lat) * (a.lat - b.lat)
+     + (a.lon - b.lon) * (a.lon - b.lon)
+       <= {DBSCAN_EPS_E4 * DBSCAN_EPS_E4}
+),
+core AS (
+  SELECT ida AS id FROM d GROUP BY ida
+  HAVING COUNT(*) >= {DBSCAN_MINPTS}
+),
+e AS (
+  SELECT d.ida AS a, d.idb AS b
+  FROM d
+  JOIN core ca ON ca.id = d.ida
+  JOIN core cb ON cb.id = d.idb
+  WHERE d.ida <> d.idb
+),
+reach(node, root) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node
+),
+roots AS (
+  SELECT node AS id, MIN(root) AS root FROM reach GROUP BY node
+),
+border AS (
+  SELECT d.ida AS id, MIN(r.root) AS root
+  FROM d
+  JOIN roots r ON r.id = d.idb
+  WHERE d.ida <> d.idb
+    AND d.ida NOT IN (SELECT id FROM core)
+  GROUP BY d.ida
+)
+SELECT
+  p.id AS c_custkey,
+  CASE WHEN r.id IS NOT NULL THEN 'core'
+       WHEN b.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS label,
+  COALESCE(r.root, b.root) AS cluster_root
+FROM p
+LEFT JOIN roots r ON r.id = p.id
+LEFT JOIN border b ON b.id = p.id
+"""
+
+
 QUERIES = {
     "geo_density": spec(
         geo_density, ORACLE_GEO_DENSITY, "beyond",
@@ -318,5 +506,10 @@ QUERIES = {
         geo_geofence_join, ORACLE_GEO_GEOFENCE, "beyond",
         doc="point-in-fence containment join (aggregated broadcast "
             "fences, exact integer bounds)",
+    ),
+    "geo_dbscan": spec(
+        geo_dbscan, ORACLE_GEO_DBSCAN, "beyond",
+        doc="grid-blocked DBSCAN: core/border/noise labels + min-label "
+            "CC clusters (oracle: brute force + WITH RECURSIVE)",
     ),
 }

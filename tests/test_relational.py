@@ -2285,3 +2285,53 @@ def test_corr_matches_python_recompute(spark):
         assert got_f[0] == want[0]
         for g, w in zip(got_f[1:], want[1:]):
             assert abs(g - w) < 1e-9, (flag, g, w)
+
+
+def test_dbscan_labels_satisfy_definition(spark):
+    """Core/border/noise labels must satisfy the DBSCAN definition
+    recomputed brute-force in Python: cores have >= minPts in-eps
+    neighbors (self included), borders are non-core with >= 1 core
+    neighbor (assigned the MIN core root), noise has none, and every
+    in-eps core-core pair shares a cluster root."""
+    from etl_verkada_spark.operators.geo import (
+        DBSCAN_EPS_E4,
+        DBSCAN_MINPTS,
+        geo_dbscan,
+    )
+
+    got = {
+        r["c_custkey"]: (r["label"], r["cluster_root"])
+        for r in geo_dbscan(spark, SF_SMALL).collect()
+    }
+    pts = {
+        r["c_custkey"]: (r["c_nationkey"] * 10_000,
+                         int(r["c_acctbal"] * 100 + 0.5))
+        for r in table_validated(spark, SF_SMALL, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+    }
+    eps2 = DBSCAN_EPS_E4 ** 2
+    nbrs = {
+        i: [j for j, q in pts.items()
+            if (p[0]-q[0])**2 + (p[1]-q[1])**2 <= eps2]
+        for i, p in pts.items()
+    }
+    cores = {i for i, ns in nbrs.items() if len(ns) >= DBSCAN_MINPTS}
+    assert set(got) == set(pts)
+    for i, (label, root) in got.items():
+        if label == "core":
+            assert i in cores and root is not None
+        elif label == "border":
+            core_nb = [j for j in nbrs[i] if j != i and j in cores]
+            assert i not in cores and core_nb
+            assert root == min(got[j][1] for j in core_nb)
+        else:
+            assert i not in cores
+            assert not [j for j in nbrs[i] if j != i and j in cores]
+            assert root is None
+    # transitivity: in-eps core-core pairs share a root
+    for i in cores:
+        for j in nbrs[i]:
+            if j in cores:
+                assert got[i][1] == got[j][1], (i, j)
+    assert any(l == "core" for l, _ in got.values())
+    assert any(l == "noise" for l, _ in got.values())
