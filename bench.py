@@ -164,6 +164,7 @@ HEADLINE = [
     "agg_corr",
     "stream_topk_apply",
     "subquery_not_in",
+    "llm_lang_confusion",
     # sf0.1-only like llm_dedup_prefixfilter and for the same reason:
     # the correctness twin is brute-force all-pairs, which prices pair
     # materialization (not the asymmetric prefix blocking) on the
@@ -549,6 +550,7 @@ SF1_QUERIES = [
     "agg_corr",
     "stream_topk_apply",
     "subquery_not_in",
+    "llm_lang_confusion",
     # -- B: established pairs --
     "flagship_flat",
     "dedup_lastwins",

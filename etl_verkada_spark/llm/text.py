@@ -1696,6 +1696,62 @@ FROM pairs
 """
 
 
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the (true lang x predicted lang)
+    confusion matrix over :func:`llm_lang_id`'s classifier, with each
+    cell's share of its TRUE-lang row in integer ppm (the recall
+    decomposition) — how every classifier in a corpus pipeline gets
+    graded before its predictions gate anything.
+
+    One corpus scan (the classifier projection), one cell-sized hash
+    aggregate, and a window over the |langs|^2 cells for the row
+    totals. Exact: counts are BIGINT, the share is ``n * 1e6 div
+    row_total``. At 100 TB the only corpus-scale work is the scan +
+    mergeable count; the matrix is vocabulary-sized. Reference scope:
+    beyond (tag "llm").
+    """
+    from pyspark.sql import Window
+
+    base = llm_lang_id(spark, sf_dir)
+    cm = base.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("lang"))
+    return cm.select(
+        "lang",
+        "pred_lang",
+        "n",
+        tot.alias("lang_total"),
+        F.expr(
+            "n * 1000000 div sum(n) over (partition by lang)"
+        ).alias("share_ppm"),
+    )
+
+
+ORACLE_LLM_LANG_CONFUSION = """
+WITH pred AS (
+  SELECT
+    lang,
+    CASE WHEN LEN(list_filter(string_split(text, ' '),
+        w -> w IN ('the', 'a', 'of', 'and', 'to'))) > 0
+         THEN 'en' ELSE 'unk' END AS pred_lang
+  FROM documents
+),
+cm AS (
+  SELECT lang, pred_lang, COUNT(*) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT
+  lang,
+  pred_lang,
+  n,
+  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+    AS share_ppm
+FROM cm
+"""
+
+
 def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-source dataset card: the one-row-per-source summary a
     corpus release ships (HuggingFace dataset cards, Dolma/RedPajama
@@ -1893,5 +1949,10 @@ QUERIES = {
         doc="per-source dataset card: volume, token mass, language "
             "mix, dominant lang, exact-dup rate (one scan, two "
             "mergeable aggregates)",
+    ),
+    "llm_lang_confusion": spec(
+        llm_lang_confusion, ORACLE_LLM_LANG_CONFUSION, "llm",
+        doc="language-ID confusion matrix: (true lang x predicted) "
+            "counts + integer-ppm recall share per true lang",
     ),
 }

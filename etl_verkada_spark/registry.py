@@ -107,8 +107,9 @@ def spec(
 #      are r4-r10 hash-green and covered by this session's local
 #      223-query parity sweep at sf0.01), and the policy ranks
 #      never-checked and changed code above evidence refresh.
-#   llm_dedup_containment and geo_dbscan landed after this re-rotation;
-#   both are
+#   llm_dedup_containment, geo_dbscan, and llm_lang_confusion landed
+#   after this re-rotation;
+#   all are
 #   parity-green at sf0.01 locally and head r12's clause (a) with the
 #   displaced rows.
 PRIORITY_ORDER: tuple[str, ...] = (
