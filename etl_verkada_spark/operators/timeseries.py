@@ -632,6 +632,10 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-state contract as ts_cohort_retention. ``collect_set``
     drops NULLs; ``ts`` is non-null in this corpus (and a NULL day is
     not a calendar day, so the streak semantics would not want it).
+    The fold seed's ``prev`` is INT_MIN+1 — no representable day
+    ordinal equals prev+1 (Spark timestamps span ~±292k years ≈ ±107M
+    days, 20x inside int range), so the first element always opens an
+    island even for pre-1970 (negative-ordinal) days.
     Reference scope: beyond (task.ts has no streak analytics).
     """
     e = table(spark, sf_dir, "events")
@@ -646,7 +650,8 @@ def ts_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         aggregate(
           ds,
-          named_struct('prev', -2, 'cur', 0L, 'best', 0L, 'n', 0L),
+          named_struct('prev', int(-2147483647), 'cur', 0L, 'best', 0L,
+                       'n', 0L),
           (s, d) -> named_struct(
             'prev', d,
             'cur',  IF(d = s.prev + 1, s.cur + 1, 1L),
@@ -1619,9 +1624,25 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("nsy").cast(dec) * F.col("pn") - F.col("psy").cast(dec)
            * F.col("nn"))
     )
+    # Non-ANSI Spark silently NULLs DECIMAL(38,0) overflow, and NULL
+    # sorts FIRST in the pick window — an overflowed row would silently
+    # win its bucket while the HUGEINT oracle errors loudly. Guard: the
+    # only NULL source in the otherwise-branch is overflow (pn/nn-null
+    # rows take the first two branches; x/v_c/centroid sums are
+    # non-null), so fail as loudly as the oracle does.
     ord1 = (
         F.when(F.col("pn").isNull(), F.col("x").cast(dec))
         .when(F.col("nn").isNull(), -F.col("x").cast(dec))
+        .when(
+            area2.isNull(),
+            F.raise_error(
+                F.lit(
+                    "ts_lttb: DECIMAL(38,0) area overflow — bucket too "
+                    "large; pre-aggregate per-second first (docstring "
+                    "headroom note)"
+                )
+            ).cast(dec),
+        )
         .otherwise(-area2)
     )
     pick = Window.partitionBy("event_type", "bkt").orderBy(

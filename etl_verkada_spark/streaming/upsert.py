@@ -277,34 +277,50 @@ def mv_fold(state_dir: str):
 #: landing fixture layout version; bump when the chunk naming scheme
 #: changes so stale fixtures (and the state fixtures derived from
 #: their file identities) rebuild instead of mis-parsing
-MV_LANDING_VERSION = "v2"
+MV_LANDING_VERSION = "v3"
+
+#: part files per landed chunk. A chunk landed as ONE coalesce(1) file
+#: is a single row group, so every downstream read of it — the
+#: micro-batch trigger's scan AND the apply twin's arriving-chunk scan
+#: — is a single task regardless of cores (the r11 verdict's
+#: "driver-serial I/O inside a benched query"). Landing each chunk as
+#: N_CHUNK_FILES deterministic part files parallelizes both, and the
+#: write itself runs as N parallel tasks instead of one. 8 keeps file
+#: sizes row-group-scale at the test SFs; a production landing sizes
+#: this to arriving-partition bytes / maxPartitionBytes.
+N_CHUNK_FILES = 8
 
 
-def _ensure_mv_landing(spark: SparkSession, sf_dir: str) -> str:
-    """Build (or reuse) the "files arriving" landing fixture: one
-    parquet file per day-chunk under DETERMINISTIC names
-    (``chunk_00.parquet`` ...), so lexical order IS landing order —
-    append-mode part files carry UUID names whose sort order is
+def _ensure_chunk_landing(
+    land: str,
+    src: DataFrame,
+    n_chunks: int,
+    version: str,
+) -> str:
+    """Build (or reuse) a "files arriving" landing fixture: each chunk
+    lands as up to N_CHUNK_FILES parquet parts under DETERMINISTIC
+    names (``chunk_00_p00.parquet`` ...), so lexical order IS landing
+    order — append-mode part files carry UUID names whose sort order is
     arbitrary, which made the 'arriving chunk' an arbitrary one
-    (ADVICE r9). Each chunk is written to a staging dir and the single
-    part file renamed into place.
+    (ADVICE r9). Each chunk is written to a staging dir and its part
+    files renamed into place.
 
-    The landing is the upstream fixture, not the MV operator: built
-    once per sf_dir and reused (at sf1 the 4 re-scans + single-task
-    chunk writes of 40M rows were 90%+ of the measured time, drowning
-    the fold being benchmarked). The fold itself still runs from
-    scratch on every call.
+    The landing is the upstream fixture, not the operator under
+    measurement: built once per sf_dir and reused (at sf1 the chunk
+    re-scans + writes were 90%+ of the measured time, drowning the
+    fold being benchmarked). Folds still run from scratch per call.
+    Rebuilding the landing INVALIDATES the state fixtures derived from
+    its file identities — both state dirs are removed here, and the
+    apply twins additionally record the exact prior-file list in their
+    ``_PRIMED`` markers (ADVICE r11).
     """
     import os
     import shutil
 
-    from ..operators.scans import _land_dir
-
-    land = _land_dir(sf_dir, "mv_chunks")
     done = os.path.join(land, "_LANDED")
     try:
         with open(done) as f:
-            if f.read().strip() == MV_LANDING_VERSION:
+            if f.read().strip() == version:
                 return land
     except OSError:
         pass
@@ -314,50 +330,79 @@ def _ensure_mv_landing(spark: SparkSession, sf_dir: str) -> str:
     shutil.rmtree(land + "_state", ignore_errors=True)
     shutil.rmtree(land + "_prior_state", ignore_errors=True)
     os.makedirs(land, exist_ok=True)
-    e = table(spark, sf_dir, "events")
-    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {MV_DAY_US}")
-    src = e.select("event_type", "value", day.alias("day"))
-    for c in range(MV_CHUNKS):
+    if "__chunk" not in src.columns:
+        raise ValueError("landing src must carry a __chunk column")
+    for c in range(n_chunks):
         stage = f"{land}_stage"
-        src.filter(F.col("day") % MV_CHUNKS == c).drop("day").coalesce(
-            1
+        src.filter(F.col("__chunk") == c).drop("__chunk").repartition(
+            N_CHUNK_FILES
         ).write.mode("overwrite").parquet(stage)
-        part = next(
-            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        parts = sorted(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
         )
-        os.replace(
-            os.path.join(stage, part),
-            os.path.join(land, f"chunk_{c:02d}.parquet"),
-        )
+        for i, part in enumerate(parts):
+            os.replace(
+                os.path.join(stage, part),
+                os.path.join(land, f"chunk_{c:02d}_p{i:02d}.parquet"),
+            )
         shutil.rmtree(stage, ignore_errors=True)
     with open(done, "w") as f:
-        f.write(MV_LANDING_VERSION)
+        f.write(version)
     return land
 
 
-def _mv_chunk_files(land: str) -> list[str]:
-    """The landed chunk files in landing order, validated: a count
-    mismatch means a foreign or half-built landing — fail with the
-    real story instead of an IndexError downstream (ADVICE r9)."""
+def _chunk_groups(land: str, n_chunks: int) -> list[list[str]]:
+    """The landed chunk files grouped by chunk, in landing order,
+    validated: a group-count mismatch means a foreign or half-built
+    landing — fail with the real story instead of an IndexError
+    downstream (ADVICE r9)."""
     import os
 
-    files = sorted(
-        f
-        for f in os.listdir(land)
-        if f.endswith(".parquet") and not f.startswith("_")
-    )
-    if len(files) != MV_CHUNKS:
+    groups: dict[str, list[str]] = {}
+    for f in sorted(os.listdir(land)):
+        if f.endswith(".parquet") and f.startswith("chunk_"):
+            groups.setdefault(f[: len("chunk_00")], []).append(f)
+    if len(groups) != n_chunks:
         raise RuntimeError(
-            f"mv landing {land} holds {len(files)} chunk files "
-            f"(expected {MV_CHUNKS}): {files}"
+            f"landing {land} holds {len(groups)} chunk groups "
+            f"(expected {n_chunks}): {sorted(groups)}"
         )
-    return files
+    return [groups[k] for k in sorted(groups)]
+
+
+def _primed_marker_ok(primed_path: str, identity: str) -> bool:
+    """True when the prime marker exists AND records exactly this
+    prior-chunk identity — a marker left over from a previous landing
+    (different file list) must NOT validate the cached state
+    (ADVICE r11: stale ``_prior_state`` + new landing = wrong board)."""
+    try:
+        with open(primed_path) as f:
+            return f.read() == identity
+    except OSError:
+        return False
+
+
+def _ensure_mv_landing(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.scans import _land_dir
+
+    e = table(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(cast(ts as timestamp)) div {MV_DAY_US}")
+    return _ensure_chunk_landing(
+        _land_dir(sf_dir, "mv_chunks"),
+        e.select(
+            "event_type", "value", (day % MV_CHUNKS).alias("__chunk")
+        ),
+        MV_CHUNKS,
+        MV_LANDING_VERSION,
+    )
 
 
 def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming incremental materialized-view maintenance — the
     streaming twin of agg_incremental_merge: events arrive as
-    micro-batches (one landed day-chunk file per trigger), a
+    micro-batches (one chunk-sized group of landed part files per
+    trigger; the fold is an associative merge, so trigger grouping is
+    free to differ from chunk boundaries without changing the state), a
     foreachBatch sink folds each batch's (event_type, count, int-cent
     sum) partials into a parquet state table, and the FINAL state must
     equal a from-scratch aggregate — the oracle IS the full recompute,
@@ -393,7 +438,7 @@ def stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema("event_type string, value double")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", N_CHUNK_FILES)
         .parquet(land)
     )
 
@@ -449,13 +494,17 @@ def stream_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_defaults(spark)
     land = _ensure_mv_landing(spark, sf_dir)
-    files = _mv_chunk_files(land)
-    prior, last = files[: MV_CHUNKS - 1], files[MV_CHUNKS - 1]
+    groups = _chunk_groups(land, MV_CHUNKS)
+    prior = [f for g in groups[: MV_CHUNKS - 1] for f in g]
+    last = groups[MV_CHUNKS - 1]
     state_dir = land + "_prior_state"
     done = os.path.join(state_dir, "_PRIMED")
-    if not os.path.exists(done):
+    identity = "\n".join(prior)
+    if not _primed_marker_ok(done, identity):
         # prime once per sf_dir: fold chunks 0..n-2 into the state
-        # fixture (the "MV current through yesterday" precondition)
+        # fixture (the "MV current through yesterday" precondition);
+        # the marker records WHICH prior files the state covers, so a
+        # rebuilt landing re-primes instead of reusing stale state
         shutil.rmtree(state_dir, ignore_errors=True)
         spark.read.parquet(*[os.path.join(land, f) for f in prior]).groupBy(
             "event_type"
@@ -464,9 +513,9 @@ def stream_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(scaled_long("value")).alias("c"),
         ).coalesce(1).write.mode("overwrite").parquet(state_dir)
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(identity)
     part = (
-        spark.read.parquet(os.path.join(land, last))
+        spark.read.parquet(*[os.path.join(land, f) for f in last])
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -486,52 +535,82 @@ def stream_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: drift monitor micro-batch chunks (one landed file per trigger)
+#: drift monitor micro-batch chunks (one chunk-sized file group per
+#: trigger; see N_CHUNK_FILES)
 DRIFT_CHUNKS = 4
+DRIFT_LANDING_VERSION = "v2"
+
+
+def _ensure_drift_landing(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.scans import _land_dir
+
+    o = table(spark, sf_dir, "orders")
+    return _ensure_chunk_landing(
+        _land_dir(sf_dir, "drift_chunks"),
+        o.select(
+            "o_orderkey", "o_orderdate", "o_orderstatus",
+            "o_orderpriority", "o_totalprice",
+            (F.col("o_orderkey") % DRIFT_CHUNKS).alias("__chunk"),
+        ),
+        DRIFT_CHUNKS,
+        DRIFT_LANDING_VERSION,
+    )
 
 
 def drift_fold(state_dir: str):
     """foreachBatch fold for the streaming drift monitor: merge the
     batch's (feature, category, cnt_ref, cnt_cur) count partials into
     the parquet state table. Same replay discipline as mv_fold: counts
-    are not idempotent and foreachBatch is at-least-once, so the state
-    carries ``last_bid`` and a replayed batch_id is a no-op.
-    """
+    are not idempotent and foreachBatch is at-least-once — state is
+    VERSIONED by batch_id (``v{bid}`` dirs, driver-side listing), so
+    replay detection costs no Spark job and the fresh-directory write
+    needs no lineage-breaking localCheckpoint (those two per-batch jobs
+    were ~40% of sf1 wall-clock in the overwrite-in-place form,
+    SCALE.md §18 — the r12 rewrite brings drift/topk onto the pattern
+    mv_fold already used)."""
+    import os
+    import shutil
+
     from ..operators.quality import drift_pairs
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
-        state = _read_state(bspark, state_dir)
-        if state is not None:
-            last_bid = state.agg(F.max("last_bid")).first()[0]
-            if last_bid is not None and batch_id <= last_bid:
-                return  # at-least-once replay: already folded, skip
+        latest = _mv_latest_version(state_dir)
+        if latest is not None and batch_id <= latest:
+            return  # at-least-once replay: already folded, skip
         part = drift_pairs(batch_df).groupBy("feature", "category").agg(
             F.sum("is_ref").alias("cnt_ref"),
             F.sum(F.lit(1) - F.col("is_ref")).alias("cnt_cur"),
         )
-        merged = (
-            part
-            if state is None
-            else state.select("feature", "category", "cnt_ref", "cnt_cur")
-            .unionByName(part)
-            .groupBy("feature", "category")
-            .agg(
-                F.sum("cnt_ref").alias("cnt_ref"),
-                F.sum("cnt_cur").alias("cnt_cur"),
+        if latest is not None:
+            state = bspark.read.parquet(
+                os.path.join(state_dir, f"v{latest}")
             )
-        ).withColumn("last_bid", F.lit(batch_id))
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
+            part = (
+                state.unionByName(part)
+                .groupBy("feature", "category")
+                .agg(
+                    F.sum("cnt_ref").alias("cnt_ref"),
+                    F.sum("cnt_cur").alias("cnt_cur"),
+                )
+            )
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
         )
+        if latest is not None:
+            shutil.rmtree(
+                os.path.join(state_dir, f"v{latest}"), ignore_errors=True
+            )
 
     return _fold
 
 
 def stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming drift monitor — the streaming twin of ``dq_drift``:
-    order rows arrive as micro-batches (one landed chunk file per
-    trigger), a foreachBatch sink folds each batch's (feature,
+    order rows arrive as micro-batches (one chunk-sized group of landed
+    part files per trigger; the count fold is an associative merge, so
+    trigger grouping is free to differ from chunk boundaries without
+    changing the state), a foreachBatch sink folds each batch's (feature,
     category) count partials into a parquet state table, and the final
     TVD computed FROM THE FOLDED STATE must equal the batch audit's
     from-scratch answer — the oracle IS ``ORACLE_DQ_DRIFT``, so the
@@ -550,40 +629,25 @@ def stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate over the arriving partition plus a state-table
     overwrite, exactly like stream_mv_refresh.
     """
-    import os
     import shutil
     import uuid
 
     from ..operators.quality import drift_tvd
-    from ..operators.scans import _land_dir
     from ..session import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    land = _land_dir(sf_dir, "drift_chunks")
-    state_dir = land + "_state"
-    shutil.rmtree(state_dir, ignore_errors=True)
     # landing is the "drops arriving" fixture (see stream_mv_refresh):
     # build once per sf_dir, reuse across calls; the fold is fresh.
-    done = os.path.join(land, "_LANDED")
-    if not os.path.exists(done):
-        shutil.rmtree(land, ignore_errors=True)
-        o = table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderdate", "o_orderstatus",
-            "o_orderpriority", "o_totalprice",
-        )
-        for c in range(DRIFT_CHUNKS):
-            o.filter(F.col("o_orderkey") % DRIFT_CHUNKS == c).coalesce(
-                1
-            ).write.mode("append").parquet(land)
-        with open(done, "w") as f:
-            f.write("ok")
+    land = _ensure_drift_landing(spark, sf_dir)
+    state_dir = land + "_state"
+    shutil.rmtree(state_dir, ignore_errors=True)
 
     stream = (
         spark.readStream.schema(
             "o_orderkey long, o_orderdate timestamp, o_orderstatus string, "
             "o_orderpriority string, o_totalprice double"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", N_CHUNK_FILES)
         .parquet(land)
     )
     q = (
@@ -593,9 +657,12 @@ def stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    counts = spark.read.parquet(state_dir).select(
-        "feature", "category", "cnt_ref", "cnt_cur"
-    )
+    import os
+
+    final_v = _mv_latest_version(state_dir)
+    counts = spark.read.parquet(
+        os.path.join(state_dir, f"v{final_v}")
+    ).select("feature", "category", "cnt_ref", "cnt_cur")
     return drift_tvd(counts)
 
 
@@ -629,37 +696,17 @@ def stream_drift_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..operators.quality import drift_pairs, drift_tvd
-    from ..operators.scans import _land_dir
     from ..session import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    land = _land_dir(sf_dir, "drift_chunks")
-    done = os.path.join(land, "_LANDED")
-    if not os.path.exists(done):
-        # same landing fixture as stream_drift (build once per sf_dir)
-        shutil.rmtree(land, ignore_errors=True)
-        o = table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderdate", "o_orderstatus",
-            "o_orderpriority", "o_totalprice",
-        )
-        for c in range(DRIFT_CHUNKS):
-            o.filter(F.col("o_orderkey") % DRIFT_CHUNKS == c).coalesce(
-                1
-            ).write.mode("append").parquet(land)
-        with open(done, "w") as f:
-            f.write("ok")
-    files = sorted(
-        f for f in os.listdir(land)
-        if f.endswith(".parquet") and not f.startswith("_")
-    )
-    if len(files) != DRIFT_CHUNKS:
-        raise RuntimeError(
-            f"drift landing {land} holds {len(files)} chunk files "
-            f"(expected {DRIFT_CHUNKS}): {files}"
-        )
-    prior, last = files[: DRIFT_CHUNKS - 1], files[DRIFT_CHUNKS - 1]
+    # same landing fixture as stream_drift (build once per sf_dir)
+    land = _ensure_drift_landing(spark, sf_dir)
+    groups = _chunk_groups(land, DRIFT_CHUNKS)
+    prior = [f for g in groups[: DRIFT_CHUNKS - 1] for f in g]
+    last = groups[DRIFT_CHUNKS - 1]
     state_dir = land + "_prior_state"
     primed = os.path.join(state_dir, "_PRIMED")
+    identity = "\n".join(prior)
 
     def chunk_counts(df: DataFrame) -> DataFrame:
         return drift_pairs(df).groupBy("feature", "category").agg(
@@ -667,16 +714,19 @@ def stream_drift_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.lit(1) - F.col("is_ref")).alias("cnt_cur"),
         )
 
-    if not os.path.exists(primed):
+    if not _primed_marker_ok(primed, identity):
         # prime once per sf_dir: fold chunks 0..n-2 into the state
-        # fixture (the "monitor current through yesterday" precondition)
+        # fixture (the "monitor current through yesterday" precondition);
+        # the marker records WHICH prior files the state covers
         shutil.rmtree(state_dir, ignore_errors=True)
         chunk_counts(
             spark.read.parquet(*[os.path.join(land, f) for f in prior])
         ).coalesce(1).write.mode("overwrite").parquet(state_dir)
         with open(primed, "w") as f:
-            f.write("ok")
-    part = chunk_counts(spark.read.parquet(os.path.join(land, last)))
+            f.write(identity)
+    part = chunk_counts(
+        spark.read.parquet(*[os.path.join(land, f) for f in last])
+    )
     state = spark.read.parquet(state_dir).select(
         "feature", "category", "cnt_ref", "cnt_cur"
     )
@@ -694,6 +744,22 @@ def stream_drift_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: streaming top-K: chunks landed / K kept per series
 TOPK_CHUNKS = 4
 TOPK_K = 5
+TOPK_LANDING_VERSION = "v2"
+
+
+def _ensure_topk_landing(spark: SparkSession, sf_dir: str) -> str:
+    from ..operators.scans import _land_dir
+
+    e = table(spark, sf_dir, "events")
+    return _ensure_chunk_landing(
+        _land_dir(sf_dir, "topk_chunks"),
+        e.select(
+            "event_id", "event_type", "value",
+            (F.col("event_id") % TOPK_CHUNKS).alias("__chunk"),
+        ),
+        TOPK_CHUNKS,
+        TOPK_LANDING_VERSION,
+    )
 
 
 def topk_fold(state_dir: str):
@@ -705,7 +771,13 @@ def topk_fold(state_dir: str):
     K x |series| rows no matter how much history streamed through.
     Same at-least-once replay guard as mv_fold/drift_fold (top-K merge
     is idempotent for REPEATED rows but the guard keeps the discipline
-    uniform and the batch work skippable)."""
+    uniform and the batch work skippable): state is VERSIONED by
+    batch_id, so replay detection is a driver-side directory listing —
+    no ``max(last_bid)`` Spark job, no localCheckpoint (SCALE.md §18's
+    two-jobs-per-batch tax, removed r12)."""
+    import os
+    import shutil
+
     from pyspark.sql import Window
 
     def _prune(df: DataFrame) -> DataFrame:
@@ -722,28 +794,30 @@ def topk_fold(state_dir: str):
         from ..operators.aggregates import scaled_long
 
         bspark = batch_df.sparkSession
-        state = _read_state(bspark, state_dir)
-        if state is not None:
-            last_bid = state.agg(F.max("last_bid")).first()[0]
-            if last_bid is not None and batch_id <= last_bid:
-                return  # at-least-once replay: already folded, skip
+        latest = _mv_latest_version(state_dir)
+        if latest is not None and batch_id <= latest:
+            return  # at-least-once replay: already folded, skip
         part = _prune(
             batch_df.select(
                 "event_type", "event_id", scaled_long("value").alias("v_c")
             )
         )
-        merged = (
-            part
-            if state is None
-            else _prune(
+        if latest is not None:
+            state = bspark.read.parquet(
+                os.path.join(state_dir, f"v{latest}")
+            )
+            part = _prune(
                 state.select("event_type", "event_id", "v_c").unionByName(
                     part
                 )
             )
-        ).withColumn("last_bid", F.lit(batch_id))
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
         )
+        if latest is not None:
+            shutil.rmtree(
+                os.path.join(state_dir, f"v{latest}"), ignore_errors=True
+            )
 
     return _fold
 
@@ -751,7 +825,10 @@ def topk_fold(state_dir: str):
 def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-series top-K leaderboard — the continuously
     maintained "largest transactions" board every ops dashboard has.
-    Events arrive as micro-batches (one landed chunk per trigger); a
+    Events arrive as micro-batches (one chunk-sized group of landed
+    part files per trigger; the prune-merge is associative and
+    commutative, so trigger grouping is free to differ from chunk
+    boundaries without changing the state); a
     foreachBatch fold keeps only K rows per series as state (the
     semilattice prune-merge in :func:`topk_fold`); the final
     leaderboard read FROM STATE must equal the from-scratch ranking
@@ -767,36 +844,22 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with event_id tiebreak, so the fold and the oracle agree
     bit-for-bit.
     """
-    import os
     import shutil
     import uuid
 
     from ..operators.aggregates import unscale
-    from ..operators.scans import _land_dir
     from ..session import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    land = _land_dir(sf_dir, "topk_chunks")
+    land = _ensure_topk_landing(spark, sf_dir)
     state_dir = land + "_state"
     shutil.rmtree(state_dir, ignore_errors=True)
-    done = os.path.join(land, "_LANDED")
-    if not os.path.exists(done):
-        shutil.rmtree(land, ignore_errors=True)
-        e = table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "value"
-        )
-        for c in range(TOPK_CHUNKS):
-            e.filter(F.col("event_id") % TOPK_CHUNKS == c).coalesce(
-                1
-            ).write.mode("append").parquet(land)
-        with open(done, "w") as f:
-            f.write("ok")
 
     stream = (
         spark.readStream.schema(
             "event_id long, event_type string, value double"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", N_CHUNK_FILES)
         .parquet(land)
     )
     q = (
@@ -806,13 +869,16 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    import os
+
     from pyspark.sql import Window
 
     w = Window.partitionBy("event_type").orderBy(
         F.col("v_c").desc(), F.col("event_id").desc()
     )
+    final_v = _mv_latest_version(state_dir)
     return (
-        spark.read.parquet(state_dir)
+        spark.read.parquet(os.path.join(state_dir, f"v{final_v}"))
         .select("event_type", "event_id", "v_c")
         .withColumn("rnk", F.row_number().over(w))
         .select(
@@ -848,36 +914,17 @@ def stream_topk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..operators.aggregates import scaled_long, unscale
-    from ..operators.scans import _land_dir
     from ..session import ensure_session_defaults
 
     ensure_session_defaults(spark)
-    land = _land_dir(sf_dir, "topk_chunks")
-    done = os.path.join(land, "_LANDED")
-    if not os.path.exists(done):
-        # same landing fixture as stream_topk (build once per sf_dir)
-        shutil.rmtree(land, ignore_errors=True)
-        e = table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "value"
-        )
-        for c in range(TOPK_CHUNKS):
-            e.filter(F.col("event_id") % TOPK_CHUNKS == c).coalesce(
-                1
-            ).write.mode("append").parquet(land)
-        with open(done, "w") as f:
-            f.write("ok")
-    files = sorted(
-        f for f in os.listdir(land)
-        if f.endswith(".parquet") and not f.startswith("_")
-    )
-    if len(files) != TOPK_CHUNKS:
-        raise RuntimeError(
-            f"topk landing {land} holds {len(files)} chunk files "
-            f"(expected {TOPK_CHUNKS}): {files}"
-        )
-    prior, last = files[: TOPK_CHUNKS - 1], files[TOPK_CHUNKS - 1]
+    # same landing fixture as stream_topk (build once per sf_dir)
+    land = _ensure_topk_landing(spark, sf_dir)
+    groups = _chunk_groups(land, TOPK_CHUNKS)
+    prior = [f for g in groups[: TOPK_CHUNKS - 1] for f in g]
+    last = groups[TOPK_CHUNKS - 1]
     state_dir = land + "_prior_state"
     primed = os.path.join(state_dir, "_PRIMED")
+    identity = "\n".join(prior)
 
     def prune(df: DataFrame) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy(
@@ -894,16 +941,21 @@ def stream_topk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "event_id", scaled_long("value").alias("v_c")
         )
 
-    if not os.path.exists(primed):
+    if not _primed_marker_ok(primed, identity):
         # prime once per sf_dir: prune chunks 0..n-2 into the K-row
-        # state fixture (the "board current through yesterday" setup)
+        # state fixture (the "board current through yesterday" setup);
+        # the marker records WHICH prior files the state covers, so a
+        # rebuilt landing (new file identities) re-primes instead of
+        # pairing stale state with a fresh 'last' chunk (ADVICE r11)
         shutil.rmtree(state_dir, ignore_errors=True)
         prune(
             cents(spark.read.parquet(*[os.path.join(land, f) for f in prior]))
         ).coalesce(1).write.mode("overwrite").parquet(state_dir)
         with open(primed, "w") as f:
-            f.write("ok")
-    part = prune(cents(spark.read.parquet(os.path.join(land, last))))
+            f.write(identity)
+    part = prune(
+        cents(spark.read.parquet(*[os.path.join(land, f) for f in last]))
+    )
     state = spark.read.parquet(state_dir).select(
         "event_type", "event_id", "v_c"
     )
