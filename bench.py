@@ -629,6 +629,22 @@ def _sf1_sql_overrides() -> dict[str, str]:
     }
 
 
+#: twin-denominator pairs EXCLUDED from the sf1 ``ratio``/
+#: ``ratio_floor_adjusted`` maps (and so from every aggregate computed
+#: over them): their DuckDB side is the equal-work twin above, not the
+#: correctness oracle, so the pair is not oracle-vs-engine (r11 verdict
+#: item 4). The measured twin comparison still ships — under
+#: ``twin_ratio`` — with its annotation. Membership criterion: the TRUE
+#: oracle cannot finish at sf1 on this host (llm_eval_ngram_recall's
+#: inverted-index oracle re-tested r12 with full MATERIALIZED CTE
+#: discipline: >360 s — the pairs x shingles intermediate is ~2.3B rows
+#: by construction). llm_dedup_prefixfilter's twin stays IN the ratio
+#: maps: its true oracle is brute-force all-pairs (deliberately naive
+#: at any sf), the twin is the per-pair-count-matched same-algorithm
+#: form, and the r10/r11 records adjudicated that pair as fair.
+SF1_TWIN_EXCLUDED = ["llm_eval_ngram_recall"]
+
+
 #: annotations shipped with the sf1 record: context the raw ratio
 #: misstates on its own (r9 verdict #4).
 SF1_ANNOTATIONS = {
@@ -647,10 +663,14 @@ SF1_ANNOTATIONS = {
     "llm_eval_ngram_recall": (
         "DuckDB side runs the equal-work blocked list_intersect twin "
         "(see sql_overrides), not the inverted-index correctness "
-        "oracle (which never finished inside the r10 sf1 budget); on "
-        "the perturbed corpus the fp blocking yields 11.48M metric "
-        "pairs, so both engines price per-pair set intersection at "
-        "identical pair counts (SCALE.md §25a)"
+        "oracle (re-tested r12 with full MATERIALIZED CTE discipline: "
+        ">360 s at sf1 — its pairs x shingles intermediate is ~2.3B "
+        "rows by construction); because the pair is therefore not "
+        "oracle-vs-engine it is EXCLUDED from ratio aggregates and "
+        "reported under twin_ratio (r11 verdict item 4); on the "
+        "perturbed corpus the fp blocking yields 11.48M metric pairs, "
+        "so both engines price per-pair set intersection at identical "
+        "pair counts (SCALE.md §25a)"
     ),
     "stream_drift": (
         "replay-stress row: replays ALL chunks through availableNow "
@@ -893,6 +913,12 @@ def compact_stdout_line(
             sf1_summary["n_deadline_skipped"] = len(sf1["deadline_skipped"])
         if "free_disk_gb_at_start" in sf1:
             sf1_summary["free_gb"] = round(sf1["free_disk_gb_at_start"], 1)
+        if "pairs_md5" in sf1:
+            sf1_summary["pairs_md5"] = sf1["pairs_md5"]
+        if sf1.get("twin_ratio"):
+            sf1_summary["twin_ratio"] = {
+                k: round(v, 1) for k, v in sf1["twin_ratio"].items()
+            }
         if "errors" in sf1:
             sf1_summary["n_errors"] = len(sf1["errors"])
         if "spark_only" in sf1:
@@ -921,6 +947,16 @@ def compact_stdout_line(
                 sf1_summary["floor_bound"] = fb
     duck_total = sum(duck.values())
     covered = [n for n in duck if n in timings]
+    # r11 verdict item 7: round-over-round aggregates diverged purely
+    # on run composition (which pairs completed) and on which floor was
+    # subtracted. Pin both in the record: the md5 of the sorted covered
+    # pair set, and the name of the floor constant used by every
+    # ratio_* figure — like-for-like comparison is now checkable.
+    import hashlib
+
+    pairs_md5 = hashlib.md5(
+        ",".join(sorted(covered)).encode()
+    ).hexdigest()[:10]
     # per-query floor-adjusted ratio distribution (r10 verdict #6): the
     # aggregate sum is a composition artifact over mostly-20 ms DuckDB
     # denominators, so the line also carries the median and the >2x
@@ -969,6 +1005,8 @@ def compact_stdout_line(
         "ratio_median_floor_adjusted": ratio_median,
         "n_queries_gt2x": n_gt2x,
         "n_ratio_pairs": len(per_q),
+        "pairs_md5": pairs_md5,
+        "floor_used": "spark_fixed_overhead_sec",
         "sf1": sf1_summary,
         "detail_file": detail_path,
     }
@@ -1250,11 +1288,20 @@ def bench_sf1(
             n: round(timings[n] / duck[n], 2)
             for n in duck
             if duck[n] > 0 and n in timings
+            and n not in SF1_TWIN_EXCLUDED
         },
         "ratio_floor_adjusted": {
             n: round(max(timings[n] - floor_s, 0.0) / duck[n], 2)
             for n in duck
             if duck[n] > 0 and n in timings
+            and n not in SF1_TWIN_EXCLUDED
+        },
+        # measured but aggregate-excluded (twin denominator, see
+        # SF1_TWIN_EXCLUDED): the honest number, outside the averages
+        "twin_ratio": {
+            n: round(max(timings[n] - floor_s, 0.0) / duck[n], 2)
+            for n in SF1_TWIN_EXCLUDED
+            if n in duck and duck[n] > 0 and n in timings
         },
         "cold_sec": cold,
         "cold_duckdb_sec": cold_duck,
@@ -1264,6 +1311,7 @@ def bench_sf1(
         "sql_overrides": sorted(
             n for n in _sf1_sql_overrides() if n in duck
         ),
+        "twin_excluded": SF1_TWIN_EXCLUDED,
         "annotations": {
             n: note
             for n, note in SF1_ANNOTATIONS.items()
@@ -1271,6 +1319,13 @@ def bench_sf1(
         },
         "n_runs": N_RUNS_SF1,
     }
+    # pin the pair set the sf1 aggregates are computed over (verdict
+    # item 7: like-for-like round-over-round comparison)
+    import hashlib
+
+    out["pairs_md5"] = hashlib.md5(
+        ",".join(sorted(out["ratio_floor_adjusted"])).encode()
+    ).hexdigest()[:10]
     if skipped_deadline:
         out["deadline_skipped"] = skipped_deadline
     if errors:

@@ -1276,9 +1276,18 @@ def llm_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     history — incoming-scale work everywhere, history touched once.
     """
     d = table(spark, sf_dir, "documents")
+    # The digest table feeds FOUR consumers (history bit-set build,
+    # incoming probe, and both sides of the exact verify) — without
+    # materialization each re-runs the text scan + md5 (4x the corpus
+    # bytes through the hash, measured 2.0 s of llm_dedup_bloom's sf1
+    # wall). localCheckpoint pins the (doc_id, dg) table — ~40 B/doc,
+    # text dropped — so every consumer reads digests, not text; at
+    # 100 TB that is one corpus scan instead of four, for a digest
+    # table 1000x smaller than its source (the bm25 checkpointed-index
+    # precedent).
     docs = d.select(
         "doc_id", F.md5(normalized_text()).alias("dg")
-    )
+    ).localCheckpoint(eager=False)
     hist = docs.filter(F.col("doc_id") % 10 < 8)
     inc = docs.filter(F.col("doc_id") % 10 >= 8)
 

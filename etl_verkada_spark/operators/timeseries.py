@@ -1551,7 +1551,8 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one cell-sized aggregate builds per-bucket (n, sum_x, sum_y);
     a lag/lead window over the ~{LTTB_BUCKETS} cells per series attaches
     neighbor centroids; the cells broadcast back onto the rows and a
-    per-(series, bucket) window picks the max-area point. The area
+    mergeable min(struct) aggregate picks the max-area point per
+    (series, bucket) — rows are never exchanged. The area
     comparison is EXACT: centroid fractions are cleared by multiplying
     through by n_prev^2 * n_next (documented below), so the score is
     pure integer arithmetic in DECIMAL(38,0) — Spark and the HUGEINT
@@ -1559,9 +1560,9 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors) keep their first/last point by timestamp.
 
     At 100 TB: rows are never exchanged — the only row-scale work is
-    the scan feeding the cell aggregate and the pick window, whose
-    partitions are (series, bucket) — fine-grained and skew-free; cells
-    are series x {LTTB_BUCKETS}. Output is the decimated series.
+    the two scans feeding the cell aggregate and the pick aggregate;
+    every exchange carries at most series x {LTTB_BUCKETS} candidate
+    rows. Output is the decimated series.
     Headroom note: the fraction-clearing multiplier is pn^2 * nn, so
     the score magnitude grows with (rows/bucket)^3; DECIMAL(38,0)
     covers ~1e9-row buckets at this fixture's value/time ranges —
@@ -1645,20 +1646,26 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(-area2)
     )
-    pick = Window.partitionBy("event_type", "bkt").orderBy(
-        "ord1", "x", "event_id"
-    )
-    return (
+    # The pick "first row by (ord1, x, event_id) per (series, bucket)"
+    # is a MIN over the lexicographic struct, not a window: a hash
+    # aggregate partial-combines map-side, so the exchange carries one
+    # candidate per (series, bucket) per map partition instead of every
+    # row through a row-scale shuffle + per-bucket sort (r12 rewrite:
+    # sf1 2.2 s -> measured below; at 100 TB the difference is a
+    # cell-sized exchange vs repartitioning the corpus). (ord1, x,
+    # event_id) is a total order (event_id unique), so the min is
+    # deterministic; v_c rides along as a payload field.
+    best = (
         j.withColumn("ord1", ord1)
-        .withColumn("rn", F.row_number().over(pick))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            "bkt",
-            "event_id",
-            F.col("x").alias("x_s"),
-            unscale(F.col("v_c")).alias("value"),
-        )
+        .groupBy("event_type", "bkt")
+        .agg(F.min(F.struct("ord1", "x", "event_id", "v_c")).alias("b"))
+    )
+    return best.select(
+        "event_type",
+        "bkt",
+        F.col("b.event_id").alias("event_id"),
+        F.col("b.x").alias("x_s"),
+        unscale(F.col("b.v_c")).alias("value"),
     )
 
 
