@@ -24,7 +24,11 @@ broadcast join in ``pipeline.features.acl_flag``.
 
 Options (both sources): ``url``, ``schema_ddl`` (DDL column list; fields
 are pulled from each JSON item by name), ``limit`` (page size, default
-50), ``auth_token``. Network I/O uses only stdlib urllib and runs on
+50), ``auth_token``, ``mode`` (``FAILFAST`` default — a wrong-typed
+field aborts the scan, the reference's ``.typed()`` throw,
+task.ts:155-158; ``PERMISSIVE`` — the violating item is quarantined
+into a declared ``_corrupt_record`` column, Spark's JSON-reader
+convention). Network I/O uses only stdlib urllib and runs on
 executors.
 """
 
@@ -50,8 +54,76 @@ def _fetch_json(url: str, token: str | None) -> dict:
         return json.load(resp)
 
 
-def _row(item: dict, fields: list[str]) -> tuple:
-    return tuple(item.get(f) for f in fields)
+#: declared-type -> acceptable Python types for an incoming JSON value.
+#: bool is checked before int (bool subclasses int in Python); ints are
+#: acceptable doubles (JSON has one number type).
+_TYPE_OK = {
+    "string": lambda v: isinstance(v, str),
+    "bigint": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "int": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "double": lambda v: isinstance(v, (int, float))
+    and not isinstance(v, bool),
+    "float": lambda v: isinstance(v, (int, float))
+    and not isinstance(v, bool),
+    "boolean": lambda v: isinstance(v, bool),
+}
+
+
+class _ItemTyper:
+    """Per-item schema enforcement — the reference's ``.typed()`` gate
+    (task.ts:155-158): every page is validated against the declared
+    schema BEFORE rows enter the engine, and the v1.17.0 null-token
+    fix's contract is that a violating payload aborts the scan rather
+    than flowing through as garbage.
+
+    * ``mode=FAILFAST`` (default, the reference's throw): the first
+      wrong-typed field raises with the field, declared type, and
+      offending value — the task dies and the read aborts.
+    * ``mode=PERMISSIVE``: Spark's JSON-reader convention — the whole
+      item is quarantined: data fields null, raw item JSON in the
+      ``_corrupt_record`` column when the schema declares one.
+    """
+
+    CORRUPT = "_corrupt_record"
+
+    def __init__(self, schema: StructType, options: dict, source: str):
+        self.fields = [f.name for f in schema.fields]
+        self.types = [f.dataType.simpleString() for f in schema.fields]
+        self.mode = options.get("mode", "FAILFAST").upper()
+        if self.mode not in ("FAILFAST", "PERMISSIVE"):
+            raise ValueError(f"{source}: unknown mode {self.mode!r}")
+        self.source = source
+        self.corrupt_idx = (
+            self.fields.index(self.CORRUPT)
+            if self.CORRUPT in self.fields
+            else None
+        )
+
+    def row(self, item: dict) -> tuple:
+        vals: list = []
+        for i, (name, typ) in enumerate(zip(self.fields, self.types)):
+            if i == self.corrupt_idx:
+                vals.append(None)
+                continue
+            v = item.get(name)
+            if v is None:
+                vals.append(None)
+                continue
+            check = _TYPE_OK.get(typ)
+            if check is not None and not check(v):
+                if self.mode == "FAILFAST":
+                    raise ValueError(
+                        f"{self.source}: field {name!r} expected {typ} "
+                        f"but page item carried {v!r} "
+                        f"({type(v).__name__}) — FAILFAST abort "
+                        "(reference .typed() throw, task.ts:155-158)"
+                    )
+                quarantined = [None] * len(self.fields)
+                if self.corrupt_idx is not None:
+                    quarantined[self.corrupt_idx] = json.dumps(item)
+                return tuple(quarantined)
+            vals.append(v)
+        return tuple(vals)
 
 
 class _PageRange(InputPartition):
@@ -64,7 +136,7 @@ class PagedRestReader(DataSourceReader):
     """Offset pagination, parallel by page range."""
 
     def __init__(self, schema: StructType, options: dict):
-        self.fields = [f.name for f in schema.fields]
+        self.typer = _ItemTyper(schema, options, "paged_rest")
         self.url = options["url"]
         self.limit = int(options.get("limit", DEFAULT_PAGE_SIZE))
         self.token = options.get("auth_token")
@@ -96,7 +168,7 @@ class PagedRestReader(DataSourceReader):
                 f"{self.url}?limit={self.limit}&page={page}", self.token
             )
             for item in data.get("items", []):
-                yield _row(item, self.fields)
+                yield self.typer.row(item)
 
 
 class PagedRestDataSource(DataSource):
@@ -115,7 +187,7 @@ class CursorRestReader(DataSourceReader):
     """Token pagination: sequential, with the O6 cycle guard."""
 
     def __init__(self, schema: StructType, options: dict):
-        self.fields = [f.name for f in schema.fields]
+        self.typer = _ItemTyper(schema, options, "cursor_rest")
         self.url = options["url"]
         self.token = options.get("auth_token")
 
@@ -131,7 +203,7 @@ class CursorRestReader(DataSourceReader):
                 url = f"{url}{sep}page_token={page_token}"
             data = _fetch_json(url, self.token)
             for item in data.get("items", []):
-                yield _row(item, self.fields)
+                yield self.typer.row(item)
             nxt = data.get("next_page_token")
             # termination: null/absent token, or token failed to advance
             # (the reference's repeat guard, task.ts:160-166)

@@ -2235,6 +2235,29 @@ def test_join_star_broadcasts_kilobyte_dims(spark):
     assert n_bhj >= 2, plan
 
 
+def test_join_large_plan_broadcasts_pruned_orders(spark):
+    """The flagship unhinted large join (r11 verdict item 2): Catalyst
+    must (a) prune BOTH scans to exactly the referenced columns —
+    lineitem to (l_orderkey, l_extendedprice), orders to (o_orderkey,
+    o_orderpriority) — and (b) pick a broadcast hash join for the
+    orders build side while it fits the session's threshold (verified
+    at sf1 too: 25 MB on disk, static BHJ — see SCALE.md §27). The only
+    row-scale exchange allowed is none; the single hashpartitioning
+    exchange belongs to the 5-row priority aggregate."""
+    from etl_verkada_spark.operators.joins import join_large
+
+    df = join_large(spark, SF_SMALL)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>" \
+        in plan, plan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_orderpriority:string>" \
+        in plan, plan
+    raw = plan_of(df)
+    assert raw.count("Exchange hashpartitioning") == 1, raw
+
+
 def test_not_in_null_trap_counts(spark):
     """The NULL-tainted NOT IN admits zero rows; the filtered form is a
     plain anti join and must be >= 0 with n_customers an upper bound."""

@@ -271,3 +271,83 @@ def test_paged_rest_zero_indexed_pages(spark):
         assert pages == list(range(11))  # 0..10, ceil(103/10) pages
     finally:
         server.shutdown()
+
+
+# --- reference .typed() fidelity: schema-violating page mid-scan ------------
+
+#: a wrong-typed item buried mid-corpus: `value` arrives as a string
+#: where the declared schema says int (the payload shape the reference's
+#: .typed() throw and the v1.17.0 null-token fix defend against,
+#: task.ts:155-158 / CHANGELOG.md:16)
+BAD_ITEMS = (
+    ITEMS[:47]
+    + [{"id": "it-bad", "value": "forty-seven"}]
+    + ITEMS[47:60]
+)
+
+
+@pytest.fixture()
+def bad_stub():
+    server, port, stats = make_server(BAD_ITEMS)
+    yield f"http://127.0.0.1:{port}", stats
+    server.shutdown()
+
+
+def test_paged_failfast_aborts_on_schema_violating_page(spark, bad_stub):
+    """S1 + FAILFAST (the default): the scan must DIE when a mid-scan
+    page violates the declared schema — not null the field, not skip
+    the row (the reference's .typed() throw, task.ts:155-158)."""
+    base, _ = bad_stub
+    rest_sources.register(spark)
+    df = (
+        spark.read.format("paged_rest")
+        .option("url", f"{base}/items")
+        .option("schema_ddl", SCHEMA_DDL)
+        .option("limit", 10)
+        .load()
+    )
+    with pytest.raises(Exception, match="FAILFAST"):
+        df.collect()
+
+
+def test_cursor_failfast_aborts_on_schema_violating_page(spark, bad_stub):
+    """S2 + FAILFAST: same contract through the sequential cursor."""
+    base, _ = bad_stub
+    rest_sources.register(spark)
+    df = (
+        spark.read.format("cursor_rest")
+        .option("url", f"{base}/cursor")
+        .option("schema_ddl", SCHEMA_DDL)
+        .load()
+    )
+    with pytest.raises(Exception, match="FAILFAST"):
+        df.collect()
+
+
+def test_paged_permissive_quarantines_schema_violation(spark, bad_stub):
+    """S1 + PERMISSIVE: the violating ITEM is quarantined whole — data
+    fields null, raw payload JSON in _corrupt_record — and every clean
+    row still lands (Spark's JSON-reader convention, mirrored by the
+    source so the reference's throw is a MODE, not hardcoded)."""
+    base, _ = bad_stub
+    rest_sources.register(spark)
+    df = (
+        spark.read.format("paged_rest")
+        .option("url", f"{base}/items")
+        .option("schema_ddl", SCHEMA_DDL + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("limit", 10)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == len(BAD_ITEMS)
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(bad) == 1
+    assert bad[0]["id"] is None and bad[0]["value"] is None
+    assert json.loads(bad[0]["_corrupt_record"]) == {
+        "id": "it-bad", "value": "forty-seven",
+    }
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    assert {r["id"] for r in good} == {
+        it["id"] for it in BAD_ITEMS if it["id"] != "it-bad"
+    }
