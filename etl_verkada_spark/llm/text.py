@@ -1034,12 +1034,11 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab is deterministic; (2) the per-doc rollup — tokens left-join
     the BROADCAST vocab (K rows, never a shuffle) and count misses.
     Round-11 rework: the membership join runs on ``xxhash64`` BIGINT
-    keys, not strings — the probe side explodes pre-hashed tokens
-    (``transform(split(..), w -> xxhash64(w))``) so token strings are
-    never materialized as join keys and the broadcast lookup hashes 8
-    fixed bytes instead of variable-length text. Same md5-slice-BIGINT
-    discipline as llm_eval_ngram_recall; 256-word vocab x ~1e5 distinct
-    words leaves collision odds ~1e-12. Measured at synthesized sf1:
+    keys — the broadcast hash map probes 8 fixed bytes instead of
+    variable-length text; round-12 refinement: the vocab word rides the
+    broadcast and a hash MATCH must also pass string equality, so the
+    operator is bit-exact (a hash collision cannot flip a count) while
+    the probe stays a BIGINT lookup. Measured at synthesized sf1:
     3.15 s (string keys) -> 1.53 s. The one-tokenize TF-index
     alternative (pair-histogram exchange + localCheckpoint, the bm25
     shape) was A/B'd at 8.2 s — the (doc_id, word) exchange costs far
@@ -1062,26 +1061,35 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
+    # The broadcast keeps the vocab WORD alongside its hash: the hash
+    # map probe stays a BIGINT lookup, but a match must also pass
+    # string equality before counting in-vocab — so an OOV token
+    # colliding with a vocab word's xxhash64 is still OOV, making the
+    # operator bit-exact against the string-equality oracle instead of
+    # probabilistically exact (ADVICE r11). The equality compare runs
+    # only on hash matches; cost is one 256-row string column in the
+    # broadcast, unmeasurable.
     vocab = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "w")
         .limit(VOCAB_K)
-        .select(F.xxhash64("w").alias("h"), F.lit(1).alias("in_vocab"))
+        .select(F.xxhash64("w").alias("h"), F.col("w").alias("vw"))
     )
     toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(split(text, ' '), w -> xxhash64(w))")
-        ).alias("h"),
-    )
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
     return (
         toks.join(broadcast(vocab), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
             F.sum(
-                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                F.when(
+                    F.col("vw").isNotNull()
+                    & (F.col("w") == F.col("vw")),
+                    0,
+                ).otherwise(1)
             ).alias("n_oov"),
         )
         .select(

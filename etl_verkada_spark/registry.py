@@ -66,107 +66,93 @@ def spec(
 # driver-green from an earlier round with unchanged code, plus full
 # parity coverage via tools/parity_check.py.
 #
-# ROUND-11 WINDOW (re-rotated by session 2 — the session-1 freeze plan
-# is preserved in git history at commit 757713c). CORRECTNESS_r10 went
-# 50/50 green; every registered query has a hash-green driver row in
-# r1-r10. Evidence state entering r11 (newest green round -> count):
-# r4 -> 25, r5 -> 43, r6 -> 46, r9 -> 42, r10 -> 50, never -> 17
-# (the round's 17 additions across both sessions). Per the rotation
-# policy above, clauses (a) and (b) outrank everything else, and this
-# round produced an unusually large (a)+(b) set:
+# ROUND-12 WINDOW. CORRECTNESS_r11 went 50/50 green; evidence state
+# entering r12 (newest hash-green driver round -> count, computed from
+# CORRECTNESS_r01-r11): r4 -> 7, r5 -> 40, r6 -> 46, r9 -> 39,
+# r10 -> 41, r11 -> 50, never -> 3 (geo_dbscan, llm_dedup_containment,
+# llm_lang_confusion — landed after r11's window froze; all three
+# sf0.01 parity-green locally and verified by the r11 judge's own
+# run). Per the policy:
 #   1. flagship;
-#   2. clause (a) — round-11 additions, never had a driver row:
-#      session 1: stream_drift_apply, graph_kcore, ts_changepoint,
-#      join_asof_nearest, llm_dedup_bloom, win_session_attribution;
-#      session 2: graph_jaccard, ts_winsorize, ts_lttb,
-#      llm_tokenizer_fertility, stream_topk, join_star, mm_phash,
-#      llm_dataset_card, agg_corr, stream_topk_apply, subquery_not_in
-#      (17 total);
-#   3. clause (b) — IMPLEMENTATION or oracle changed in round 11:
-#      session 1: sort_orderby + maintain_zorder (null-aware bucketed
-#      rank), join_interval_overlap (sequence banding; session 2 also
-#      swept its band width), agg_heavy_hitters (true Misra-Gries
-#      eviction), agg_countmin (histogram-derived sketch),
-#      llm_bm25 (checkpointed tf index), llm_perplexity_filter
-#      (quantized buckets), llm_bpe_train (degenerate-step fix),
-#      graph_triangle_count/clustering_coeff/pagerank (MATERIALIZED
-#      oracle CTEs, SCALE.md §25h);
-#      session 2: ts_streaks (single-exchange fold, §26b),
-#      llm_vocab_coverage (hash-keyed membership join, §26a),
-#      agg_weighted_median (two-scan median-bucket plan, §26c)
-#      (14 total);
-#   4. the remaining 18 slots go to the r4-evidence cohort (oldest
-#      evidence, clause c). DISPLACED by the clause-(a)/(b) growth:
-#      7 r4-cohort rows (llm_dedup_semantic, llm_sample_hash,
-#      llm_mix_weights, llm_pack_sequences, llm_sample_stratified,
-#      mm_feature_extract_arrow + stream_slide/static_join/dedup trim
-#      to fit) and the r10 verdict's 8 sf1-unstable rows (agg_gini,
+#   2. clause (a) — the 3 never-checked post-window additions (the
+#      r11 verdict's item 1: this is the round's top task);
+#   3. clause (b) — IMPLEMENTATION changed in round 12 (10):
+#      stream_mv_refresh/stream_mv_apply/stream_drift/
+#      stream_drift_apply/stream_topk/stream_topk_apply (multi-file
+#      chunk landings, versioned drift/topk fold state, prior-file
+#      identity in _PRIMED markers), ts_lttb (mergeable min-struct
+#      pick + overflow guard), ts_streaks (impossible-sentinel seed),
+#      llm_dedup_bloom (checkpointed digest table),
+#      llm_vocab_coverage (hash-match + string-equality membership);
+#   4. clause (c) fill (36 slots): first the 7 remaining r4-evidence
+#      rows — including the five displaced by r11's re-rotation
+#      (llm_dedup_semantic, llm_sample_hash, llm_mix_weights,
+#      llm_pack_sequences, llm_sample_stratified) plus
+#      mm_feature_extract_arrow and stream_static_join — then 29 of
+#      the 40 r5-evidence rows, oldest-first alphabetical. The r10
+#      verdict's 8 sf1-unstable rows displaced in r11 (agg_gini,
 #      dq_benford, geo_knn, join_asof_fwd, skyline_pareto,
-#      stream_mv_apply, ts_seasonal_baseline, upsert_merge) — their
-#      CORRECTNESS is not in doubt (the flag was timing spread; all
-#      are r4-r10 hash-green and covered by this session's local
-#      223-query parity sweep at sf0.01), and the policy ranks
-#      never-checked and changed code above evidence refresh.
-#   llm_dedup_containment, geo_dbscan, and llm_lang_confusion landed
-#   after this re-rotation;
-#   all are
-#   parity-green at sf0.01 locally and head r12's clause (a) with the
-#   displaced rows.
+#      stream_mv_apply, ts_seasonal_baseline, upsert_merge) are
+#      covered here where their evidence age ranks them:
+#      stream_mv_apply rides clause (b); the rest are r9/r10-green
+#      (newer evidence than the r4/r5 cohorts) and queue behind them
+#      for r13.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 2. round-11 additions (clause a), both sessions --
+    # -- 2. never-checked post-window additions (clause a) --
+    "geo_dbscan",
+    "llm_dedup_containment",
+    "llm_lang_confusion",
+    # -- 3. round-12 implementation changes (clause b) --
+    "stream_mv_refresh",
+    "stream_mv_apply",
+    "stream_drift",
     "stream_drift_apply",
-    "graph_kcore",
-    "ts_changepoint",
-    "join_asof_nearest",
-    "llm_dedup_bloom",
-    "win_session_attribution",
-    "graph_jaccard",
-    "ts_winsorize",
-    "ts_lttb",
-    "llm_tokenizer_fertility",
     "stream_topk",
-    "join_star",
-    "mm_phash",
-    "llm_dataset_card",
-    "agg_corr",
     "stream_topk_apply",
-    "subquery_not_in",
-    # -- 3. round-11 implementation/oracle changes (clause b) --
-    "sort_orderby",
-    "maintain_zorder",
-    "join_interval_overlap",
-    "agg_heavy_hitters",
-    "agg_countmin",
-    "llm_bm25",
-    "llm_perplexity_filter",
-    "llm_bpe_train",
-    "graph_triangle_count",
-    "graph_clustering_coeff",
-    "graph_pagerank",
+    "ts_lttb",
     "ts_streaks",
+    "llm_dedup_bloom",
     "llm_vocab_coverage",
-    "agg_weighted_median",
-    # -- 4. r4-evidence cohort (clause c fill, oldest evidence) --
-    "scan_json_land",
-    "scan_orc_land",
-    "join_salted",
-    "agg_approx_percentile",
-    "win_funnel",
-    "ts_interpolate",
-    "subquery_lateral",
-    "fx_string",
-    "fx_date",
-    "fx_array",
-    "fx_json",
-    "fx_map",
-    "fx_regex",
-    "fx_cond",
-    "fx_hash",
-    "udtf_bigrams",
-    "stream_slide",
-    "stream_dedup",
+    # -- 4a. r4-evidence cohort (clause c, oldest evidence) --
+    "llm_dedup_semantic",
+    "llm_sample_hash",
+    "llm_mix_weights",
+    "llm_pack_sequences",
+    "llm_sample_stratified",
+    "mm_feature_extract_arrow",
+    "stream_static_join",
+    # -- 4b. r5-evidence cohort (clause c fill, 29 of 40) --
+    "agg_filtered",
+    "agg_groupby",
+    "agg_histogram",
+    "agg_incremental_merge",
+    "agg_sketch_merge",
+    "dq_profile",
+    "dq_uniqueness",
+    "flagship_features",
+    "geo_density",
+    "join_broadcast_left",
+    "join_range_banded",
+    "llm_bigram_lm",
+    "llm_bigram_score",
+    "llm_chunk_rag",
+    "llm_dedup_incremental",
+    "llm_dedup_minhash",
+    "llm_dedup_passage",
+    "llm_dedup_simhash",
+    "llm_embed_quantize",
+    "llm_embed_rp",
+    "llm_kmeans_assign",
+    "llm_kmeans_train",
+    "llm_sample_importance",
+    "llm_sim_ann_lsh",
+    "llm_text_stats",
+    "maintain_compact",
+    "mm_frame_sample",
+    "scan_schema_evolution",
+    "scd2_build",
 )
 
 
