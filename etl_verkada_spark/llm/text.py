@@ -1767,12 +1767,12 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     language, and the exact-duplicate rate.
 
     One corpus scan feeds two mergeable aggregates: (a) the per-source
-    rollup (docs, tokens, distinct digests for the dup rate, distinct
-    langs — the count-distincts ride one expand-aggregate, the
-    dq_profile shape); (b) per-(source, lang) counts, topped per source
-    by a window over the cell table (source x lang rows, never
-    corpus-scale). Rates are integer ppm; the mean is one IEEE division
-    of exact integers, same expression shape as the oracle.
+    rollup (docs, tokens, distinct digests for the dup rate — the ONLY
+    distinct, so no Expand); (b) per-(source, lang) counts, from which
+    n_langs (row count) and the dominant language (max(struct(cnt,
+    lang)) — mergeable, no window) both fall out at cell scale. Rates
+    are integer ppm; the mean is one IEEE division of exact integers,
+    same expression shape as the oracle.
 
     At 100 TB: both aggregates are map-side combined; the only
     corpus-scale exchange carries (source, lang, digest) partials. The
@@ -1780,8 +1780,6 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_quality*, llm_tokenizer_fertility) run. Reference scope:
     beyond (tag "llm").
     """
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
     base = docs.select(
         "source",
@@ -1789,24 +1787,31 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("dig"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
+    # ONE distinct in the big aggregate (two count-distincts would plan
+    # an Expand that doubles every row through the exchange); n_langs
+    # and the dominant language both derive from the (source, lang)
+    # cell table instead — n_langs is its per-source row count and the
+    # top pick is max(struct(cnt, lang)) (exactly the cnt DESC, lang
+    # DESC order), a mergeable aggregate in place of the r11 window
+    # (r12: one less corpus-scale expand, one less sort job).
     s = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
         F.countDistinct("dig").alias("n_uniq"),
-        F.countDistinct("lang").alias("n_langs"),
     )
     lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
     top = (
-        lc.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.col("cnt").desc(), F.col("lang").desc()
-                )
-            ),
+        lc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.max(F.struct("cnt", "lang")).alias("m"),
         )
-        .filter(F.col("rn") == 1)
-        .select("source", F.col("lang").alias("top_lang"), "cnt")
+        .select(
+            "source",
+            "n_langs",
+            F.col("m.lang").alias("top_lang"),
+            F.col("m.cnt").alias("cnt"),
+        )
     )
     return s.join(top, "source").select(
         "source",

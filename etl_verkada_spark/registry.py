@@ -83,12 +83,14 @@ def spec(
 #      identity in _PRIMED markers), ts_lttb (mergeable min-struct
 #      pick + overflow guard), ts_streaks (impossible-sentinel seed),
 #      llm_dedup_bloom (checkpointed digest table),
-#      llm_vocab_coverage (hash-match + string-equality membership);
+#      llm_vocab_coverage (hash-match + string-equality membership),
+#      llm_dataset_card (single-distinct rollup + max-struct top-lang
+#      in place of the expand + window) — 11 total;
 #   4. clause (c) fill (36 slots): first the 7 remaining r4-evidence
 #      rows — including the five displaced by r11's re-rotation
 #      (llm_dedup_semantic, llm_sample_hash, llm_mix_weights,
 #      llm_pack_sequences, llm_sample_stratified) plus
-#      mm_feature_extract_arrow and stream_static_join — then 29 of
+#      mm_feature_extract_arrow and stream_static_join — then 28 of
 #      the 40 r5-evidence rows, oldest-first alphabetical. The r10
 #      verdict's 8 sf1-unstable rows displaced in r11 (agg_gini,
 #      dq_benford, geo_knn, join_asof_fwd, skyline_pareto,
@@ -115,6 +117,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "ts_streaks",
     "llm_dedup_bloom",
     "llm_vocab_coverage",
+    "llm_dataset_card",
     # -- 4a. r4-evidence cohort (clause c, oldest evidence) --
     "llm_dedup_semantic",
     "llm_sample_hash",
@@ -152,7 +155,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "maintain_compact",
     "mm_frame_sample",
     "scan_schema_evolution",
-    "scd2_build",
 )
 
 

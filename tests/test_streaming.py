@@ -430,9 +430,9 @@ def test_streaming_ohlc_equals_batch(spark, events_dir):
 
 def test_mv_refresh_folds_multiple_microbatches(spark):
     """The incremental claim needs >1 fold: the landed chunk dir must
-    hold >= MV_CHUNKS files (maxFilesPerTrigger=1 then guarantees one
-    micro-batch per file), and the final state must equal the batch
-    aggregate computed directly."""
+    hold >= MV_CHUNKS chunk files (maxFilesPerTrigger=N_CHUNK_FILES
+    then yields multiple micro-batches), and the final state must equal
+    the batch aggregate computed directly."""
     import glob
 
     from pyspark.sql import functions as F
@@ -530,7 +530,10 @@ def test_stream_drift_equals_batch_audit(spark):
         r["feature"]: (r["n_ref"], r["n_cur"], r["n_categories"], r["tvd"])
         for r in stream_drift(spark, SF_SMALL).collect()
     }
-    files = glob.glob(_land_dir(SF_SMALL, "drift_chunks") + "/part-*.parquet")
+    # deterministic multi-file chunks: chunk_NN_pNN.parquet (r12)
+    files = glob.glob(
+        _land_dir(SF_SMALL, "drift_chunks") + "/chunk_*.parquet"
+    )
     assert len(files) >= DRIFT_CHUNKS
     want = {
         r["feature"]: (r["n_ref"], r["n_cur"], r["n_categories"], r["tvd"])
@@ -582,7 +585,12 @@ def test_drift_fold_skips_replayed_batch(spark, tmp_path):
     fold(b0, 0)  # replay
     fold(b1, 1)
     fold(b1, 1)  # replay of newest
-    state = spark.read.parquet(str(tmp_path / "state"))
+    from etl_verkada_spark.streaming.upsert import _mv_latest_version
+
+    sd = str(tmp_path / "state")
+    v = _mv_latest_version(sd)
+    assert v == 1  # replay of either batch must not advance the version
+    state = spark.read.parquet(f"{sd}/v{v}")
     row = {
         (r["feature"], r["category"]): (r["cnt_ref"], r["cnt_cur"])
         for r in state.collect()
@@ -641,14 +649,17 @@ def test_topk_fold_is_batch_order_independent(spark, tmp_path):
         )
     ]
 
+    from etl_verkada_spark.streaming.upsert import _mv_latest_version
+
     def run(order, name):
         state = str(tmp_path / name)
         fold = topk_fold(state)
         for bid, b in enumerate(order):
             fold(b, bid)
+        v = _mv_latest_version(state)
         return {
             (r.event_type, r.event_id, r.v_c)
-            for r in spark.read.parquet(state).collect()
+            for r in spark.read.parquet(f"{state}/v{v}").collect()
         }
 
     fwd = run(batches, "fwd")
@@ -663,6 +674,8 @@ def test_topk_fold_state_stays_bounded(spark, tmp_path):
 
     from etl_verkada_spark.streaming.upsert import TOPK_K, topk_fold
 
+    from etl_verkada_spark.streaming.upsert import _mv_latest_version
+
     state = str(tmp_path / "state")
     fold = topk_fold(state)
     for bid in range(3):
@@ -675,8 +688,10 @@ def test_topk_fold_state_stays_bounded(spark, tmp_path):
             ),
             bid,
         )
+    v = _mv_latest_version(state)
     per = Counter(
-        r.event_type for r in spark.read.parquet(state).collect()
+        r.event_type
+        for r in spark.read.parquet(f"{state}/v{v}").collect()
     )
     assert per and all(n <= TOPK_K for n in per.values()), per
 
