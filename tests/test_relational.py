@@ -2268,6 +2268,32 @@ def test_not_in_null_trap_counts(spark):
     assert 0 <= r["n_filtered"] <= r["n_customers"]
 
 
+def test_lttb_pick_is_mergeable_aggregate(spark):
+    """ts_lttb's max-area pick must run as a PARTIAL (map-side
+    combined) aggregate, not a row_number window: the exchange then
+    carries one candidate per (series, bucket) per map partition
+    instead of every row (SCALE.md §27b). A Window here means the
+    row-scale shuffle regressed back in."""
+    from etl_verkada_spark.operators.timeseries import ts_lttb
+
+    plan = plan_of(ts_lttb(spark, SF_SMALL))
+    assert "partial_min(struct(ord1" in plan.replace("\n", " "), plan
+    # the only Window allowed is the cell-sized lag/lead over bucket
+    # centroids (partition = event_type, ~LTTB_BUCKETS rows/series)
+    assert plan.count("Window") <= 1, plan
+
+
+def test_dataset_card_has_no_expand_or_window(spark):
+    """llm_dataset_card's rollup must keep ONE distinct (no Expand
+    doubling the corpus-scale exchange) and derive top-lang/n_langs
+    from the cell table with mergeable aggregates (no Window)."""
+    from etl_verkada_spark.llm.text import llm_dataset_card
+
+    plan = plan_of(llm_dataset_card(spark, SF_SMALL))
+    assert "Expand" not in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_corr_matches_python_recompute(spark):
     """Pearson r equals a numpy recompute on the exact scaled ints."""
     import numpy as np

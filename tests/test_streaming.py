@@ -713,3 +713,40 @@ def test_topk_apply_equals_full_ranking(spark):
     for t, rnk, _, _ in full:
         per[t] = max(per.get(t, 0), rnk)
     assert all(v <= TOPK_K for v in per.values())
+
+
+def test_stale_prime_marker_forces_reprime(spark, tmp_path):
+    """ADVICE r11: a _PRIMED marker left over from a PREVIOUS landing
+    (different prior-file list) must NOT validate the cached state —
+    the apply twin must re-prime and still match the full ranking."""
+    import os
+
+    from etl_verkada_spark.operators.scans import _land_dir
+    from etl_verkada_spark.streaming.upsert import (
+        stream_topk, stream_topk_apply,
+    )
+
+    # build landing + prime once
+    baseline = sorted(map(tuple, stream_topk_apply(spark, SF_SMALL).collect()))
+    land = _land_dir(SF_SMALL, "topk_chunks")
+    primed = os.path.join(land + "_prior_state", "_PRIMED")
+    assert os.path.exists(primed)
+    # corrupt the marker to simulate a marker from an older landing
+    with open(primed, "w") as f:
+        f.write("chunk_99_p00.parquet\nchunk_99_p01.parquet")
+    # poison the cached state so ONLY a re-prime can produce the right
+    # answer (if the stale marker were trusted, the wrong parquet
+    # below would leak into the leaderboard)
+    state_dir = land + "_prior_state"
+    spark.createDataFrame(
+        [("poison", 1, 10**15)], "event_type string, event_id long, v_c long"
+    ).coalesce(1).write.mode("append").parquet(state_dir)
+    again = sorted(map(tuple, stream_topk_apply(spark, SF_SMALL).collect()))
+    assert again == baseline
+    assert not any(r[0] == "poison" for r in again)
+    # and the re-written marker now records the real prior-file list
+    with open(primed) as f:
+        assert "chunk_99" not in f.read()
+    # full replay still agrees
+    full = sorted(map(tuple, stream_topk(spark, SF_SMALL).collect()))
+    assert full == again
