@@ -499,6 +499,88 @@ def maintain_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(LAND_DDL).parquet(compact_dir)
 
 
+#: column surface served by the REST fixture server and declared by the
+#: DataSource scans below (matches the customer parquet types)
+_REST_DDL = "c_custkey bigint, c_name string, c_acctbal double"
+
+
+def _rest_scan(spark: SparkSession, sf_dir: str, fmt: str,
+               options: dict) -> DataFrame:
+    """Drive a REAL paginated-REST scan end-to-end against the local
+    HTTP stub and land the result — so the driver's oracle compare
+    checks the CONNECTOR (S1/S2 as pluggable Python DataSources,
+    sources/rest.py), not a parquet stand-in.
+
+    Fixture: the customer dim is served as JSON items by the same
+    in-process server the pytest suite uses (sources/http_stub.py —
+    the reference API's page/token shapes, task.ts:116-127/143-166).
+    Building the server's item list is driver-side BY DESIGN: it is
+    the upstream system being simulated, not the operator. The
+    operator is the DataSource scan — parallel page-range partitions
+    for S1, the cycle-guarded sequential cursor for S2 — whose rows
+    are landed to parquet (the land-then-read discipline, so the
+    returned frame needs no live server) and must hash-match plain SQL
+    over the source table. At 100 TB the pattern is unchanged: a page
+    API is drained once into object storage; analytics never re-pull.
+    """
+    from ..catalog import table as _table
+    from ..sources.http_stub import make_server
+    from ..sources.rest import register
+
+    items = [
+        {
+            "c_custkey": r["c_custkey"],
+            "c_name": r["c_name"],
+            "c_acctbal": r["c_acctbal"],
+        }
+        for r in _table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .collect()
+    ]
+    server, port, _stats = make_server(items)
+    land = _land_dir(sf_dir, f"rest_{fmt}")
+    try:
+        register(spark)
+        reader = (
+            spark.read.format(fmt)
+            .option("url", f"http://127.0.0.1:{port}/"
+                    + ("items" if fmt == "paged_rest" else "cursor"))
+            .option("schema_ddl", _REST_DDL)
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        reader.load().write.mode("overwrite").parquet(land)
+    finally:
+        server.shutdown()
+    return spark.read.schema(_REST_DDL).parquet(land)
+
+
+def scan_rest_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 driver-checked end-to-end: offset pagination
+    (?limit=&page=N) through the ``paged_rest`` Python DataSource —
+    one input partition per page range, pages fetched in parallel
+    (sources/rest.py:PagedRestReader; reference loop task.ts:116-127,
+    server-side LIMIT task.ts:119)."""
+    return _rest_scan(
+        spark, sf_dir, "paged_rest",
+        {"limit": 200, "pages_per_task": 2},
+    )
+
+
+def scan_rest_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 driver-checked end-to-end: token pagination
+    (next_page_token) through the ``cursor_rest`` Python DataSource —
+    inherently sequential, with the repeat-token cycle guard
+    (sources/rest.py:CursorRestReader; reference task.ts:143-166,
+    guard task.ts:160-166)."""
+    return _rest_scan(spark, sf_dir, "cursor_rest", {})
+
+
+ORACLE_SCAN_REST = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+"""
+
+
 QUERIES = {
     "scan_page": spec(
         scan_page, ORACLE_SCAN_PAGE, "reference:S1", "reference:L1",
@@ -507,6 +589,16 @@ QUERIES = {
     "scan_cursor": spec(
         scan_cursor, ORACLE_SCAN_CURSOR, "reference:S2", "reference:O6",
         doc="cursor/keyset-paginated scan with cycle guard, task.ts:143-166",
+    ),
+    "scan_rest_page": spec(
+        scan_rest_page, ORACLE_SCAN_REST, "reference:S1", "reference:O5",
+        doc="S1 through the real paged_rest Python DataSource against "
+            "the HTTP stub (parallel page ranges), task.ts:116-127",
+    ),
+    "scan_rest_cursor": spec(
+        scan_rest_cursor, ORACLE_SCAN_REST, "reference:S2", "reference:O6",
+        doc="S2 through the real cursor_rest Python DataSource against "
+            "the HTTP stub (cycle-guarded token walk), task.ts:143-166",
     ),
     "validate_json": spec(
         validate_json, ORACLE_VALIDATE_JSON, "reference:S3",

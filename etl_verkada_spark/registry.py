@@ -90,7 +90,7 @@ def spec(
 #      rows — including the five displaced by r11's re-rotation
 #      (llm_dedup_semantic, llm_sample_hash, llm_mix_weights,
 #      llm_pack_sequences, llm_sample_stratified) plus
-#      mm_feature_extract_arrow and stream_static_join — then 28 of
+#      mm_feature_extract_arrow and stream_static_join — then 26 of
 #      the 40 r5-evidence rows, oldest-first alphabetical. The r10
 #      verdict's 8 sf1-unstable rows displaced in r11 (agg_gini,
 #      dq_benford, geo_knn, join_asof_fwd, skyline_pareto,
@@ -102,10 +102,14 @@ def spec(
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 2. never-checked post-window additions (clause a) --
+    # -- 2. never-checked additions (clause a): the 3 post-r11-window
+    # ops, plus the r12 connector-fidelity pair (S1/S2 through the real
+    # Python DataSources against the HTTP stub) --
     "geo_dbscan",
     "llm_dedup_containment",
     "llm_lang_confusion",
+    "scan_rest_page",
+    "scan_rest_cursor",
     # -- 3. round-12 implementation changes (clause b) --
     "stream_mv_refresh",
     "stream_mv_apply",
@@ -153,8 +157,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_sim_ann_lsh",
     "llm_text_stats",
     "maintain_compact",
-    "mm_frame_sample",
-    "scan_schema_evolution",
 )
 
 
