@@ -750,3 +750,61 @@ def test_stale_prime_marker_forces_reprime(spark, tmp_path):
     # full replay still agrees
     full = sorted(map(tuple, stream_topk(spark, SF_SMALL).collect()))
     assert full == again
+
+
+def test_drift_and_topk_folds_recover_from_mid_write_crash(spark, tmp_path):
+    """The r12 versioned-state rewrite must keep mv_fold's crash
+    contract on both new folds: a fold that died mid-write leaves an
+    uncommitted v{bid} (no _SUCCESS); the at-least-once redelivery must
+    rewrite and commit it."""
+    import os
+
+    from etl_verkada_spark.streaming.upsert import (
+        _mv_latest_version, drift_fold, topk_fold,
+    )
+
+    # drift
+    sd = str(tmp_path / "drift")
+    fold = drift_fold(sd)
+    import datetime as dt
+    schema = (
+        "o_orderkey long, o_orderdate timestamp, o_orderstatus string, "
+        "o_orderpriority string, o_totalprice double"
+    )
+    b0 = spark.createDataFrame(
+        [(1, dt.datetime(1994, 1, 1), "O", "1-URGENT", 100.0)], schema
+    )
+    fold(b0, 0)
+    crashed = os.path.join(sd, "v1")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-garbage.parquet"), "w") as f:
+        f.write("torn write")
+    assert _mv_latest_version(sd) == 0
+    fold(
+        spark.createDataFrame(
+            [(2, dt.datetime(1996, 1, 1), "F", "2-HIGH", 200.0)], schema
+        ),
+        1,
+    )
+    assert _mv_latest_version(sd) == 1
+    got = {
+        (r["feature"], r["category"]): (r["cnt_ref"], r["cnt_cur"])
+        for r in spark.read.parquet(os.path.join(sd, "v1")).collect()
+    }
+    assert got[("o_orderstatus", "O")] == (1, 0)
+    assert got[("o_orderstatus", "F")] == (0, 1)
+
+    # topk
+    st = str(tmp_path / "topk")
+    tfold = topk_fold(st)
+    ev = "event_id long, event_type string, value double"
+    tfold(spark.createDataFrame([(1, "t", 5.0)], ev), 0)
+    crashed = os.path.join(st, "v1")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-garbage.parquet"), "w") as f:
+        f.write("torn write")
+    assert _mv_latest_version(st) == 0
+    tfold(spark.createDataFrame([(2, "t", 9.0)], ev), 1)
+    assert _mv_latest_version(st) == 1
+    rows = spark.read.parquet(os.path.join(st, "v1")).collect()
+    assert {(r.event_id, r.v_c) for r in rows} == {(1, 500), (2, 900)}
