@@ -464,3 +464,76 @@ def test_subquery_all_vacuous_truth(spark):
             or r["s_acctbal"] > mx[r["s_nationkey"]]
         )
         assert (r["s_suppkey"] in got) == qualifies, r["s_suppkey"]
+
+
+# --- REST source .typed() gate (pure-Python, no Spark) -----------------------
+
+_TYPED_SCHEMA_DDL = (
+    "sid string, n bigint, x double, ok boolean, _corrupt_record string"
+)
+
+
+def _typer(mode: str):
+    from pyspark.sql.types import StructType
+
+    from etl_verkada_spark.sources.rest import _ItemTyper
+
+    schema = StructType.fromDDL(_TYPED_SCHEMA_DDL)
+    return _ItemTyper(schema, {"mode": mode}, "paged_rest")
+
+
+_good_item = st.fixed_dictionaries(
+    {},
+    optional={
+        "sid": st.text(max_size=8),
+        "n": st.integers(-(2**62), 2**62),
+        "x": st.one_of(
+            st.integers(-1000, 1000),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        "ok": st.booleans(),
+    },
+)
+
+#: one field deliberately wrong-typed (bool counts as wrong for bigint
+#: and double — the Python bool-is-int trap the typer must not fall into)
+_bad_item = st.one_of(
+    st.fixed_dictionaries({"sid": st.integers()}),
+    st.fixed_dictionaries({"n": st.one_of(st.text(), st.booleans())}),
+    st.fixed_dictionaries({"x": st.one_of(st.text(), st.booleans())}),
+    st.fixed_dictionaries({"ok": st.one_of(st.integers(), st.text())}),
+)
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(item=_good_item)
+def test_typed_failfast_accepts_every_conforming_item(spark, item):
+    del spark  # only needed so StructType.fromDDL has an active session
+    row = _typer("FAILFAST").row(item)
+    # field order mirrors the DDL; missing keys become None
+    assert row == (
+        item.get("sid"), item.get("n"), item.get("x"), item.get("ok"),
+        None,
+    )
+
+
+@settings(
+    max_examples=200, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(item=_bad_item)
+def test_typed_failfast_raises_and_permissive_quarantines(spark, item):
+    del spark  # active session for StructType.fromDDL
+    import json as _json
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="FAILFAST"):
+        _typer("FAILFAST").row(item)
+    row = _typer("PERMISSIVE").row(item)
+    # whole item quarantined: data fields null, raw payload preserved
+    assert row[:4] == (None, None, None, None)
+    assert _json.loads(row[4]) == item
