@@ -1052,3 +1052,16 @@ def test_containment_finds_planted_excerpt(spark):
     assert (2, 1) in got and got[(2, 1)] == 1_000_000
     assert (1, 2) not in got          # direction matters
     assert all(3 not in p for p in got)
+
+
+def test_bloom_reads_text_once(spark):
+    """llm_dedup_bloom's digest table is localCheckpointed (SCALE.md
+    §27c): the returned plan must contain ZERO parquet scans of the
+    documents table — every consumer (filter build, probe, both exact
+    sides) reads the materialized (doc_id, digest) RDD, so the corpus
+    text is scanned exactly once, at checkpoint time."""
+    from etl_verkada_spark.llm.dedup import llm_dedup_bloom
+
+    df = llm_dedup_bloom(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "FileScan" not in plan, plan

@@ -449,9 +449,20 @@ def test_mv_refresh_folds_multiple_microbatches(spark):
         r["event_type"]: (r["n_events"], r["sum_value"])
         for r in stream_mv_refresh(spark, SF_SMALL).collect()
     }
-    # deterministic chunk names: lexical order IS landing order (r10)
+    # deterministic chunk names: lexical order IS landing order (r10);
+    # multi-file chunks: each chunk group must hold >1 part file so the
+    # per-trigger scan parallelizes (r12, SCALE.md §27a — a regression
+    # to coalesce(1) single-file chunks would fail here)
     files = glob.glob(_land_dir(SF_SMALL, "mv_chunks") + "/chunk_*.parquet")
     assert len(files) >= MV_CHUNKS
+    import os
+    from collections import Counter
+
+    per_chunk = Counter(
+        os.path.basename(f)[: len("chunk_00")] for f in files
+    )
+    assert len(per_chunk) == MV_CHUNKS
+    assert all(n > 1 for n in per_chunk.values()), per_chunk
     want = {
         r["event_type"]: (r["n_events"], r["sum_value"])
         for r in cat_table(spark, SF_SMALL, "events")
