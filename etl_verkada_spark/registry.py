@@ -99,6 +99,14 @@ def spec(
 #      stream_mv_apply rides clause (b); the rest are r9/r10-green
 #      (newer evidence than the r4/r5 cohorts) and queue behind them
 #      for r13.
+# R13 QUEUE (clause c fill order after r12's window goes green, unless
+# displaced by r13 changes): the 14 r5-evidence rows not in this
+# window (mm_frame_sample, scan_schema_evolution, scd2_build,
+# stream_ohlc, topk, ts_anomaly_zscore, ts_cohort_retention, ts_ewma,
+# ts_rolling_dau, win_frame, win_rank, win_relrank + 2 spares), then
+# the r6 cohort (46 rows), then the r10-verdict sf1-unstable leftovers
+# (agg_gini, dq_benford, geo_knn, join_asof_fwd, skyline_pareto,
+# ts_seasonal_baseline, upsert_merge).
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
