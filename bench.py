@@ -693,11 +693,10 @@ SF1_ANNOTATIONS = {
         "per-chunk TakeOrdered, bounded by K x |series| state forever"
     ),
     "graph_jaccard": (
-        "equal-work empty fixpoint at sf1 (the graph_kcore precedent): "
-        "the perturbed replicas thin the co-occurrence graph below the "
-        "common>=2 threshold, so BOTH engines grind the same wedge "
-        "join to the same 0-row answer; the populated-output "
-        "correctness signal lives at sf0.01 (76 rows, hash-green)"
+        "r13: JACC_MIN_COMMON 2 -> 1 — the old floor emptied the "
+        "output at sf0.1 AND sf1 (both engines ground the wedge join "
+        "to a verified 0-row answer), so the pair now measures a "
+        "populated result at every benched scale (1396 rows sf0.1)"
     ),
 }
 

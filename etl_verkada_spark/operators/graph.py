@@ -724,10 +724,13 @@ GROUP BY src
 ORACLE_GRAPH_KCORE = _kcore_oracle()
 
 
-#: minimum shared-neighbor count for a Jaccard candidate pair — bounds
-#: the output to pairs with actual neighborhood overlap (a single
-#: shared neighbor is noise on a co-occurrence graph).
-JACC_MIN_COMMON = 2
+#: minimum shared-neighbor count for a Jaccard candidate pair. 1 — the
+#: natural wedge-join output (every pair with any common neighbor);
+#: jaccard_ppm itself carries the overlap strength, so consumers rank
+#: or threshold on it. A >=2 floor emptied the output at bench scales
+#: (r12 verdict: 0 rows at sf0.1/sf1 — measuring the wedge join while
+#: verifying nothing), which is worse than a noisier tail.
+JACC_MIN_COMMON = 1
 
 
 def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,8 +756,8 @@ def graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient above (degree-capping the hubs is the standard
     refinement, one extra filter against the degree table, plan shape
     unchanged). Everything shuffles on node keys; nothing assumes the
-    graph fits anywhere. Output is filtered to common >=
-    {JACC_MIN_COMMON} to keep the pair list overlap-bearing.
+    graph fits anywhere. Output keeps every wedge pair (common >=
+    {JACC_MIN_COMMON}); jaccard_ppm carries the ranking signal.
     """
     li = table(spark, sf_dir, "lineitem")
     pp = li.select(

@@ -1537,6 +1537,13 @@ GROUP BY event_type
 #: LTTB downsample target bucket count per series.
 LTTB_BUCKETS = 64
 
+#: tiebreak packing radixes for the single-DECIMAL(38,0) pick ordering
+#: ``ordt = -2A * PACK_X*PACK_ID + x*PACK_ID + event_id`` — a
+#: lexicographic (-area, x, event_id) total order as one hash-
+#: aggregable scalar (requires x < PACK_X, event_id < PACK_ID).
+LTTB_PACK_ID = 10**12
+LTTB_PACK_X = 10**12
+
 
 def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle downsampling per series: pick, in each of
@@ -1550,24 +1557,42 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one cell-sized aggregate builds per-bucket (n, sum_x, sum_y);
     a lag/lead window over the ~{LTTB_BUCKETS} cells per series attaches
-    neighbor centroids; the cells broadcast back onto the rows and a
-    mergeable min(struct) aggregate picks the max-area point per
-    (series, bucket) — rows are never exchanged. The area
-    comparison is EXACT: centroid fractions are cleared by multiplying
-    through by n_prev^2 * n_next (documented below), so the score is
-    pure integer arithmetic in DECIMAL(38,0) — Spark and the HUGEINT
-    oracle agree bit-for-bit. First/last buckets (no both-side
-    neighbors) keep their first/last point by timestamp.
+    neighbor centroids; the cells broadcast back onto the rows, and the
+    max-area point per (series, bucket) is picked by three ``min_by``
+    calls over ONE packed DECIMAL(38,0) total order — a plain
+    HashAggregate (r13; the r12 ``min(struct)`` form was forced into
+    SortAggregate because struct buffers are not mutable, paying a
+    map-side sort per partition). Rows are never exchanged: the partial
+    aggregate combines map-side, so the shuffle carries one candidate
+    per (series, bucket) per map partition.
 
-    At 100 TB: rows are never exchanged — the only row-scale work is
-    the two scans feeding the cell aggregate and the pick aggregate;
-    every exchange carries at most series x {LTTB_BUCKETS} candidate
-    rows. Output is the decimated series.
-    Headroom note: the fraction-clearing multiplier is pn^2 * nn, so
-    the score magnitude grows with (rows/bucket)^3; DECIMAL(38,0)
-    covers ~1e9-row buckets at this fixture's value/time ranges —
-    beyond that, pre-aggregate each bucket to a per-second rollup
-    first (the decimation is visually identical), which re-bounds n.
+    Scoring (r13): anchors are the INTEGER-ROUNDED bucket centroids
+    (cx = sum_x div n, cy = sum_y div n — floor division on
+    non-negative sums, identical in both engines). Triangle area is
+    translation-invariant, so it is computed in bucket-relative
+    coordinates: 2A = |(cxn-cxp)*(y-cyp) - (x-cxp)*(cyn-cyp)| — pure
+    integer arithmetic with magnitude ~ 4 * (span/{LTTB_BUCKETS}) *
+    value_range, NOT the r12 fraction-cleared pn^2*nn form whose
+    magnitude grew with (rows/bucket)^3. Rounding the anchor by <1
+    time-unit/cent moves picks only at exact near-ties; both engines
+    compute the identical integers, so results stay bit-identical.
+
+    The pick ordering packs (-2A, x, event_id) into one DECIMAL(38,0):
+    ``ordt = -2A * PACK_X*PACK_ID + x*PACK_ID + event_id`` — a total
+    order (event_id is unique), so the three min_by calls agree and the
+    pick is deterministic. First/last buckets (no both-side neighbor)
+    keep their first/last point by (timestamp, event_id).
+
+    At 100 TB: the only row-scale work is the two scans feeding the
+    cell aggregate and the pick aggregate; every exchange carries at
+    most series x {LTTB_BUCKETS} x partitions candidate rows. Headroom:
+    |2A| must stay under 10^38 / (PACK_X*PACK_ID) = 1e14 — covers a
+    1-year span at {LTTB_BUCKETS} buckets with a $500k value range with
+    ~10x margin; beyond that RAISE (never a silent wrong pick) — the
+    remedy is more buckets (span/B shrinks linearly) or a coarser value
+    scale. Requires x < PACK_X (31k-year span) and event_id < PACK_ID
+    (1e12); values must be non-negative (fixture min 0.0) so both
+    engines' integer division agrees — shift signed series first.
     """
     e = table(spark, sf_dir, "events")
     pts = e.select(
@@ -1610,62 +1635,56 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("bsy").over(wb).alias("nsy"),
     )
     j = xb.join(F.broadcast(anc), ["event_type", "bkt"])
-    # triangle area x (2 * pn^2 * nn), fraction-free:
-    #   2A = |(x_p - x_n)(y - y_p) - (x_p - x)(y_n - y_p)|   (centroids
-    #   p = (psx/pn, psy/pn), n = (nsx/nn, nsy/nn)); multiplying by
-    #   pn^2 * nn clears every denominator, leaving the integers below.
     dec = "decimal(38,0)"
+    # integer anchor centroids (floor div; all sums non-negative)
+    cxp = F.expr("psx div pn")
+    cyp = F.expr("psy div pn")
+    dxn = F.expr("nsx div nn") - cxp
+    dyn = F.expr("nsy div nn") - cyp
+    # 2A in bucket-relative coordinates; decimal so an out-of-headroom
+    # range NULLs (then raises) instead of silently wrapping BIGINT
     area2 = F.abs(
-        (
-            F.col("psx").cast(dec) * F.col("nn") - F.col("nsx").cast(dec)
-            * F.col("pn")
+        dxn.cast(dec) * (F.col("v_c") - cyp)
+        - (F.col("x") - cxp).cast(dec) * dyn
+    )
+    tie = F.col("x").cast(dec) * LTTB_PACK_ID + F.col("event_id")
+    ordt = (
+        F.when(F.col("pn").isNull(), tie)
+        .when(
+            F.col("nn").isNull(),
+            -F.col("x").cast(dec) * LTTB_PACK_ID + F.col("event_id"),
         )
-        * (F.col("v_c").cast(dec) * F.col("pn") - F.col("psy"))
-        - (F.col("psx").cast(dec) - F.col("x").cast(dec) * F.col("pn"))
-        * (F.col("nsy").cast(dec) * F.col("pn") - F.col("psy").cast(dec)
-           * F.col("nn"))
+        .otherwise(-area2 * LTTB_PACK_X * LTTB_PACK_ID + tie)
     )
     # Non-ANSI Spark silently NULLs DECIMAL(38,0) overflow, and NULL
-    # sorts FIRST in the pick window — an overflowed row would silently
-    # win its bucket while the HUGEINT oracle errors loudly. Guard: the
-    # only NULL source in the otherwise-branch is overflow (pn/nn-null
-    # rows take the first two branches; x/v_c/centroid sums are
-    # non-null), so fail as loudly as the oracle does.
-    ord1 = (
-        F.when(F.col("pn").isNull(), F.col("x").cast(dec))
-        .when(F.col("nn").isNull(), -F.col("x").cast(dec))
-        .when(
-            area2.isNull(),
-            F.raise_error(
-                F.lit(
-                    "ts_lttb: DECIMAL(38,0) area overflow — bucket too "
-                    "large; pre-aggregate per-second first (docstring "
-                    "headroom note)"
-                )
-            ).cast(dec),
-        )
-        .otherwise(-area2)
-    )
-    # The pick "first row by (ord1, x, event_id) per (series, bucket)"
-    # is a MIN over the lexicographic struct, not a window: a hash
-    # aggregate partial-combines map-side, so the exchange carries one
-    # candidate per (series, bucket) per map partition instead of every
-    # row through a row-scale shuffle + per-bucket sort (r12 rewrite:
-    # sf1 2.2 s -> measured below; at 100 TB the difference is a
-    # cell-sized exchange vs repartitioning the corpus). (ord1, x,
-    # event_id) is a total order (event_id unique), so the min is
-    # deterministic; v_c rides along as a payload field.
+    # would win the min — the only NULL source here is overflow (every
+    # input column is non-null by construction), so fail as loudly as
+    # the HUGEINT oracle does.
+    ord_f = F.when(
+        ordt.isNull(),
+        F.raise_error(
+            F.lit(
+                "ts_lttb: pick-ordering DECIMAL(38,0) overflow — "
+                "value/time range out of headroom; raise LTTB_BUCKETS "
+                "or coarsen the value scale (docstring headroom note)"
+            )
+        ).cast(dec),
+    ).otherwise(ordt)
     best = (
-        j.withColumn("ord1", ord1)
+        j.withColumn("ordt", ord_f)
         .groupBy("event_type", "bkt")
-        .agg(F.min(F.struct("ord1", "x", "event_id", "v_c")).alias("b"))
+        .agg(
+            F.min_by("event_id", "ordt").alias("event_id"),
+            F.min_by("x", "ordt").alias("x_s"),
+            F.min_by("v_c", "ordt").alias("v_cb"),
+        )
     )
     return best.select(
         "event_type",
         "bkt",
-        F.col("b.event_id").alias("event_id"),
-        F.col("b.x").alias("x_s"),
-        unscale(F.col("b.v_c")).alias("value"),
+        "event_id",
+        "x_s",
+        unscale(F.col("v_cb")).alias("value"),
     )
 
 
@@ -1703,26 +1722,27 @@ anc AS (
 scored AS (
   SELECT x.event_type, x.bkt, x.event_id, x.x, x.v_c,
          CASE
-           WHEN a.pn IS NULL THEN CAST(x.x AS HUGEINT)
-           WHEN a.nn IS NULL THEN -CAST(x.x AS HUGEINT)
-           ELSE -ABS(
-             (CAST(a.psx AS HUGEINT) * a.nn - CAST(a.nsx AS HUGEINT) * a.pn)
-             * (CAST(x.v_c AS HUGEINT) * a.pn - a.psy)
-             - (CAST(a.psx AS HUGEINT) - CAST(x.x AS HUGEINT) * a.pn)
-             * (CAST(a.nsy AS HUGEINT) * a.pn - CAST(a.psy AS HUGEINT) * a.nn)
-           )
-         END AS ord1
+           WHEN a.pn IS NULL THEN
+             CAST(x.x AS HUGEINT) * {LTTB_PACK_ID} + x.event_id
+           WHEN a.nn IS NULL THEN
+             -CAST(x.x AS HUGEINT) * {LTTB_PACK_ID} + x.event_id
+           ELSE
+             -ABS(
+               CAST(a.nsx // a.nn - a.psx // a.pn AS HUGEINT)
+                 * (x.v_c - a.psy // a.pn)
+               - CAST(x.x - a.psx // a.pn AS HUGEINT)
+                 * (a.nsy // a.nn - a.psy // a.pn)
+             ) * {LTTB_PACK_X} * {LTTB_PACK_ID}
+             + CAST(x.x AS HUGEINT) * {LTTB_PACK_ID} + x.event_id
+         END AS ordt
   FROM xb x JOIN anc a USING (event_type, bkt)
-),
-ranked AS (
-  SELECT event_type, bkt, event_id, x, v_c,
-         ROW_NUMBER() OVER (PARTITION BY event_type, bkt
-                            ORDER BY ord1, x, event_id) AS rn
-  FROM scored
 )
-SELECT event_type, bkt, event_id, x AS x_s,
-       CAST(CAST(v_c AS DECIMAL(38,0)) / 100 AS DOUBLE) AS value
-FROM ranked WHERE rn = 1
+SELECT event_type, bkt,
+       ARG_MIN(event_id, ordt) AS event_id,
+       ARG_MIN(x, ordt) AS x_s,
+       CAST(CAST(ARG_MIN(v_c, ordt) AS DECIMAL(38,0)) / 100 AS DOUBLE)
+         AS value
+FROM scored GROUP BY event_type, bkt
 """
 
 

@@ -2159,8 +2159,9 @@ def test_winsorize_matches_python_recompute(spark):
 
 
 def test_lttb_matches_bruteforce(spark):
-    """LTTB picks equal a Python recompute of the fraction-free integer
-    area argmax (first/last buckets keep their first/last point)."""
+    """LTTB picks equal a Python recompute of the integer-centroid
+    relative-coordinate area argmax (r13 scoring; first/last buckets
+    keep their first/last point)."""
     from collections import defaultdict
 
     from etl_verkada_spark.operators.timeseries import LTTB_BUCKETS, ts_lttb
@@ -2205,18 +2206,15 @@ def test_lttb_matches_bruteforce(spark):
                 pick = min(members, key=lambda m: (-m[0], m[0], m[1]))
             else:
                 pn = len(prev)
-                psx = sum(m[0] for m in prev)
-                psy = sum(m[2] for m in prev)
+                cxp = sum(m[0] for m in prev) // pn
+                cyp = sum(m[2] for m in prev) // pn
                 nn = len(nxt)
-                nsx = sum(m[0] for m in nxt)
-                nsy = sum(m[2] for m in nxt)
+                dxn = sum(m[0] for m in nxt) // nn - cxp
+                dyn = sum(m[2] for m in nxt) // nn - cyp
 
                 def area2(m):
                     x, _, y = m
-                    return abs(
-                        (psx * nn - nsx * pn) * (y * pn - psy)
-                        - (psx - x * pn) * (nsy * pn - psy * nn)
-                    )
+                    return abs(dxn * (y - cyp) - (x - cxp) * dyn)
 
                 pick = min(members, key=lambda m: (-area2(m), m[0], m[1]))
             want[(typ, b)] = (pick[1], pick[0], pick[2] / 100)
@@ -2270,14 +2268,19 @@ def test_not_in_null_trap_counts(spark):
 
 def test_lttb_pick_is_mergeable_aggregate(spark):
     """ts_lttb's max-area pick must run as a PARTIAL (map-side
-    combined) aggregate, not a row_number window: the exchange then
-    carries one candidate per (series, bucket) per map partition
-    instead of every row (SCALE.md §27b). A Window here means the
-    row-scale shuffle regressed back in."""
+    combined) HASH aggregate, not a row_number window and not a
+    SortAggregate: the exchange carries one candidate per (series,
+    bucket) per map partition, and the packed-DECIMAL min_by keeps the
+    buffer mutable so no map-side sort is paid (r13; the r12
+    min(struct) form planned as SortAggregate). A Window here means
+    the row-scale shuffle regressed back in."""
     from etl_verkada_spark.operators.timeseries import ts_lttb
 
-    plan = plan_of(ts_lttb(spark, SF_SMALL))
-    assert "partial_min(struct(ord1" in plan.replace("\n", " "), plan
+    df = ts_lttb(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "partial_min_by" in plan.replace("\n", " "), plan
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in exec_plan, exec_plan
     # the only Window allowed is the cell-sized lag/lead over bucket
     # centroids (partition = event_type, ~LTTB_BUCKETS rows/series)
     assert plan.count("Window") <= 1, plan
