@@ -858,7 +858,7 @@ def _err(e: Exception) -> str:
     the Java stack and was unrecoverable afterwards."""
     s = str(e)
     lines = [ln.strip() for ln in s.splitlines() if ln.strip()]
-    head = lines[0][:200] if lines else s[:200]
+    head = f"{type(e).__name__}: " + (lines[0][:200] if lines else s[:200])
     cause = ""
     for ln in lines:
         if ln.startswith("Caused by") or "OutOfMemory" in ln or (
@@ -867,6 +867,29 @@ def _err(e: Exception) -> str:
             cause = ln[:250]  # first real cause wins
             break
     return f"{head} | cause: {cause}" if cause else head
+
+
+def _host_telemetry() -> dict:
+    """Load + free-memory snapshot (r12 verdict item 1: the official
+    r12 record was taken on a loaded host and nothing in the record
+    said so — every ratio figure is only interpretable alongside the
+    contention state it was measured under)."""
+    t: dict = {}
+    try:
+        t["load1"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                if ln.startswith("MemAvailable:"):
+                    t["mem_avail_gb"] = round(
+                        int(ln.split()[1]) / 1048576, 1
+                    )
+                    break
+    except OSError:
+        pass
+    return t
 
 
 # The driver captures only the LAST 2000 BYTES of bench stdout and
@@ -887,6 +910,7 @@ def compact_stdout_line(
     detail_path: str,
     partial: bool = False,
     floor_1row_s: float | None = None,
+    host: dict | None = None,
 ) -> str:
     """One JSON line <= STDOUT_LINE_BUDGET bytes: the driver contract.
 
@@ -908,8 +932,10 @@ def compact_stdout_line(
             if sf1.get(k):
                 sf1_summary[k] = sf1[k]
         if sf1.get("deadline_skipped"):
-            # names live in the detail file; the line carries the count
+            # r12 verdict item 2: the count alone made skips anonymous
+            # in the official record — carry the names (capped) too
             sf1_summary["n_deadline_skipped"] = len(sf1["deadline_skipped"])
+            sf1_summary["skipped_q"] = sf1["deadline_skipped"][:8]
         if "free_disk_gb_at_start" in sf1:
             sf1_summary["free_gb"] = round(sf1["free_disk_gb_at_start"], 1)
         if "pairs_md5" in sf1:
@@ -919,7 +945,17 @@ def compact_stdout_line(
                 k: round(v, 1) for k, v in sf1["twin_ratio"].items()
             }
         if "errors" in sf1:
+            # named, classed, and capped (r12 verdict item 2: the r12
+            # record's `n_errors: 1` was anonymous)
             sf1_summary["n_errors"] = len(sf1["errors"])
+            sf1_summary["errors"] = {
+                k: v[:60] for k, v in list(sf1["errors"].items())[:6]
+            }
+        if "host_start" in sf1:
+            sf1_summary["load1"] = [
+                sf1["host_start"].get("load1"),
+                sf1.get("host_end", {}).get("load1"),
+            ]
         if "spark_only" in sf1:
             sf1_summary["spark_only"] = {
                 k: round(v, 2) for k, v in sf1["spark_only"].items()
@@ -928,10 +964,14 @@ def compact_stdout_line(
             sf1_summary["cold"] = {
                 k: round(v, 1) for k, v in sf1["cold_sec"].items()
             }
-        # flag floor-bound rows (r10 verdict #6): a >2x sf1 ratio whose
-        # Spark absolute is ~1 s against a sub-100 ms DuckDB denominator
-        # prices fixed per-job scheduling, not the plan — name them so
-        # the worst-N list reads correctly without the detail file.
+        # flag floor-bound rows (r10 verdict #6; cutoff widened per the
+        # r12 verdict item 8): a >2x sf1 ratio whose Spark absolute is
+        # ~1 s against a sub-250 ms DuckDB denominator prices fixed
+        # per-job scheduling, not the plan — with a ~0.2-0.35 s
+        # measured per-job floor, a 0.25 s denominator cannot show a
+        # sub-2x ratio even for a zero-work plan. Named so the worst-N
+        # list reads correctly without the detail file; the honesty
+        # trade is unchanged (absolutes stay in the record).
         if sf1_summary.get("ratio") and sf1.get("queries") and sf1.get(
             "duckdb"
         ):
@@ -940,7 +980,7 @@ def compact_stdout_line(
                 for n, r in sf1_summary["ratio"].items()
                 if r > 2.0
                 and sf1["queries"].get(n, 99.0) <= 1.5
-                and sf1["duckdb"].get(n, 99.0) <= 0.1
+                and sf1["duckdb"].get(n, 99.0) <= 0.25
             )
             if fb:
                 sf1_summary["floor_bound"] = fb
@@ -1006,6 +1046,7 @@ def compact_stdout_line(
         "n_ratio_pairs": len(per_q),
         "pairs_md5": pairs_md5,
         "floor_used": "spark_fixed_overhead_sec",
+        "host": host,
         "sf1": sf1_summary,
         "detail_file": detail_path,
     }
@@ -1018,6 +1059,13 @@ def compact_stdout_line(
             break
         if sf1_summary:
             sf1_summary.pop(drop, None)
+        line = json.dumps(final, separators=(",", ":"))
+    # error MESSAGES degrade to names before anything else goes — the
+    # names are the adjudication payload, the text lives in the detail
+    if len(line) >= STDOUT_LINE_BUDGET and sf1_summary and (
+        sf1_summary.get("errors")
+    ):
+        sf1_summary["errors"] = sorted(sf1_summary["errors"])
         line = json.dumps(final, separators=(",", ":"))
     # the unstable list is adjudication-critical (it marks which ratios
     # NOT to trust) — degrade it to a count rather than dropping it
@@ -1350,6 +1398,7 @@ def sf1_main(
     deadline = (
         time.monotonic() + deadline_s if deadline_s is not None else None
     )
+    host_start = _host_telemetry()
     registry = build_registry()
     # the parent stopped its session before spawning us, so its scratch
     # dirs are dead; prune BEFORE creating our own session (age guard
@@ -1376,6 +1425,8 @@ def sf1_main(
     except Exception as e:  # noqa: BLE001 - report, never crash silently
         res = {"error": f"{type(e).__name__}: {_err(e)}"}
     res["floor_s_subprocess"] = floor_s
+    res["host_start"] = host_start
+    res["host_end"] = _host_telemetry()
     if deadline_s is not None:
         res["deadline_s"] = round(deadline_s, 1)
     with open(out_path, "w") as f:
@@ -1405,6 +1456,7 @@ def main() -> None:
     # ENOSPC story. Spark-dir pruning is ONLY safe here, before this
     # process creates its session (see _clean_tmp).
     _clean_tmp(prune_spark_dirs=True)
+    host_start = _host_telemetry()
     spark = get_spark("etl-verkada-spark-bench")
 
     # JVM/codegen warmup on an off-headline query, then several noop
@@ -1471,6 +1523,7 @@ def main() -> None:
 
     duck: dict[str, float] = {}
     duck_detail: dict[str, dict] = {}
+    canary: dict = {}
     try:
         import duckdb
 
@@ -1484,6 +1537,20 @@ def main() -> None:
             if sql:
                 duck_detail[name] = run_duckdb(con, sql)
                 duck[name] = duck_detail[name]["min"]
+        # warm canary (r12 verdict item 1): re-time ONE already-warm
+        # pair at section end. Its drift vs the recorded min is the
+        # in-record host-bias detector — Spark drifting while DuckDB
+        # holds (the r12 signature: +30-400% vs +5%) marks the run
+        # contended, not the code regressed.
+        cq = "flagship_flat"
+        if timings.get(cq) and duck.get(cq):
+            c_s = run_spark(registry[cq].fn, spark, sf_dir, n_runs=3)
+            c_d = run_duckdb(con, registry[cq].oracle, n_runs=3)
+            canary = {
+                "q": cq,
+                "spark_drift": round(c_s["min"] / timings[cq], 2),
+                "duckdb_drift": round(c_d["min"] / duck[cq], 2),
+            }
     except Exception:
         pass
 
@@ -1517,12 +1584,22 @@ def main() -> None:
     # the sf1 section runs for tens of minutes; print (and flush) a
     # COMPACT headline line FIRST so a harness timeout mid-sf1 still
     # records a parseable sf0.1 record — the final line supersedes it.
+    host = {
+        "load1": [host_start.get("load1"), _host_telemetry().get("load1")],
+        "mem_gb": [
+            host_start.get("mem_avail_gb"),
+            _host_telemetry().get("mem_avail_gb"),
+        ],
+    }
+    if canary:
+        host["canary"] = canary
     print(
         compact_stdout_line(
             headline["value"], sf, timings, floor_s, duck, None,
             os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_full.json"),
             partial=True,
             floor_1row_s=floor_1row_s,
+            host=host,
         ),
         flush=True,
     )
@@ -1594,9 +1671,12 @@ def main() -> None:
     # the driver's ~4 KB tail capture (BENCH_r02-r05 were parsed:null
     # because the full record outgrew it). Full detail goes to a file;
     # the final line carries the headline numbers + the sf1 SUMMARY.
+    host["load1"][1] = _host_telemetry().get("load1")
+    host["mem_gb"][1] = _host_telemetry().get("mem_avail_gb")
     full = {
         **headline,
         "partial": False,
+        "host": host,
         "queries_detail": spark_detail,
         "duckdb_detail": duck_detail,
         "sf1": sf1,
@@ -1625,6 +1705,7 @@ def main() -> None:
         compact_stdout_line(
             headline["value"], sf, timings, floor_s, duck, sf1, detail_path,
             floor_1row_s=floor_1row_s,
+            host=host,
         ),
         flush=True,
     )

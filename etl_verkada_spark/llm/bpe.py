@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..checkpoints import checkpoint_replacing
 from ..registry import spec
 
 #: how many top pairs the merge-step reports (a real trainer takes 1
@@ -258,7 +259,13 @@ def _bpe_train_state(
     trainers hold the whole merge table in memory) so the merge
     application compiles to a literal regexp_replace projection instead
     of a data-dependent join."""
-    words = _bpe_words(spark, sf_dir).localCheckpoint(eager=False)
+    # the word-frequency table is vocabulary-collapsed (small), so the
+    # per-step snapshot is EAGER and releases the one it supersedes
+    # (checkpoints.py contract: only a materialized checkpoint may
+    # release its predecessor — a lazy chain would need the old blocks
+    # at first use). The 1-row top1 snapshots stay lazy: they are
+    # materialized by .first() and owned by the returned merge table.
+    words = _bpe_words(spark, sf_dir).localCheckpoint(eager=True)
     merges: list[DataFrame] = []
     for step in range(1, BPE_TRAIN_ITERS + 1):
         pos = _positions(words)
@@ -274,8 +281,8 @@ def _bpe_train_state(
         if row is None:  # vocabulary degenerated to single symbols —
             break  # do NOT record an empty 0-row step table
         merges.append(top1.withColumn("step", F.lit(step)))
-        words = _apply_merge(words, row["a"], row["b"]).localCheckpoint(
-            eager=False
+        words = checkpoint_replacing(
+            _apply_merge(words, row["a"], row["b"]), replacing=words
         )
     return words, merges
 

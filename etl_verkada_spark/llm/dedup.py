@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..checkpoints import release
 from ..registry import spec
 from .text import normalized_text, with_shingles
 
@@ -890,6 +891,9 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
             .filter(F.col("old.root") != F.col("new.root"))
             .count()
         )
+        # both uses of the old snapshot (superstep + delta count) are
+        # done — release it before rebinding (checkpoints.py contract)
+        release(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -904,6 +908,9 @@ def connected_components(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataF
             f"({changed} labels still changing); component diameter "
             "exceeds max_iter — raise it or use large-star/small-star"
         )
+    # the result plan reads only the final labels snapshot — the edge
+    # snapshot is not referenced by it, so free it now
+    release(sym)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("root").alias("cluster_root")
     )

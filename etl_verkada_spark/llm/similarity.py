@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..catalog import table
+from ..checkpoints import checkpoint_replacing
 from ..registry import spec
 
 QUERY_VEC_ID = 0
@@ -953,6 +954,7 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     assign = None
+    prev_cent = None
     for _ in range(KMEANS_ITERS):
         assign = (
             q.crossJoin(F.broadcast(cent))
@@ -961,7 +963,11 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct("d2", "cid")).alias("b"))
             .select("vec_id", F.col("b.cid").alias("cid"))
         )
-        cent = (
+        # release lags ONE generation: the final (lazy) `assign` plan
+        # still reads the snapshot it was built from, so only the
+        # grand-predecessor is provably unreferenced (checkpoints.py
+        # contract; the last two snapshots are the result's own)
+        cent, prev_cent = checkpoint_replacing(
             assign.join(qe, "vec_id")
             .groupBy("cid", "idx")
             .agg(
@@ -976,9 +982,9 @@ def llm_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sort_array(F.collect_list(F.struct("idx", "cv"))),
                     lambda s: s["cv"],
                 ).alias("cq")
-            )
-            .localCheckpoint(eager=True)
-        )
+            ),
+            replacing=prev_cent,
+        ), cent
     members = assign.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members")
     )

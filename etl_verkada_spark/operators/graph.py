@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..checkpoints import checkpoint_replacing, release
 from ..registry import spec
 
 PR_SCALE = 1_000_000_000_000  # integer rank scale (1e12)
@@ -99,15 +100,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dst"),
                 F.expr("rank div out_deg").alias("contrib"),
             )
-            ranks = (
-                contribs.groupBy(F.col("dst").alias("node"))
-                .agg(
+            # each round's checkpoint releases the one it supersedes
+            # (checkpoints.py contract); the final one belongs to the
+            # returned DataFrame
+            ranks = checkpoint_replacing(
+                contribs.groupBy(F.col("dst").alias("node")).agg(
                     (
                         F.lit(teleport)
                         + F.expr(f"{PR_DAMP_PCT} * sum(contrib) div 100")
                     ).alias("rank")
-                )
-                .localCheckpoint(eager=True)
+                ),
+                replacing=ranks,
             )
     finally:
         graph.unpersist()
@@ -364,7 +367,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         for _ in range(LPA_ITERS):
-            labels = _lpa_superstep(edges, labels).localCheckpoint()
+            # superseded round snapshots are released as we go
+            # (checkpoints.py contract); the last is the result's own
+            labels = checkpoint_replacing(
+                _lpa_superstep(edges, labels), replacing=labels
+            )
     finally:
         edges.unpersist()
     return labels.select(
@@ -467,6 +474,9 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         visited = visited.unionByName(nxt)
         frontier = nxt
+    # the result plan is a union of the (checkpointed) frontiers only —
+    # the edge snapshot is not referenced by it, so free it now
+    release(edges)
     return visited.select(
         F.when(F.col("node") % 2 == 0, F.lit("part"))
         .otherwise(F.lit("supplier"))
@@ -673,11 +683,15 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src")
             .localCheckpoint(eager=True)
         )
-        sym = (
+        # the new edge snapshot supersedes both the previous one and
+        # this round's survivor set (checkpoints.py contract)
+        prev = sym
+        sym = checkpoint_replacing(
             sym.join(alive, "src", "left_semi")
-            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi"),
+            replacing=prev,
         )
+        release(alive)
     return sym.groupBy(F.col("src").alias("p_partkey")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )

@@ -66,105 +66,90 @@ def spec(
 # driver-green from an earlier round with unchanged code, plus full
 # parity coverage via tools/parity_check.py.
 #
-# ROUND-12 WINDOW. CORRECTNESS_r11 went 50/50 green; evidence state
-# entering r12 (newest hash-green driver round -> count, computed from
-# CORRECTNESS_r01-r11): r4 -> 7, r5 -> 40, r6 -> 46, r9 -> 39,
-# r10 -> 41, r11 -> 50, never -> 3 (geo_dbscan, llm_dedup_containment,
-# llm_lang_confusion — landed after r11's window froze; all three
-# sf0.01 parity-green locally and verified by the r11 judge's own
-# run). Per the policy:
+# ROUND-13 WINDOW. CORRECTNESS_r12 went 50/50 green — with it, every
+# one of the 228 registered queries has a hash-green driver row
+# (cumulative r1..r12; verified by set comparison against Appendix A).
+# Evidence state entering r13 (newest hash-green driver round ->
+# count): r5 -> 14, r6 -> 45, r9 -> 39, r10 -> 39, r11 -> 41,
+# r12 -> 50; never -> 0. Per the policy:
 #   1. flagship;
-#   2. clause (a) — the 3 never-checked post-window additions (the
-#      r11 verdict's item 1: this is the round's top task);
-#   3. clause (b) — IMPLEMENTATION changed in round 12 (10):
-#      stream_mv_refresh/stream_mv_apply/stream_drift/
-#      stream_drift_apply/stream_topk/stream_topk_apply (multi-file
-#      chunk landings, versioned drift/topk fold state, prior-file
-#      identity in _PRIMED markers), ts_lttb (mergeable min-struct
-#      pick + overflow guard), ts_streaks (impossible-sentinel seed),
-#      llm_dedup_bloom (checkpointed digest table),
-#      llm_vocab_coverage (hash-match + string-equality membership),
-#      llm_dataset_card (single-distinct rollup + max-struct top-lang
-#      in place of the expand + window) — 11 total;
-#   4. clause (c) fill (36 slots): first the 7 remaining r4-evidence
-#      rows — including the five displaced by r11's re-rotation
-#      (llm_dedup_semantic, llm_sample_hash, llm_mix_weights,
-#      llm_pack_sequences, llm_sample_stratified) plus
-#      mm_feature_extract_arrow and stream_static_join — then 26 of
-#      the 40 r5-evidence rows, oldest-first alphabetical. The r10
-#      verdict's 8 sf1-unstable rows displaced in r11 (agg_gini,
-#      dq_benford, geo_knn, join_asof_fwd, skyline_pareto,
-#      stream_mv_apply, ts_seasonal_baseline, upsert_merge) are
-#      covered here where their evidence age ranks them:
-#      stream_mv_apply rides clause (b); the rest are r9/r10-green
-#      (newer evidence than the r4/r5 cohorts) and queue behind them
-#      for r13.
-# R13 QUEUE (clause c fill order after r12's window goes green, unless
-# displaced by r13 changes): the 14 r5-evidence rows not in this
-# window (mm_frame_sample, scan_schema_evolution, scd2_build,
-# stream_ohlc, topk, ts_anomaly_zscore, ts_cohort_retention, ts_ewma,
-# ts_rolling_dau, win_frame, win_rank, win_relrank + 2 spares), then
-# the r6 cohort (46 rows), then the r10-verdict sf1-unstable leftovers
-# (agg_gini, dq_benford, geo_knn, join_asof_fwd, skyline_pareto,
-# ts_seasonal_baseline, upsert_merge).
+#   2. clause (a) — empty (nothing unchecked);
+#   3. clause (b) — IMPLEMENTATION or oracle changed in round 13 (11):
+#      ts_lttb (integer-centroid scoring + packed-DECIMAL min_by pick,
+#      oracle rewritten to match), graph_jaccard (JACC_MIN_COMMON
+#      2 -> 1 in both engines), and the checkpoint-lifecycle rework
+#      (checkpoints.py: superseded round snapshots released in-loop)
+#      which touches graph_pagerank / graph_label_propagation /
+#      graph_kcore / graph_bfs_levels / llm_dedup_cc /
+#      llm_kmeans_train / llm_bpe_train / llm_bpe_encode /
+#      llm_tokenizer_fertility (results unchanged by design — the
+#      driver re-check is the no-behavior-change proof);
+#   4. clause (c) fill (38 slots): the whole 8-round-stale r5 cohort
+#      (14 — the r12 verdict's pinned queue), then the first 24 of the
+#      45 r6-evidence rows, oldest-first alphabetical.
+# R14 QUEUE (clause c fill order after r13's window goes green, unless
+# displaced by r14 changes): the remaining 21 r6-evidence rows
+# (mm_resize, project_struct, scan_cursor, scan_manifest_log,
+# scan_page, set_except, set_except_all, set_intersect,
+# set_intersect_all, set_union, subquery_exists, subquery_in,
+# subquery_scalar, unpivot, upsert_merge, validate_failfast,
+# validate_json, win_first_last, win_lag, win_ntile,
+# win_range_interval), then the r9 cohort (39 rows) alphabetical.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 2. never-checked additions (clause a): the 3 post-r11-window
-    # ops, plus the r12 connector-fidelity pair (S1/S2 through the real
-    # Python DataSources against the HTTP stub) --
-    "geo_dbscan",
-    "llm_dedup_containment",
-    "llm_lang_confusion",
-    "scan_rest_page",
-    "scan_rest_cursor",
-    # -- 3. round-12 implementation changes (clause b) --
-    "stream_mv_refresh",
-    "stream_mv_apply",
-    "stream_drift",
-    "stream_drift_apply",
-    "stream_topk",
-    "stream_topk_apply",
+    # -- 3. round-13 implementation changes (clause b) --
     "ts_lttb",
-    "ts_streaks",
-    "llm_dedup_bloom",
-    "llm_vocab_coverage",
-    "llm_dataset_card",
-    # -- 4a. r4-evidence cohort (clause c, oldest evidence) --
-    "llm_dedup_semantic",
-    "llm_sample_hash",
-    "llm_mix_weights",
-    "llm_pack_sequences",
-    "llm_sample_stratified",
-    "mm_feature_extract_arrow",
-    "stream_static_join",
-    # -- 4b. r5-evidence cohort (clause c fill, 29 of 40) --
-    "agg_filtered",
-    "agg_groupby",
-    "agg_histogram",
-    "agg_incremental_merge",
-    "agg_sketch_merge",
-    "dq_profile",
-    "dq_uniqueness",
-    "flagship_features",
-    "geo_density",
-    "join_broadcast_left",
-    "join_range_banded",
-    "llm_bigram_lm",
-    "llm_bigram_score",
-    "llm_chunk_rag",
-    "llm_dedup_incremental",
-    "llm_dedup_minhash",
-    "llm_dedup_passage",
-    "llm_dedup_simhash",
-    "llm_embed_quantize",
-    "llm_embed_rp",
-    "llm_kmeans_assign",
+    "graph_jaccard",
+    "graph_pagerank",
+    "graph_label_propagation",
+    "graph_kcore",
+    "graph_bfs_levels",
+    "llm_dedup_cc",
     "llm_kmeans_train",
-    "llm_sample_importance",
-    "llm_sim_ann_lsh",
-    "llm_text_stats",
-    "maintain_compact",
+    "llm_bpe_train",
+    "llm_bpe_encode",
+    "llm_tokenizer_fertility",
+    # -- 4a. r5-evidence cohort (clause c, oldest evidence; whole set) --
+    "mm_frame_sample",
+    "scan_schema_evolution",
+    "scd2_build",
+    "stream_ohlc",
+    "topk",
+    "ts_anomaly_zscore",
+    "ts_cohort_retention",
+    "ts_ewma",
+    "ts_rolling_dau",
+    "win_frame",
+    "win_rank",
+    "win_relrank",
+    "win_rownum",
+    "win_running_distinct",
+    # -- 4b. r6-evidence cohort (clause c fill, 24 of 45, alphabetical) --
+    "agg_count",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_rollup",
+    "dedup_exact_rows",
+    "dedup_lastwins",
+    "dq_drift",
+    "enrich_when",
+    "filter_conj",
+    "filter_isin",
+    "filter_nullsafe",
+    "join_anti",
+    "join_asof",
+    "join_large",
+    "join_semi",
+    "join_sortmerge",
+    "limit_offset",
+    "llm_dedup_substring",
+    "llm_sim_ann_pq",
+    "llm_sim_search",
+    "mm_decode",
 )
 
 

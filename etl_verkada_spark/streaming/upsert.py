@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..checkpoints import release
 from ..operators.dedup import last_wins
 from ..registry import spec
 
@@ -115,13 +116,17 @@ def foreach_batch_merge(
         # overwrite (read-modify-write on the same location); dynamic
         # mode limits the overwrite to partitions present in `merged`,
         # i.e. exactly the touched buckets.
+        snap = merged.localCheckpoint(eager=True)
         (
-            merged.localCheckpoint(eager=True)
-            .write.mode("overwrite")
+            snap.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket")
             .parquet(target_path)
         )
+        # the snapshot existed only to break lineage across the
+        # read-modify-write; once written it has no readers — free it
+        # (checkpoints.py) instead of leaking one block set per batch
+        release(snap)
 
     return _sink
 
