@@ -80,7 +80,9 @@ def spec(
 #      2 -> 1 in both engines), and the checkpoint-lifecycle rework
 #      (checkpoints.py: superseded round snapshots released in-loop)
 #      which touches graph_pagerank / graph_label_propagation /
-#      graph_kcore / graph_bfs_levels / llm_dedup_cc /
+#      graph_kcore (also KCORE_K 3 -> 2 + KCORE_PEELS 4 -> 6 in both
+#      engines — K=3 emptied the core at the bench scales) /
+#      graph_bfs_levels / llm_dedup_cc /
 #      llm_kmeans_train / llm_bpe_train / llm_bpe_encode /
 #      llm_tokenizer_fertility (results unchanged by design — the
 #      driver re-check is the no-behavior-change proof);
