@@ -947,11 +947,16 @@ def compact_stdout_line(
             }
         if "errors" in sf1:
             # named, classed, and capped (r12 verdict item 2: the r12
-            # record's `n_errors: 1` was anonymous)
-            sf1_summary["n_errors"] = len(sf1["errors"])
-            sf1_summary["errors"] = {
-                k: v[:60] for k, v in list(sf1["errors"].items())[:6]
-            }
+            # record's `n_errors: 1` was anonymous). Tolerate both the
+            # dict form ({query: message}) and a bare name list.
+            errs = sf1["errors"]
+            sf1_summary["n_errors"] = len(errs)
+            if isinstance(errs, dict):
+                sf1_summary["errors"] = {
+                    k: str(v)[:60] for k, v in list(errs.items())[:6]
+                }
+            else:
+                sf1_summary["errors"] = [str(k)[:60] for k in errs][:6]
         if "host_start" in sf1:
             sf1_summary["load1"] = [
                 sf1["host_start"].get("load1"),

@@ -172,3 +172,62 @@ def test_duckdb_budget_timer_is_cleared_when_query_finishes():
     assert res["n"] == 2
     _time.sleep(0.4)  # past the budget; guarded timer must be a no-op
     assert con.execute("SELECT 41 + 1").fetchone()[0] == 42
+
+
+def test_stdout_line_carries_host_telemetry_and_named_errors():
+    """r12 verdict items 1-2: the compact line must carry the host
+    blob (loadavg, memory, warm-canary drift) and every sf1 error BY
+    NAME with its exception class — an anonymous n_errors or a record
+    with no contention telemetry is the r12 adjudication failure."""
+    timings = {"q1": 1.0, "flagship_flat": 0.9}
+    duck = {"q1": 0.5, "flagship_flat": 0.3}
+    sf1 = {
+        "ratio_floor_adjusted": {"q1": 2.0},
+        "queries": {"q1": 1.0},
+        "duckdb": {"q1": 0.5},
+        "errors": {"duckdb:bad": "InterruptException: INTERRUPT"},
+        "deadline_skipped": ["spark:q2"],
+        "host_start": {"load1": 0.5},
+        "host_end": {"load1": 21.0},
+    }
+    host = {
+        "load1": [0.2, 21.5],
+        "mem_gb": [124.8, 118.5],
+        "canary": {"q": "flagship_flat",
+                   "spark_drift": 0.93, "duckdb_drift": 1.1},
+    }
+    line = bench.compact_stdout_line(
+        1.9, 0.1, timings, 0.02, duck, sf1, "/tmp/x.json", host=host
+    )
+    rec = json.loads(line)
+    assert rec["host"]["canary"]["spark_drift"] == 0.93
+    assert rec["host"]["load1"] == [0.2, 21.5]
+    assert rec["sf1"]["errors"] == {
+        "duckdb:bad": "InterruptException: INTERRUPT"
+    }
+    assert rec["sf1"]["skipped_q"] == ["spark:q2"]
+    assert rec["sf1"]["load1"] == [0.5, 21.0]
+
+
+def test_floor_bound_names_trim_to_truncated_ratio_map():
+    """A 40-name floor_bound list must not squeeze the worst-N ratio
+    map out of the line (the r13 run-1 lesson): once the ratio map is
+    truncated, floor_bound keeps the full count but only the names
+    still present in the map."""
+    n = 60
+    sf1 = {
+        "ratio_floor_adjusted": {f"q{i:02d}": 2.1 + i for i in range(n)},
+        "queries": {f"q{i:02d}": 0.9 for i in range(n)},
+        "duckdb": {f"q{i:02d}": 0.01 for i in range(n)},
+    }
+    timings = {f"q{i:02d}": 0.9 for i in range(n)}
+    duck = {f"q{i:02d}": 0.01 for i in range(n)}
+    line = bench.compact_stdout_line(
+        9.9, 0.1, timings, 0.02, duck, sf1, "/tmp/x.json"
+    )
+    assert len(line) < bench.STDOUT_LINE_BUDGET
+    rec = json.loads(line)
+    s1 = rec["sf1"]
+    if s1.get("ratio_truncated"):
+        assert s1["n_floor_bound"] == n
+        assert set(s1["floor_bound"]) <= set(s1["ratio"])
