@@ -537,3 +537,61 @@ def test_typed_failfast_raises_and_permissive_quarantines(spark, item):
     # whole item quarantined: data fields null, raw payload preserved
     assert row[:4] == (None, None, None, None)
     assert _json.loads(row[4]) == item
+
+
+# ---------------------------------------------------------------------------
+# ts_lttb pick-ordering pack (r13): the single DECIMAL(38,0) scalar
+# ``-2A * PACK_X*PACK_ID + x*PACK_ID + event_id`` must order exactly like
+# the lexicographic tuple (-2A, x, event_id) for every in-range input —
+# the hash-aggregable pick is only correct because this holds.
+# ---------------------------------------------------------------------------
+
+_LTTB_AREA_MAX = 10**13  # documented headroom bound on |2A|
+
+
+def _lttb_keys():
+    from etl_verkada_spark.operators.timeseries import (
+        LTTB_PACK_ID,
+        LTTB_PACK_X,
+    )
+
+    return st.tuples(
+        st.integers(min_value=0, max_value=_LTTB_AREA_MAX),
+        st.integers(min_value=0, max_value=LTTB_PACK_X - 1),
+        st.integers(min_value=0, max_value=LTTB_PACK_ID - 1),
+    )
+
+
+@settings(max_examples=500, deadline=None)
+@given(a=_lttb_keys(), b=_lttb_keys())
+def test_lttb_pack_orders_like_the_tuple(a, b):
+    from etl_verkada_spark.operators.timeseries import (
+        LTTB_PACK_ID,
+        LTTB_PACK_X,
+    )
+
+    def pack(area2, x, eid):
+        return -area2 * LTTB_PACK_X * LTTB_PACK_ID + x * LTTB_PACK_ID + eid
+
+    # the pick minimizes ordt; the tuple form minimizes (-2A, x, eid)
+    ta, tb = (-a[0], a[1], a[2]), (-b[0], b[1], b[2])
+    pa, pb = pack(*a), pack(*b)
+    assert (pa < pb) == (ta < tb)
+    assert (pa == pb) == (ta == tb)
+    # every packed value must stay inside DECIMAL(38,0)
+    assert abs(pa) < 10**38
+
+
+@settings(max_examples=300, deadline=None)
+@given(a=_lttb_keys(), b=_lttb_keys())
+def test_lttb_first_last_bucket_pack_orders(a, b):
+    """First-bucket packs must order by (x asc, eid asc) and
+    last-bucket packs by (x desc, eid asc) — minimizing either matches
+    the documented edge-bucket pick."""
+    from etl_verkada_spark.operators.timeseries import LTTB_PACK_ID
+
+    (_, xa, ea), (_, xb, eb) = a, b
+    first_a, first_b = xa * LTTB_PACK_ID + ea, xb * LTTB_PACK_ID + eb
+    assert (first_a < first_b) == ((xa, ea) < (xb, eb))
+    last_a, last_b = -xa * LTTB_PACK_ID + ea, -xb * LTTB_PACK_ID + eb
+    assert (last_a < last_b) == ((-xa, ea) < (-xb, eb))
