@@ -1443,7 +1443,9 @@ def sf1_main(
             run_id=run_id,
         )
     except Exception as e:  # noqa: BLE001 - report, never crash silently
-        res = {"error": f"{type(e).__name__}: {_err(e)}"}
+        # _err already leads with the class name — no second prefix
+        # (ADVICE r13: "ValueError: ValueError: ..." wasted line bytes)
+        res = {"error": _err(e)}
     res["floor_s_subprocess"] = floor_s
     res["host_start"] = host_start
     res["host_end"] = _host_telemetry()

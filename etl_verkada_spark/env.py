@@ -68,15 +68,20 @@ def env(
 ) -> dict[str, Any]:
     """Validate ``params`` against ``schema``; return the complete,
     coerced config. Raises ``ValueError`` listing EVERY violation
-    (missing required field, unknown field, enum violation, or
-    uncoercible type) — the typebox throw semantics (task.ts:95:
-    a bad config never reaches the fetch loop).
+    (missing required field, enum violation, or uncoercible type) —
+    the typebox throw semantics (task.ts:95: a bad config never
+    reaches the fetch loop).
+
+    Unknown keys are tolerated and DROPPED, matching the reference:
+    its typebox ``Type.Object`` (task.ts:8-27) does not set
+    ``additionalProperties: false``, so a layer environment carrying
+    extra keys (deploy metadata, unrelated vars) validates fine and
+    the schema simply never reads them (ADVICE r13 — the earlier
+    strict rejection was stricter than the behavior it documented
+    itself as mirroring).
     """
     errors: list[str] = []
     out: dict[str, Any] = {}
-    for name in params:
-        if name not in schema:
-            errors.append(f"unknown field {name!r}")
     for name, f in schema.items():
         if name not in params:
             if f.required:

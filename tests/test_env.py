@@ -30,13 +30,21 @@ def test_region_enum_check_throws():
         env({"API_KEY": "k", "API_ORG_ID": "o", "API_Region": "api.us"})
 
 
-def test_missing_required_and_unknown_reported_together():
+def test_missing_required_reported_together_unknown_dropped():
     with pytest.raises(ValueError) as ei:
         env({"API_TOKEN": "typo"})
     msg = str(ei.value)
     assert "missing required field 'API_KEY'" in msg
     assert "missing required field 'API_ORG_ID'" in msg
-    assert "unknown field 'API_TOKEN'" in msg
+    # typebox Type.Object without additionalProperties:false tolerates
+    # extra keys (task.ts:8-27) — unknown fields are dropped, not errors
+    assert "API_TOKEN" not in msg
+
+
+def test_unknown_keys_dropped_from_valid_config():
+    e = env({"API_KEY": "k", "API_ORG_ID": "o", "DEPLOY_STAGE": "prod"})
+    assert "DEPLOY_STAGE" not in e
+    assert e["API_Region"] == "api"
 
 
 def test_bool_coercion_from_conf_strings():
