@@ -1134,6 +1134,28 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     and at 100 TB a rescan is bandwidth while a full-data exchange is
     the cluster bisection. Two scans, two cell-sized exchanges, one
     bucket-sized sort.
+
+    r14 constant-factor cut (the r13 verdict's worst stable sf1 row,
+    3.5x): the bucket-total table is BOUNDED (#flags x ~26 cells by
+    construction), so it is collected driver-side, the cumulative-sum
+    median-bucket selection runs in Python (a Spark window over 78
+    rows costs an AQE exchange + stage — +0.35 s measured at sf1 — to
+    do microseconds of arithmetic), and scan 2's bucket membership
+    becomes a LITERAL predicate on the RAW ``l_extendedprice``
+    column — an OR-of-ANDs range filter the parquet reader receives
+    as PushedFilters (Catalyst factors the common range: row-group
+    min/max pruning where the file is value-clustered; vectorized
+    pre-cast filtering everywhere else). That removes the broadcast
+    hash join and the per-row DECIMAL cast + bucket division for the
+    25/26 of rows outside the median buckets; the float range is
+    widened a cent each side and the EXACT integer test re-applied on
+    the survivors, so results are bit-identical. The collect is the
+    bounded driver-side-state pattern (operators/sorts.py precedent):
+    cell-sized, never row-scale. Measured sf1: 2.0 s -> 1.5 s
+    (same-host, same-load window); the residual over DuckDB's 0.4 s
+    single in-memory pass is two bare parquet scans (0.3 s each
+    measured) + two job floors — the toy-scale price of the
+    zero-row-scale-exchange shape (SCALE.md §29a decomposition).
     """
     from pyspark.sql import Window as W
 
@@ -1146,30 +1168,74 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     btot = rows.groupBy("l_returnflag", "bkt").agg(
         F.sum("w").alias("bw")
     )
-    bw_win = W.partitionBy("l_returnflag").orderBy("bkt")
-    carry = btot.select(
-        "l_returnflag",
-        "bkt",
-        F.coalesce(
-            F.sum("bw").over(
-                bw_win.rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("carry"),
-        F.col("bw"),
-        F.sum("bw")
-        .over(
-            bw_win.rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("totw"),
+    # the bucket table is cell-sized (#flags x ~26 rows by
+    # construction) — collect it and run the trivial cumulative-sum /
+    # median-bucket selection in Python: a Spark window over 78 rows
+    # costs an AQE exchange + stage (+0.35 s measured at sf1) to do
+    # microseconds of arithmetic
+    cells = sorted(
+        btot.collect(), key=lambda r: (r["l_returnflag"], r["bkt"])
     )
-    med_bkt = carry.filter(
-        (2 * F.col("carry") < F.col("totw"))
-        & (2 * (F.col("carry") + F.col("bw")) >= F.col("totw"))
-    ).select("l_returnflag", "bkt", "carry", "totw")
-    sub = rows.join(F.broadcast(med_bkt), ["l_returnflag", "bkt"])
+    totals: dict[str, int] = {}
+    for r in cells:
+        totals[r["l_returnflag"]] = (
+            totals.get(r["l_returnflag"], 0) + r["bw"]
+        )
+    med_rows = []
+    run: dict[str, int] = {}
+    for r in cells:
+        flag = r["l_returnflag"]
+        c = run.get(flag, 0)
+        if 2 * c < totals[flag] <= 2 * (c + r["bw"]):
+            med_rows.append(
+                {
+                    "l_returnflag": flag,
+                    "bkt": r["bkt"],
+                    "carry": c,
+                    "totw": totals[flag],
+                }
+            )
+        run[flag] = c + r["bw"]
+    # literal pushdown predicate on the raw double column (coarse,
+    # widened 1 cent each side) + exact integer bucket re-test
+    coarse = None
+    exact = None
+    carry_e = None
+    totw_e = None
+    for r in med_rows:
+        lo = (r["bkt"] * WM_BUCKET_C) / 100.0 - 0.01
+        hi = ((r["bkt"] + 1) * WM_BUCKET_C) / 100.0 + 0.01
+        flag_eq = F.col("l_returnflag") == r["l_returnflag"]
+        c = (
+            flag_eq
+            & (F.col("l_extendedprice") >= lo)
+            & (F.col("l_extendedprice") <= hi)
+        )
+        coarse = c if coarse is None else (coarse | c)
+        e = flag_eq & (F.col("bkt") == r["bkt"])
+        exact = e if exact is None else (exact | e)
+        carry_e = (
+            F.when(flag_eq, F.lit(r["carry"]))
+            if carry_e is None
+            else carry_e.when(flag_eq, F.lit(r["carry"]))
+        )
+        totw_e = (
+            F.when(flag_eq, F.lit(r["totw"]))
+            if totw_e is None
+            else totw_e.when(flag_eq, F.lit(r["totw"]))
+        )
+    sub = (
+        li.filter(coarse)
+        .select(
+            "l_returnflag",
+            scaled_long("l_extendedprice").alias("price_c"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .withColumn("bkt", F.expr(f"price_c div {WM_BUCKET_C}"))
+        .filter(exact)
+        .withColumn("carry", carry_e)
+        .withColumn("totw", totw_e)
+    )
     hist = sub.groupBy("l_returnflag", "price_c", "carry", "totw").agg(
         F.sum("w").alias("wv")
     )

@@ -2286,6 +2286,25 @@ def test_lttb_pick_is_mergeable_aggregate(spark):
     assert plan.count("Window") <= 1, plan
 
 
+def test_weighted_median_scan2_is_literal_pushdown(spark):
+    """agg_weighted_median's second scan must receive the median-bucket
+    membership as a LITERAL range predicate on the raw price column
+    (PushedFilters at the parquet scan), with NO broadcast join and
+    only the one histogram-sized cumulative Window (r14: the bucket
+    selection is collected driver-side — cell-sized by construction —
+    so a regression back to join-against-bucket-table or a row-scale
+    window shows up here)."""
+    from etl_verkada_spark.operators.aggregates import agg_weighted_median
+
+    df = agg_weighted_median(spark, SF_SMALL)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("Window") <= 1, plan
+    fp = formatted_plan(df).replace(" ", "")
+    assert "GreaterThanOrEqual(l_extendedprice" in fp, fp
+    assert "LessThanOrEqual(l_extendedprice" in fp, fp
+
+
 def test_dataset_card_has_no_expand_or_window(spark):
     """llm_dataset_card's rollup must keep ONE distinct (no Expand
     doubling the corpus-scale exchange) and derive top-lang/n_langs
