@@ -1544,6 +1544,17 @@ LTTB_BUCKETS = 64
 LTTB_PACK_ID = 10**12
 LTTB_PACK_X = 10**12
 
+#: time-cell quantum (seconds) for the r14 two-scan plan: scan 1
+#: aggregates rows to (series, t_s div LTTB_CELL_S) cells, so the
+#: driver-side anchor fold is over at most series x span/CELL cells
+#: (30-day fixture span -> 4 320 cells/series) instead of rows.
+#: Bucket EDGES land on cell boundaries (they shift by up to one cell
+#: vs exact span/BUCKETS edges — <=1.5% of a bucket width here); size
+#: it so span/CELL stays ~2 decades above BUCKETS and the collect
+#: stays metadata-scale (decade spans or million-series tables raise
+#: it proportionally).
+LTTB_CELL_S = 600
+
 
 def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle downsampling per series: pick, in each of
@@ -1555,27 +1566,40 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     on bucket centroids keeps the pick embarrassingly parallel with
     near-identical visual output).
 
-    Plan: one cell-sized aggregate builds per-bucket (n, sum_x, sum_y);
-    a lag/lead window over the ~{LTTB_BUCKETS} cells per series attaches
-    neighbor centroids; the cells broadcast back onto the rows, and the
-    max-area point per (series, bucket) is picked by three ``min_by``
-    calls over ONE packed DECIMAL(38,0) total order — a plain
-    HashAggregate (r13; the r12 ``min(struct)`` form was forced into
-    SortAggregate because struct buffers are not mutable, paying a
-    map-side sort per partition). Rows are never exchanged: the partial
+    Plan (r14, TWO row-scans — the r13 shape paid a third scan just to
+    find per-series time bounds): scan 1 aggregates rows to fixed
+    {LTTB_CELL_S}-second time cells (series x span/cell rows — span-
+    bounded metadata scale, 4 320 cells/series on the 30-day fixture);
+    the cell table is collected and the WHOLE anchor derivation —
+    per-series bounds, bucket membership (bucket edges land on cell
+    boundaries), per-bucket (n, sum_x, sum_y), neighbor-centroid
+    lag/lead — runs driver-side in exact integer Python (the
+    agg_weighted_median r14 lesson: tiny windows cost AQE stages).
+    Scan 2 joins the rows against ONE broadcast literal table keyed
+    at (series, cell) — each cell row carries its bucket id, anchor
+    centroid deltas and the series' time origin, so the per-row work
+    is a single broadcast hash probe (no bounds join, no per-row
+    bucket division) — and picks the max-area point per (series,
+    bucket) by three ``min_by`` calls over ONE packed DECIMAL(38,0)
+    total order — a plain HashAggregate (r13; ``min(struct)`` would
+    force SortAggregate). Rows are never exchanged: the partial
     aggregate combines map-side, so the shuffle carries one candidate
     per (series, bucket) per map partition.
 
-    Scoring (r13): anchors are the INTEGER-ROUNDED bucket centroids
-    (cx = sum_x div n, cy = sum_y div n — floor division on
+    Scoring (r13 discipline): anchors are the INTEGER-ROUNDED bucket
+    centroids (cx = sum_x div n, cy = sum_y div n — floor division on
     non-negative sums, identical in both engines). Triangle area is
-    translation-invariant, so it is computed in bucket-relative
+    translation-invariant, so it is computed in series-relative
     coordinates: 2A = |(cxn-cxp)*(y-cyp) - (x-cxp)*(cyn-cyp)| — pure
     integer arithmetic with magnitude ~ 4 * (span/{LTTB_BUCKETS}) *
-    value_range, NOT the r12 fraction-cleared pn^2*nn form whose
-    magnitude grew with (rows/bucket)^3. Rounding the anchor by <1
-    time-unit/cent moves picks only at exact near-ties; both engines
-    compute the identical integers, so results stay bit-identical.
+    value_range. Fidelity vs exact LTTB (ADVICE r13 reword): the <1-
+    unit centroid rounding perturbs 2A by up to ~|dxn|+|dyn|, so picks
+    may differ from exact-centroid scoring whenever two candidates'
+    true area gap is within that tolerance (not only at exact ties);
+    bucket edges additionally sit on {LTTB_CELL_S}-second cell
+    boundaries (<=1.5% of a bucket width here). Both engines compute
+    the identical integers, so results stay bit-identical — the
+    tolerance is a statement about visual fidelity, not parity.
 
     The pick ordering packs (-2A, x, event_id) into one DECIMAL(38,0):
     ``ordt = -2A * PACK_X*PACK_ID + x*PACK_ID + event_id`` — a total
@@ -1583,16 +1607,18 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick is deterministic. First/last buckets (no both-side neighbor)
     keep their first/last point by (timestamp, event_id).
 
-    At 100 TB: the only row-scale work is the two scans feeding the
-    cell aggregate and the pick aggregate; every exchange carries at
-    most series x {LTTB_BUCKETS} x partitions candidate rows. Headroom:
-    |2A| must stay under 10^38 / (PACK_X*PACK_ID) = 1e14 — covers a
-    1-year span at {LTTB_BUCKETS} buckets with a $500k value range with
-    ~10x margin; beyond that RAISE (never a silent wrong pick) — the
-    remedy is more buckets (span/B shrinks linearly) or a coarser value
-    scale. Requires x < PACK_X (31k-year span) and event_id < PACK_ID
-    (1e12); values must be non-negative (fixture min 0.0) so both
-    engines' integer division agrees — shift signed series first.
+    At 100 TB: the only row-scale work is the two scans; every
+    exchange carries at most series x {LTTB_BUCKETS} x partitions
+    candidate rows, and the driver holds series x span/{LTTB_CELL_S}
+    cells (raise LTTB_CELL_S for decade spans / million-series
+    tables). Headroom: |2A| must stay under 10^38 / (PACK_X*PACK_ID)
+    = 1e14 — covers a 1-year span at {LTTB_BUCKETS} buckets with a
+    $500k value range with ~10x margin; beyond that RAISE (never a
+    silent wrong pick) — the remedy is more buckets (span/B shrinks
+    linearly) or a coarser value scale. Requires x < PACK_X (31k-year
+    span) and event_id < PACK_ID (1e12); values must be non-negative
+    (fixture min 0.0) so both engines' integer division agrees —
+    shift signed series first.
     """
     e = table(spark, sf_dir, "events")
     pts = e.select(
@@ -1603,55 +1629,77 @@ def ts_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scaled_long("value").alias("v_c"),
     )
-    bounds = pts.groupBy("event_type").agg(
-        F.min("t_s").alias("mn"), (F.max("t_s") - F.min("t_s") + 1).alias(
-            "span"
+    cells = (
+        pts.groupBy(
+            "event_type", F.expr(f"t_s div {LTTB_CELL_S}").alias("g")
         )
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("t_s").alias("cst"),
+            F.sum("v_c").alias("csv"),
+        )
+        .collect()  # bounded: series x span/LTTB_CELL_S cells
     )
-    xb = pts.join(F.broadcast(bounds), "event_type").select(
-        "event_type",
-        "event_id",
-        "v_c",
-        (F.col("t_s") - F.col("mn")).alias("x"),
-        F.least(
-            F.expr(f"(t_s - mn) * {LTTB_BUCKETS} div span"),
-            F.lit(LTTB_BUCKETS - 1),
-        ).alias("bkt"),
+    # driver-side exact-integer anchor fold over the cell table
+    by_series: dict[str, list] = {}
+    for r in cells:
+        by_series.setdefault(r["event_type"], []).append(r)
+    anc_rows = []
+    B = LTTB_BUCKETS
+    for typ, cs in by_series.items():
+        mn_g = min(r["g"] for r in cs)
+        span_g = max(r["g"] for r in cs) - mn_g + 1
+        t0 = mn_g * LTTB_CELL_S
+        bsum: dict[int, list[int]] = {}
+        cell_bkt: dict[int, int] = {}
+        for r in cs:
+            bkt = min((r["g"] - mn_g) * B // span_g, B - 1)
+            cell_bkt[r["g"]] = bkt
+            s = bsum.setdefault(bkt, [0, 0, 0])
+            s[0] += r["cn"]
+            s[1] += r["cst"] - r["cn"] * t0  # sum of x = t_s - t0
+            s[2] += r["csv"]
+        present = sorted(bsum)
+        anchors: dict[int, tuple[int, int, int, int, int]] = {}
+        for i, bkt in enumerate(present):
+            if i == 0:
+                anchors[bkt] = (0, 0, 0, 0, 0)
+            elif i == len(present) - 1:
+                anchors[bkt] = (1, 0, 0, 0, 0)
+            else:
+                pn, psx, psy = bsum[present[i - 1]]
+                nn, nsx, nsy = bsum[present[i + 1]]
+                cxp = psx // pn  # floor div, non-negative sums
+                cyp = psy // pn
+                dxn = nsx // nn - cxp
+                dyn = nsy // nn - cyp
+                anchors[bkt] = (2, cxp, cyp, dxn, dyn)
+        # one row per PRESENT cell: bucket id + its anchor + series
+        # origin, so scan 2 is a single broadcast hash probe per row
+        for g, bkt in cell_bkt.items():
+            anc_rows.append((typ, g, bkt, t0, *anchors[bkt]))
+    anc_df = spark.createDataFrame(
+        anc_rows,
+        "event_type string, g long, bkt long, t0 long, mode int, "
+        "cxp long, cyp long, dxn long, dyn long",
     )
-    bsum = xb.groupBy("event_type", "bkt").agg(
-        F.count(F.lit(1)).alias("bn"),
-        F.sum("x").alias("bsx"),
-        F.sum("v_c").alias("bsy"),
+    j = (
+        pts.withColumn("g", F.expr(f"t_s div {LTTB_CELL_S}"))
+        .join(F.broadcast(anc_df), ["event_type", "g"])
+        .withColumn("x", F.col("t_s") - F.col("t0"))
     )
-    wb = Window.partitionBy("event_type").orderBy("bkt")
-    anc = bsum.select(
-        "event_type",
-        "bkt",
-        F.lag("bn").over(wb).alias("pn"),
-        F.lag("bsx").over(wb).alias("psx"),
-        F.lag("bsy").over(wb).alias("psy"),
-        F.lead("bn").over(wb).alias("nn"),
-        F.lead("bsx").over(wb).alias("nsx"),
-        F.lead("bsy").over(wb).alias("nsy"),
-    )
-    j = xb.join(F.broadcast(anc), ["event_type", "bkt"])
     dec = "decimal(38,0)"
-    # integer anchor centroids (floor div; all sums non-negative)
-    cxp = F.expr("psx div pn")
-    cyp = F.expr("psy div pn")
-    dxn = F.expr("nsx div nn") - cxp
-    dyn = F.expr("nsy div nn") - cyp
-    # 2A in bucket-relative coordinates; decimal so an out-of-headroom
+    # 2A in series-relative coordinates; decimal so an out-of-headroom
     # range NULLs (then raises) instead of silently wrapping BIGINT
     area2 = F.abs(
-        dxn.cast(dec) * (F.col("v_c") - cyp)
-        - (F.col("x") - cxp).cast(dec) * dyn
+        F.col("dxn").cast(dec) * (F.col("v_c") - F.col("cyp"))
+        - (F.col("x") - F.col("cxp")).cast(dec) * F.col("dyn")
     )
     tie = F.col("x").cast(dec) * LTTB_PACK_ID + F.col("event_id")
     ordt = (
-        F.when(F.col("pn").isNull(), tie)
+        F.when(F.col("mode") == 0, tie)
         .when(
-            F.col("nn").isNull(),
+            F.col("mode") == 1,
             -F.col("x").cast(dec) * LTTB_PACK_ID + F.col("event_id"),
         )
         .otherwise(-area2 * LTTB_PACK_X * LTTB_PACK_ID + tie)
@@ -1695,21 +1743,25 @@ WITH pts AS (
          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
   FROM events
 ),
-bounds AS (
-  SELECT event_type, MIN(t_s) AS mn, MAX(t_s) - MIN(t_s) + 1 AS span
-  FROM pts GROUP BY event_type
+cells AS (
+  SELECT event_type, t_s // {LTTB_CELL_S} AS g,
+         COUNT(*) AS cn, SUM(t_s) AS cst, SUM(v_c) AS csv
+  FROM pts GROUP BY 1, 2
 ),
-xb AS (
-  SELECT p.event_type, p.event_id, p.v_c,
-         p.t_s - b.mn AS x,
-         LEAST((p.t_s - b.mn) * {LTTB_BUCKETS} // b.span,
-               {LTTB_BUCKETS - 1}) AS bkt
-  FROM pts p JOIN bounds b USING (event_type)
+bounds AS (
+  SELECT event_type, MIN(g) AS mn_g, MAX(g) - MIN(g) + 1 AS span_g,
+         MIN(g) * {LTTB_CELL_S} AS t0
+  FROM cells GROUP BY event_type
 ),
 bsum AS (
-  SELECT event_type, bkt, COUNT(*) AS bn,
-         SUM(x) AS bsx, SUM(v_c) AS bsy
-  FROM xb GROUP BY 1, 2
+  SELECT c.event_type,
+         LEAST((c.g - b.mn_g) * {LTTB_BUCKETS} // b.span_g,
+               {LTTB_BUCKETS - 1}) AS bkt,
+         SUM(c.cn) AS bn,
+         SUM(c.cst) - SUM(c.cn) * MIN(b.t0) AS bsx,
+         SUM(c.csv) AS bsy
+  FROM cells c JOIN bounds b USING (event_type)
+  GROUP BY 1, 2
 ),
 anc AS (
   SELECT event_type, bkt,
@@ -1718,6 +1770,14 @@ anc AS (
          LEAD(bsx) OVER w AS nsx, LEAD(bsy) OVER w AS nsy
   FROM bsum
   WINDOW w AS (PARTITION BY event_type ORDER BY bkt)
+),
+xb AS (
+  SELECT p.event_type, p.event_id, p.v_c,
+         p.t_s - b.t0 AS x,
+         LEAST((p.t_s // {LTTB_CELL_S} - b.mn_g) * {LTTB_BUCKETS}
+                 // b.span_g,
+               {LTTB_BUCKETS - 1}) AS bkt
+  FROM pts p JOIN bounds b USING (event_type)
 ),
 scored AS (
   SELECT x.event_type, x.bkt, x.event_id, x.x, x.v_c,

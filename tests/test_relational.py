@@ -2160,11 +2160,16 @@ def test_winsorize_matches_python_recompute(spark):
 
 def test_lttb_matches_bruteforce(spark):
     """LTTB picks equal a Python recompute of the integer-centroid
-    relative-coordinate area argmax (r13 scoring; first/last buckets
+    relative-coordinate area argmax (r13 scoring; r14 quantized-cell
+    bucketing — edges on LTTB_CELL_S boundaries; first/last buckets
     keep their first/last point)."""
     from collections import defaultdict
 
-    from etl_verkada_spark.operators.timeseries import LTTB_BUCKETS, ts_lttb
+    from etl_verkada_spark.operators.timeseries import (
+        LTTB_BUCKETS,
+        LTTB_CELL_S,
+        ts_lttb,
+    )
 
     got = {
         (r["event_type"], r["bkt"]): (r["event_id"], r["x_s"], r["value"])
@@ -2187,14 +2192,17 @@ def test_lttb_matches_bruteforce(spark):
         series[r["event_type"]].append((r["t"], r["event_id"], r["c"]))
     want = {}
     for typ, pts in series.items():
-        mn = min(p[0] for p in pts)
-        span = max(p[0] for p in pts) - mn + 1
+        mn_g = min(p[0] // LTTB_CELL_S for p in pts)
+        span_g = max(p[0] // LTTB_CELL_S for p in pts) - mn_g + 1
+        t0 = mn_g * LTTB_CELL_S
         buckets = defaultdict(list)
         for t, eid, c in pts:
-            x = t - mn
-            buckets[min(x * LTTB_BUCKETS // span, LTTB_BUCKETS - 1)].append(
-                (x, eid, c)
+            x = t - t0
+            bkt = min(
+                (t // LTTB_CELL_S - mn_g) * LTTB_BUCKETS // span_g,
+                LTTB_BUCKETS - 1,
             )
+            buckets[bkt].append((x, eid, c))
         order = sorted(buckets)
         for i, b in enumerate(order):
             prev = buckets[order[i - 1]] if i > 0 else None
