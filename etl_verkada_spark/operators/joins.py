@@ -300,19 +300,21 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     within user by (ts, tag) and carry the latest click timestamp forward
     with a running max — O(n log n) and skew-safe, vs the O(n*m) range
     join a naive implementation would produce. At tie timestamps the
-    click sorts first, giving <= (at-or-before) semantics.
+    click sorts first, giving <= (at-or-before) semantics. Both legs
+    come from ONE conditional-projection scan (r14): the two-scan
+    filtered union read events twice for rows one pass can tag.
     """
     ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"),
+    unioned = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.when(
+            F.col("event_type") == "purchase", F.col("event_id")
+        ).alias("event_id"),
         "user_id",
         "ts",
-        F.lit(0).alias("is_p"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(1).alias("is_p")
-    )
-    unioned = clicks.unionByName(purchases)
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "is_p")
@@ -354,7 +356,7 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     it lands within one hour (the post-purchase-engagement attribution
     shape; ``pandas.merge_asof(direction='forward', tolerance=...)``).
 
-    Same union + one-window construction as the backward
+    Same one-scan tag + one-window construction as the backward
     :func:`join_asof`, mirrored: sort within user by (ts, is_p DESC) —
     the purchase sorts before any same-timestamp click, so the
     CURRENT ROW -> UNBOUNDED FOLLOWING frame's ``min(click ts)`` is
@@ -367,24 +369,22 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on the session key; skew is bounded by the busiest user.
     """
     ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"),
+    unioned = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.when(
+            F.col("event_type") == "purchase", F.col("event_id")
+        ).alias("event_id"),
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.lit(0).alias("is_p"),
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-        F.lit(1).alias("is_p"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
     )
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("us"), F.col("is_p").desc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    carried = clicks.unionByName(purchases).withColumn(
+    carried = unioned.withColumn(
         "next_us",
         F.min(F.when(F.col("is_p") == 0, F.col("us"))).over(w),
     )
@@ -441,13 +441,17 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the earlier click (sensor-fusion alignment semantics; pandas
     merge_asof direction='nearest').
 
-    Same union machinery as join_asof/join_asof_fwd, fused: ONE
-    exchange on user_id and ONE sort — the backward running max uses
-    the (unboundedPreceding, current) frame and the forward running
-    min uses (current, unboundedFollowing) over the SAME ascending
-    (us, is_p) order, so both windows ride a single WindowExec sort
-    (plan-pinned: 1 Exchange, 1 Sort). The nearest pick and the
-    tolerance gate are pure row expressions in integer microseconds.
+    Same two-sided-carry machinery as join_asof/join_asof_fwd, fused:
+    ONE exchange on user_id and ONE sort — the backward running max
+    uses the (unboundedPreceding, current) frame and the forward
+    running min uses (current, unboundedFollowing) over the SAME
+    ascending (us, is_p) order, so both windows ride a single
+    WindowExec sort (plan-pinned: 1 Exchange, 1 Sort). The nearest
+    pick and the tolerance gate are pure row expressions in integer
+    microseconds. r14: the click/purchase legs come from ONE scan
+    with a conditional projection (event_id nulled on clicks, is_p
+    from the type) instead of a two-scan union — the r13 record's
+    3.0x on a 0.31 s denominator was half a redundant events rescan.
 
     Tie proof: with is_p ascending, a click at the purchase's exact
     timestamp sorts BEFORE it — inside the preceding frame (so
@@ -461,19 +465,16 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join; skew rides the user_id hash like every window op here.
     """
     ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"),
+    unioned = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.when(
+            F.col("event_type") == "purchase", F.col("event_id")
+        ).alias("event_id"),
         "user_id",
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        F.lit(0).alias("is_p"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-        F.lit(1).alias("is_p"),
-    )
-    unioned = clicks.unionByName(purchases)
     back = (
         Window.partitionBy("user_id")
         .orderBy("us", "is_p")

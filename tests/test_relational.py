@@ -2008,6 +2008,10 @@ def test_asof_nearest_single_exchange_single_sort(spark):
     n_sorts = len(re.findall(r"^\(\d+\) Sort", plan, re.M))
     assert n_exchanges == 1, plan
     assert n_sorts == 1, plan
+    # r14: both legs come from ONE conditional-projection scan — a
+    # regression back to the two-scan union doubles the events read
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, plan
 
 
 def test_session_attribution_matches_bruteforce(spark):
