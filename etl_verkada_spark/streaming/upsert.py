@@ -864,7 +864,14 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(
             "event_id long, event_type string, value double"
         )
-        .option("maxFilesPerTrigger", N_CHUNK_FILES)
+        # replay in CHUNK-PAIR batches (r14, the r13 verdict's
+        # stream_topk item): the fold is associative/commutative so
+        # trigger grouping is free (docstring above), and each
+        # micro-batch pays a fixed offsets-log + listing + planning
+        # tax that dominated the replay and swung 3x between clean
+        # runs — half the batches, half the machinery, the multi-batch
+        # fold still exercised (2 batches over 4 chunks)
+        .option("maxFilesPerTrigger", 2 * N_CHUNK_FILES)
         .parquet(land)
     )
     q = (
