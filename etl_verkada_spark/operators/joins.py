@@ -366,7 +366,14 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape is independent of the tolerance width.
 
     At 100 TB: identical cost model to join_asof — each event shuffles
-    once on the session key; skew is bounded by the busiest user.
+    once on the session key; skew is bounded by the busiest user. Note
+    Spark evaluates the (current..unboundedFollowing) frame by
+    re-aggregating the partition TAIL per row — O(n^2) in the
+    partition, acceptable here only because a partition is one USER's
+    events (ts_interpolate hit the same frame on whole-series
+    partitions and paid 4x for it, r14 — SCALE.md §29f); a
+    pathological single-user skew would call for the descending
+    running-min rewrite at the price of a second sort.
     """
     ev = table(spark, sf_dir, "events")
     unioned = ev.filter(

@@ -136,9 +136,14 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per series, an empty bucket's value is interpolated between the
     last and next OBSERVED bucket sums, proportional to time distance;
     leading/trailing gaps fall back to the nearest observation. Two
-    window passes (backward-looking last + forward-looking first, both
-    IGNORE NULLS) over the same sort — one shuffle on event_type, state
-    O(1) per partition, so the plan survives any series length.
+    window passes, both as RUNNING (unboundedPreceding..current)
+    IGNORE-NULLS ``last`` frames — the forward lookup rides a
+    DESCENDING sort rather than a (current..unboundedFollowing)
+    frame, because Spark's unbounded-following frame re-aggregates
+    the partition tail PER ROW: O(n^2) per series, measured 3.4 s vs
+    0.8 s for the one-directional gapfill twin on the same 21.6k-row
+    grid (r14). One shuffle on event_type, two O(n) sorts, state O(1)
+    per partition, so the plan survives any series length.
 
     Float discipline: a ROUND(double, 4) here hits EXACT half-ties
     (grid positions are small dyadic fractions: cents * k/16 etc.), and
@@ -151,16 +156,23 @@ def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays far from int64 overflow.
     """
     dense = _dense_grid(spark, sf_dir)
-    order = Window.partitionBy("event_type").orderBy("bucket_us")
-    w_prev = order.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = order.rowsBetween(0, Window.unboundedFollowing)
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bucket_us").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     known_bucket = F.when(
         F.col("sum_c").isNotNull(), F.col("bucket_us")
     )
     prev_c = F.last("sum_c", ignorenulls=True).over(w_prev)
     prev_b = F.last(known_bucket, ignorenulls=True).over(w_prev)
-    next_c = F.first("sum_c", ignorenulls=True).over(w_next)
-    next_b = F.first(known_bucket, ignorenulls=True).over(w_next)
+    next_c = F.last("sum_c", ignorenulls=True).over(w_next)
+    next_b = F.last(known_bucket, ignorenulls=True).over(w_next)
     ctx = dense.select(
         "event_type",
         "bucket_us",

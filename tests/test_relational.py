@@ -537,11 +537,14 @@ def plan_tree(df) -> str:
     return formatted_plan(df).split("\n\n", 1)[0]
 
 
-def test_interpolate_windows_share_one_sort(spark):
-    """ts_interpolate's window passes (backward last + forward first)
-    partition and order on the same key, so they pipeline on ONE
-    exchange+sort of the dense grid — a second sort/shuffle between the
-    Window operators would double the operator's scale cost."""
+def test_interpolate_windows_one_exchange_no_following_frame(spark):
+    """ts_interpolate's two window passes are both RUNNING
+    (unboundedPreceding..current) frames — the forward lookup rides a
+    descending re-sort, NOT an unbounded-FOLLOWING frame, because
+    Spark re-aggregates the partition tail per row for following
+    frames: O(n^2) per series, measured 3.4 s vs 0.8 s on the sf0.1
+    grid (r14). The passes still share ONE exchange (same partition
+    key); only a Sort may sit between the Window operators."""
     from etl_verkada_spark.operators.timeseries import ts_interpolate
 
     tree = plan_tree(ts_interpolate(spark, SF_SMALL))
@@ -550,7 +553,7 @@ def test_interpolate_windows_share_one_sort(spark):
     last = tree.rindex("Window")
     between = tree[first:last]
     assert "Exchange" not in between, tree
-    assert "Sort" not in between, tree
+    assert "following" not in tree.lower(), tree
 
 
 def test_pack_sequences_is_one_shuffle(spark):
