@@ -177,6 +177,91 @@ HEADLINE = [
     # sf0.1 where eps=0.5deg makes each nation one giant cluster. The
     # sf0.01 gate exercises the intended sparse regime (177 cores /
     # 1500 points); the Spark side's scale story is in its docstring.
+    #
+    # --- round-14 rotation (verdict item 1): 58 first-time pairs ---
+    # 119 of 228 registered queries had never been timed at any scale;
+    # everything below was probed at sf0.1 first (spark warm 0.15-3 s,
+    # duck 2-700 ms) and is honest equal-work vs its oracle. Still
+    # excluded, with reasons:
+    #   * llm_dedup_minhash/simhash/ngram/fuzzy/passage/cc/semantic,
+    #     llm_sim_pairs — their oracles are brute-force all-pairs
+    #     correctness twins (the prefixfilter/containment precedent):
+    #     the ratio would price pair materialization, not the banded
+    #     plan (minhash probed 7.3 s vs a 0.4 s exact-Jaccard twin).
+    #   * join_bucketed — rebuilds its bucketed saveAsTable fixtures
+    #     inside the query (production buckets once); a repeated-run
+    #     ratio prices table WRITES against a read-only oracle.
+    #   * scan_rest_*/maintain_*/mm_* stubs, stream_* folds without
+    #     oracles — rows-only checks, nothing to ratio against.
+    # scalar-function family (fx_bitwise already benched)
+    "fx_string",
+    "fx_date",
+    "fx_math",
+    "fx_array",
+    "fx_json",
+    "fx_map",
+    "fx_regex",
+    "fx_cond",
+    "fx_hash",
+    # set operators
+    "set_union",
+    "set_intersect",
+    "set_except",
+    "set_intersect_all",
+    "set_except_all",
+    # subqueries (exists/all/not_in already benched)
+    "subquery_in",
+    "subquery_scalar",
+    "subquery_lateral",
+    # window family remainder
+    "win_lag",
+    "win_first_last",
+    "win_rank",
+    "win_relrank",
+    "win_range_interval",
+    "win_funnel",
+    "win_running_distinct",
+    # aggregate family remainder
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "agg_mode",
+    "agg_histogram",
+    "agg_filtered",
+    "agg_sketch_merge",
+    "agg_collect",
+    # filters
+    "filter_conj",
+    "filter_isin",
+    "filter_nullsafe",
+    # join family remainder
+    "join_anti",
+    "join_semi",
+    "join_sortmerge",
+    "join_salted",
+    "join_range_banded",
+    # scans / layout / reshape
+    "dedup_exact_rows",
+    "limit_offset",
+    "sort_orderby",
+    "project_struct",
+    "scan_partition_pruned",
+    "unpivot",
+    # LLM-pipeline remainder (non-pair-quadratic)
+    "llm_lang_id",
+    "llm_token_count",
+    "llm_tfidf",
+    "llm_sample_hash",
+    "llm_sample_stratified",
+    "llm_shard",
+    "llm_pack_sequences",
+    # timeseries remainder (ts_interpolate found O(n^2)-framed by this
+    # very rotation and fixed in r14 — SCALE.md §29f)
+    "ts_rolling_dau",
+    "ts_cohort_retention",
+    "ts_interpolate",
+    "scd2_build",
 ]
 
 
@@ -688,10 +773,25 @@ SF1_ANNOTATIONS = {
     ),
     "stream_topk": (
         "replay-stress row: replays ALL chunks through availableNow "
-        "micro-batch machinery (4 triggers, each a SINGLE-file — so "
-        "single-task — chunk scan + K-row state overwrite) vs the "
+        "micro-batch machinery (r14: 2 chunk-pair triggers — the fold "
+        "is associative so trigger grouping is free, and 4 triggers' "
+        "offsets-log/listing tax swung 3x between clean runs) vs the "
         "one-shot ranking twin; the fold's own marginal work is the "
         "per-chunk TakeOrdered, bounded by K x |series| state forever"
+    ),
+    "upsert_merge": (
+        "floor/constant-bound (r14 adjudication, SCALE.md §29e): the "
+        "operator IS two scheduled runs (S9) and the oracle does the "
+        "same two-phase work by design; decomposition = 2 filtered "
+        "orders scans + 2 WindowGroupLimit merges against a 0.26 s "
+        "in-memory denominator — per-stage constants, not plan"
+    ),
+    "win_session_attribution": (
+        "floor/constant-bound (r14 adjudication, SCALE.md §29e): ONE "
+        "user_id exchange total (the session/day aggregates reuse the "
+        "window's partitioning), no self-join; the scan+shuffle floor "
+        "alone is 48% of the Spark absolute against a 0.2 s in-memory "
+        "denominator"
     ),
     "graph_jaccard": (
         "r13: JACC_MIN_COMMON 2 -> 1 — the old floor emptied the "
@@ -870,6 +970,68 @@ def _err(e: Exception) -> str:
     return f"{head} | cause: {cause}" if cause else head
 
 
+def _tree_id() -> str:
+    """Content hash of the benchable tree (engine package + harness +
+    driver entry), commit-independent: ``git ls-files -s`` blob hashes
+    plus any uncommitted diff. Cross-run merging (r13 verdict item 6)
+    is only valid between runs of the IDENTICAL tree — a plan change
+    between runs would let a stale faster min misrepresent the shipped
+    code."""
+    import hashlib
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    try:
+        for cmd in (
+            ["git", "ls-files", "-s", "--", "etl_verkada_spark",
+             "bench.py", "__spark_entry__.py"],
+            ["git", "diff", "--", "etl_verkada_spark", "bench.py",
+             "__spark_entry__.py"],
+        ):
+            out = subprocess.run(
+                cmd, capture_output=True, cwd=here, timeout=30
+            )
+            if out.returncode != 0:
+                return "unknown"
+            h.update(out.stdout)
+        return h.hexdigest()[:12]
+    except Exception:  # noqa: BLE001 - merging is best-effort
+        return "unknown"
+
+
+def _min_intersect(maps: list[dict | None]) -> dict:
+    """Per-key minimum over the keys present in EVERY map — the
+    cross-run min-intersection (r13 verdict item 6: the headline the
+    close-note cites must be the headline the committed record
+    carries; per-run values are retained alongside)."""
+    present = [m for m in maps if m]
+    if len(present) != len(maps) or not present:
+        return {}
+    keys = set(present[0])
+    for m in present[1:]:
+        keys &= set(m)
+    return {k: min(m[k] for m in present) for k in keys}
+
+
+def _load_prior_runs(repo_detail_path: str, tree_id: str) -> list[dict]:
+    """Per-run compact records accumulated by earlier bench invocations
+    on the SAME tree (tree_id mismatch or unknown -> no merge)."""
+    if tree_id == "unknown":
+        return []
+    try:
+        with open(repo_detail_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return []
+    if prev.get("tree_id") != tree_id:
+        return []
+    runs = prev.get("runs")
+    if isinstance(runs, list) and runs:
+        return runs
+    return []
+
+
 def _host_telemetry() -> dict:
     """Load + free-memory snapshot (r12 verdict item 1: the official
     r12 record was taken on a loaded host and nothing in the record
@@ -912,6 +1074,7 @@ def compact_stdout_line(
     partial: bool = False,
     floor_1row_s: float | None = None,
     host: dict | None = None,
+    runs_merged: int | None = None,
 ) -> str:
     """One JSON line <= STDOUT_LINE_BUDGET bytes: the driver contract.
 
@@ -1026,7 +1189,14 @@ def compact_stdout_line(
     )
     n_gt2x = sum(1 for r in per_q if r > 2.0)
     final = {
-        "metric": f"headline query wall-clock, noop sink, min-of-{N_RUNS}",
+        "metric": (
+            f"headline query wall-clock, noop sink, min-of-{N_RUNS}"
+            + (
+                f", min-intersection of {runs_merged} same-tree runs"
+                if runs_merged
+                else ""
+            )
+        ),
         "value": value,
         "unit": "sec",
         "sf": sf,
@@ -1277,6 +1447,34 @@ def bench_sf1(
         except Exception as e:  # noqa: BLE001 - record and continue
             errors[f"duckdb:{name}"] = _err(e)
             _record("error", f"duckdb:{name}", _err(e))
+    # warm-retry protocol (r13 verdict item 5): a pair flagged unstable
+    # by ONE polluted 3-run window often measures clean immediately
+    # after — give every >2x-spread duck window one more (already-warm)
+    # window and keep whichever has the smaller spread (tie: smaller
+    # min). "unstable" should mean "unmeasurable this session", not
+    # "the scheduler hiccuped once".
+    for name in [
+        n for n in SF1_QUERIES
+        if duck_detail.get(n, {}).get("spread", 1.0) > 2.0
+    ]:
+        if duck_over_deadline():
+            break
+        sql = overrides.get(name) or registry[name].oracle
+        try:
+            retry = run_duckdb_budgeted(
+                con, sql, n_runs=N_RUNS_SF1,
+                budget_s=SF1_DUCK_BUDGET_OVERRIDES.get(
+                    name, SF1_DUCK_QUERY_BUDGET_S
+                ),
+            )
+        except Exception:  # noqa: BLE001 - keep the first window
+            continue
+        old = duck_detail[name]
+        if (retry["spread"], retry["min"]) < (old["spread"], old["min"]):
+            retry["retried"] = True
+            duck_detail[name] = retry
+            duck[name] = retry["min"]
+            _record("duckdb", name, retry)
     for name in SF1_COLD_QUERIES:
         sql = registry[name].oracle
         if sql:
@@ -1316,6 +1514,25 @@ def bench_sf1(
         except Exception as e:  # noqa: BLE001
             errors[f"spark:{name}"] = _err(e)
             _record("error", f"spark:{name}", _err(e))
+    # spark-side warm-retry (same protocol as the duck pass above)
+    for name in [
+        n for n in spark_order
+        if spark_detail.get(n, {}).get("spread", 1.0) > 2.0
+    ]:
+        if over_deadline():
+            break
+        try:
+            retry = run_spark(
+                registry[name].fn, spark, sf1_dir, n_runs=N_RUNS_SF1
+            )
+        except Exception:  # noqa: BLE001 - keep the first window
+            continue
+        old = spark_detail[name]
+        if (retry["spread"], retry["min"]) < (old["spread"], old["min"]):
+            retry["retried"] = True
+            spark_detail[name] = retry
+            timings[name] = retry["min"]
+            _record("spark", name, retry)
     cold: dict[str, float] = {}
     for name in SF1_COLD_QUERIES:
         if over_deadline():
@@ -1695,14 +1912,104 @@ def main() -> None:
     # the final line carries the headline numbers + the sf1 SUMMARY.
     host["load1"][1] = _host_telemetry().get("load1")
     host["mem_gb"][1] = _host_telemetry().get("mem_avail_gb")
+
+    # -- cross-run min-intersection (r13 verdict item 6): earlier runs
+    # of the IDENTICAL tree (content-hashed) accumulate in the repo
+    # detail file; the headline this run emits is the per-pair minimum
+    # over the intersection of completed pairs across ALL runs, so the
+    # committed stdout record IS the multi-run number the close-note
+    # cites. Per-run values stay in the detail under "runs"; a pair is
+    # flagged unstable only if it looked unstable in EVERY run (more
+    # samples -> fewer false flags, r13 verdict item 5).
+    tree_id = _tree_id()
+    repo_detail = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    sf1_is_dict = isinstance(sf1, dict)
+    cur_run = {
+        "sf": sf,
+        "value": headline["value"],
+        "queries": timings,
+        "duckdb": duck,
+        "floor_s": floor_s,
+        "host": host,
+        "sf1_queries": sf1.get("queries") if sf1_is_dict else None,
+        "sf1_duckdb": sf1.get("duckdb") if sf1_is_dict else None,
+        "sf1_unstable": sf1.get("unstable") if sf1_is_dict else None,
+    }
+    # same-SCALE guard: a smoke run at another sf shares query NAMES
+    # with prior sf0.1 runs — min-merging across scales would be
+    # nonsense, so only same-sf prior runs participate
+    runs = [
+        r for r in _load_prior_runs(repo_detail, tree_id)
+        if r.get("sf") == sf
+    ] + [cur_run]
+    line_timings, line_duck, line_sf1 = timings, duck, sf1
+    if len(runs) > 1:
+        m_q = _min_intersect([r.get("queries") for r in runs])
+        m_d = _min_intersect([r.get("duckdb") for r in runs])
+        if m_q and m_d:
+            line_timings, line_duck = m_q, m_d
+        if sf1_is_dict and sf1.get("queries"):
+            ms_q = _min_intersect([r.get("sf1_queries") for r in runs])
+            ms_d = _min_intersect([r.get("sf1_duckdb") for r in runs])
+            if ms_q and ms_d:
+                line_sf1 = dict(sf1)
+                line_sf1["queries"] = ms_q
+                line_sf1["duckdb"] = ms_d
+                line_sf1["ratio"] = {
+                    n: round(ms_q[n] / ms_d[n], 2)
+                    for n in ms_d
+                    if ms_d[n] > 0 and n in ms_q
+                    and n not in SF1_TWIN_EXCLUDED
+                }
+                line_sf1["ratio_floor_adjusted"] = {
+                    n: round(max(ms_q[n] - floor_s, 0.0) / ms_d[n], 2)
+                    for n in ms_d
+                    if ms_d[n] > 0 and n in ms_q
+                    and n not in SF1_TWIN_EXCLUDED
+                }
+                unst = [
+                    set(r.get("sf1_unstable") or []) for r in runs
+                ]
+                line_sf1["unstable"] = sorted(
+                    set.intersection(*unst) if unst else set()
+                )
+                import hashlib as _hl
+
+                line_sf1["pairs_md5"] = _hl.md5(
+                    ",".join(
+                        sorted(line_sf1["ratio_floor_adjusted"])
+                    ).encode()
+                ).hexdigest()[:10]
+                line_sf1["runs_merged"] = len(runs)
+    merged_value = round(sum(line_timings.values()), 3)
+
     full = {
         **headline,
+        "value": merged_value,
         "partial": False,
         "host": host,
         "queries_detail": spark_detail,
         "duckdb_detail": duck_detail,
         "sf1": sf1,
+        "tree_id": tree_id,
+        "runs": runs,
+        "runs_merged": len(runs),
     }
+    if line_timings is not timings:
+        full["merged"] = {
+            "queries": line_timings,
+            "duckdb": line_duck,
+            "sf1": None if line_sf1 is sf1 else {
+                "queries": line_sf1.get("queries"),
+                "duckdb": line_sf1.get("duckdb"),
+                "ratio_floor_adjusted": line_sf1.get(
+                    "ratio_floor_adjusted"
+                ),
+                "unstable": line_sf1.get("unstable"),
+            },
+        }
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_full.json"
     )
@@ -1714,20 +2021,18 @@ def main() -> None:
         # sf1-disabled smoke runs so they cannot clobber the last full
         # record with an sf1:null one.
         if sf1 is not None:
-            repo_copy = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH_FULL.json",
-            )
-            with open(repo_copy, "w") as f:
+            with open(repo_detail, "w") as f:
                 json.dump(full, f, indent=1)
     except OSError:
         pass
 
     print(
         compact_stdout_line(
-            headline["value"], sf, timings, floor_s, duck, sf1, detail_path,
+            merged_value, sf, line_timings, floor_s, line_duck, line_sf1,
+            detail_path,
             floor_1row_s=floor_1row_s,
             host=host,
+            runs_merged=len(runs) if len(runs) > 1 else None,
         ),
         flush=True,
     )

@@ -66,92 +66,89 @@ def spec(
 # driver-green from an earlier round with unchanged code, plus full
 # parity coverage via tools/parity_check.py.
 #
-# ROUND-13 WINDOW. CORRECTNESS_r12 went 50/50 green — with it, every
-# one of the 228 registered queries has a hash-green driver row
-# (cumulative r1..r12; verified by set comparison against Appendix A).
-# Evidence state entering r13 (newest hash-green driver round ->
-# count): r5 -> 14, r6 -> 45, r9 -> 39, r10 -> 39, r11 -> 41,
-# r12 -> 50; never -> 0. Per the policy:
+# ROUND-14 WINDOW. CORRECTNESS_r13 went 50/50 green; cumulatively all
+# 228 registered queries carry a hash-green driver row. Evidence state
+# entering r14 (newest hash-green driver round -> count, computed from
+# CORRECTNESS_r01..r13): r6 -> 21, r9 -> 38, r10 -> 36, r11 -> 36,
+# r12 -> 47, r13 -> 50; never -> 0. Per the policy:
 #   1. flagship;
 #   2. clause (a) — empty (nothing unchecked);
-#   3. clause (b) — IMPLEMENTATION or oracle changed in round 13 (11):
-#      ts_lttb (integer-centroid scoring + packed-DECIMAL min_by pick,
-#      oracle rewritten to match), graph_jaccard (JACC_MIN_COMMON
-#      2 -> 1 in both engines), and the checkpoint-lifecycle rework
-#      (checkpoints.py: superseded round snapshots released in-loop)
-#      which touches graph_pagerank / graph_label_propagation /
-#      graph_kcore (also KCORE_K 3 -> 2 + KCORE_PEELS 4 -> 6 in both
-#      engines — K=3 emptied the core at the bench scales) /
-#      graph_bfs_levels / llm_dedup_cc /
-#      llm_kmeans_train / llm_bpe_train / llm_bpe_encode /
-#      llm_tokenizer_fertility (results unchanged by design — the
-#      driver re-check is the no-behavior-change proof);
-#   4. clause (c) fill (38 slots): the whole 8-round-stale r5 cohort
-#      (14 — the r12 verdict's pinned queue), then the first 24 of the
-#      45 r6-evidence rows, oldest-first alphabetical.
-# R14 QUEUE (clause c fill order after r13's window goes green, unless
-# displaced by r14 changes): the remaining 21 r6-evidence rows
-# (mm_resize, project_struct, scan_cursor, scan_manifest_log,
-# scan_page, set_except, set_except_all, set_intersect,
-# set_intersect_all, set_union, subquery_exists, subquery_in,
-# subquery_scalar, unpivot, upsert_merge, validate_failfast,
-# validate_json, win_first_last, win_lag, win_ntile,
-# win_range_interval), then the r9 cohort (39 rows) alphabetical.
+#   3. clause (b) — IMPLEMENTATION or oracle changed in round 14 (7):
+#      agg_weighted_median (driver-side bucket selection + literal
+#      parquet pushdown on scan 2), ts_lttb (two-scan quantized-cell
+#      plan, oracle rewritten to match), join_asof / join_asof_fwd /
+#      join_asof_nearest (one-scan conditional-projection legs),
+#      ts_interpolate (descending running frames replacing the O(n^2)
+#      unbounded-following frames), stream_topk (chunk-pair replay
+#      batching; result unchanged by design — the driver re-check is
+#      the proof);
+#   4. clause (c) fill (42 slots): the whole remaining r6-evidence
+#      cohort (21 — the r13 verdict's pinned queue), then the first 21
+#      of the 38 r9-evidence rows, alphabetical (join_asof_fwd already
+#      seated by clause b).
+# R15 QUEUE (clause c fill order, unless displaced by r15 changes):
+# the remaining 17 r9-evidence rows (llm_token_count, mm_binary_stats,
+# mm_feature_extract, scan_csv_land, scd2_apply, sort_topn_per_key,
+# subquery_all, ts_cusum, ts_gapfill, ts_interval_merge,
+# ts_rolling_median, ts_rollup_hierarchy, ts_seasonal_baseline,
+# validate_expectations, win_pattern_match, win_sessionize, plus the
+# one displaced here), then the r10 cohort (36 rows) alphabetical.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 3. round-13 implementation changes (clause b) --
+    # -- 3. round-14 implementation changes (clause b) --
+    "agg_weighted_median",
     "ts_lttb",
-    "graph_jaccard",
-    "graph_pagerank",
-    "graph_label_propagation",
-    "graph_kcore",
-    "graph_bfs_levels",
-    "llm_dedup_cc",
-    "llm_kmeans_train",
-    "llm_bpe_train",
-    "llm_bpe_encode",
-    "llm_tokenizer_fertility",
-    # -- 4a. r5-evidence cohort (clause c, oldest evidence; whole set) --
-    "mm_frame_sample",
-    "scan_schema_evolution",
-    "scd2_build",
-    "stream_ohlc",
-    "topk",
-    "ts_anomaly_zscore",
-    "ts_cohort_retention",
-    "ts_ewma",
-    "ts_rolling_dau",
-    "win_frame",
-    "win_rank",
-    "win_relrank",
-    "win_rownum",
-    "win_running_distinct",
-    # -- 4b. r6-evidence cohort (clause c fill, 24 of 45, alphabetical) --
-    "agg_count",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_rollup",
-    "dedup_exact_rows",
-    "dedup_lastwins",
-    "dq_drift",
-    "enrich_when",
-    "filter_conj",
-    "filter_isin",
-    "filter_nullsafe",
-    "join_anti",
     "join_asof",
-    "join_large",
-    "join_semi",
-    "join_sortmerge",
-    "limit_offset",
-    "llm_dedup_substring",
-    "llm_sim_ann_pq",
-    "llm_sim_search",
-    "mm_decode",
+    "join_asof_fwd",
+    "join_asof_nearest",
+    "ts_interpolate",
+    "stream_topk",
+    # -- 4a. r6-evidence cohort (clause c, oldest evidence; whole set) --
+    "mm_resize",
+    "project_struct",
+    "scan_cursor",
+    "scan_manifest_log",
+    "scan_page",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "subquery_exists",
+    "subquery_in",
+    "subquery_scalar",
+    "unpivot",
+    "upsert_merge",
+    "validate_failfast",
+    "validate_json",
+    "win_first_last",
+    "win_lag",
+    "win_ntile",
+    "win_range_interval",
+    # -- 4b. r9-evidence cohort (clause c fill, 21 of 38, alphabetical;
+    #        join_asof_fwd seated by clause b) --
+    "agg_approx",
+    "agg_bitmap_distinct",
+    "agg_stats",
+    "cdc_merge_ops",
+    "fx_bitwise",
+    "geo_knn",
+    "graph_degree_hist",
+    "llm_boilerplate_coverage",
+    "llm_bpe_pair_count",
+    "llm_decontaminate",
+    "llm_dedup_embed",
+    "llm_dedup_exact",
+    "llm_dedup_keep_best",
+    "llm_dedup_soft",
+    "llm_fingerprint",
+    "llm_lang_id",
+    "llm_length_buckets",
+    "llm_lexical_diversity",
+    "llm_pii_scrub",
+    "llm_quality",
+    "llm_quality_ensemble",
 )
 
 

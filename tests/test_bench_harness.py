@@ -235,3 +235,44 @@ def test_floor_bound_names_trim_to_truncated_ratio_map():
     assert s1.get("ratio_truncated") is True
     assert s1["n_floor_bound"] == n
     assert set(s1["floor_bound"]) <= set(s1["ratio"])
+
+
+def test_min_intersect_takes_per_key_minimum_over_common_keys():
+    runs = [
+        {"a": 1.0, "b": 2.0, "c": 9.0},
+        {"a": 0.8, "b": 2.5},
+    ]
+    assert bench._min_intersect(runs) == {"a": 0.8, "b": 2.0}
+    # any missing/empty map disables the merge entirely (a run that
+    # lost its sf1 section must not shrink the intersection silently)
+    assert bench._min_intersect([{"a": 1.0}, None]) == {}
+    assert bench._min_intersect([]) == {}
+
+
+def test_load_prior_runs_rejects_foreign_tree(tmp_path):
+    p = tmp_path / "BENCH_FULL.json"
+    runs = [{"value": 1.0, "queries": {"q": 1.0}}]
+    p.write_text(json.dumps({"tree_id": "abc", "runs": runs}))
+    assert bench._load_prior_runs(str(p), "abc") == runs
+    assert bench._load_prior_runs(str(p), "other") == []
+    assert bench._load_prior_runs(str(p), "unknown") == []
+    assert bench._load_prior_runs(str(tmp_path / "nope.json"), "abc") == []
+
+
+def test_tree_id_is_stable_within_a_tree():
+    a, b = bench._tree_id(), bench._tree_id()
+    assert a == b
+    assert a != ""
+
+
+def test_stdout_metric_names_merged_run_count():
+    line = bench.compact_stdout_line(
+        1.0, 0.1, {"q": 1.0}, 0.02, {"q": 0.5}, None, "/tmp/x.json",
+        runs_merged=3,
+    )
+    rec = json.loads(line)
+    assert "min-intersection of 3 same-tree runs" in rec["metric"]
+    line1 = bench.compact_stdout_line(
+        1.0, 0.1, {"q": 1.0}, 0.02, {"q": 0.5}, None, "/tmp/x.json",
+    )
+    assert "min-intersection" not in json.loads(line1)["metric"]
