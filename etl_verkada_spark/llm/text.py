@@ -486,22 +486,38 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured), which poisons a hash-compared oracle; the linear form
     ranks almost identically at corpus scale and keeps the gate exact.
 
-    Shape at 100 TB: two shuffles (term counts per doc; doc frequency
-    per term), both map-side combined; the top-k per doc is one
-    window over the doc key. The corpus size N is a metadata lookup,
-    not a job.
+    Shape at 100 TB (r14, found by the bench rotation at 4.6x): ONE
+    row-scale exchange — the documents repartition by doc_id BEFORE
+    the explode (doc-scale wire, pre-tokenization). Everything
+    downstream reuses that partitioning exchange-free: the (doc, term)
+    aggregate and the per-doc top-k window both have their clustering
+    satisfied by HashPartitioning(doc_id) (the r13 lesson from
+    win_session_attribution's plan). The per-term doc-frequency table
+    aggregates off the tf table (vocabulary-sized, map-side combined)
+    and BROADCASTS back — a Heaps-law vocabulary is sublinear in the
+    corpus but a 100 TB crawl can exceed broadcast memory: that regime
+    trades this broadcast for a term-shuffled join (both sides
+    re-keyed by term) at the cost of re-exchanging tf and the window.
+    tf is localCheckpointed (the llm_bm25 r10 lesson): it feeds BOTH
+    the df aggregate and the scoring join, and without the checkpoint
+    the corpus tokenizes twice. The corpus size N is a metadata
+    lookup, not a job.
     """
     import pyarrow.parquet as pq
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     d = table(spark, sf_dir, "documents")
-    terms = d.select(
+    terms = d.repartition("doc_id").select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
     ).filter(F.length("term") >= 3)
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "term").select(
+    scored = tf.join(F.broadcast(df_), "term").select(
         "doc_id",
         "term",
         "tf",

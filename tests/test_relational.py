@@ -2320,6 +2320,22 @@ def test_weighted_median_scan2_is_literal_pushdown(spark):
     assert "LessThanOrEqual(l_extendedprice" in fp, fp
 
 
+def test_tfidf_one_rowscale_exchange_broadcast_df(spark):
+    """llm_tfidf's tf aggregate and per-doc top-k window both reuse the
+    pre-explode repartition-by-doc_id (HashPartitioning(doc_id)
+    satisfies both clusterings), and the vocabulary-sized df table
+    joins back as a BROADCAST — regression here means the corpus
+    re-shuffles by term (r14, found 4.6x by the bench rotation)."""
+    import re
+
+    from etl_verkada_spark.llm.text import llm_tfidf
+
+    plan = plan_of(llm_tfidf(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 2, plan
+
+
 def test_dataset_card_has_no_expand_or_window(spark):
     """llm_dataset_card's rollup must keep ONE distinct (no Expand
     doubling the corpus-scale exchange) and derive top-lang/n_langs
