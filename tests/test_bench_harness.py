@@ -276,3 +276,29 @@ def test_stdout_metric_names_merged_run_count():
         1.0, 0.1, {"q": 1.0}, 0.02, {"q": 0.5}, None, "/tmp/x.json",
     )
     assert "min-intersection" not in json.loads(line1)["metric"]
+
+
+def test_headline_pairs_are_registered_with_oracles():
+    """Every sf0.1 benched pair must be a registered query WITH an
+    oracle (a ratio needs a denominator), and the list must be
+    duplicate-free — the r14 rotation grew it 94 -> 152, so this is
+    now pinned instead of assumed."""
+    from etl_verkada_spark.registry import build_registry
+
+    reg = build_registry()
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, missing
+    no_oracle = [n for n in bench.HEADLINE if reg[n].oracle is None]
+    assert not no_oracle, no_oracle
+
+
+def test_sf1_pairs_are_registered():
+    from etl_verkada_spark.registry import build_registry
+
+    reg = build_registry()
+    for lst in (bench.SF1_QUERIES, bench.SF1_SPARK_ONLY,
+                bench.SF1_COLD_QUERIES):
+        assert len(lst) == len(set(lst))
+        missing = [n for n in lst if n not in reg]
+        assert not missing, missing
