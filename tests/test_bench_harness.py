@@ -302,3 +302,40 @@ def test_sf1_pairs_are_registered():
         assert len(lst) == len(set(lst))
         missing = [n for n in lst if n not in reg]
         assert not missing, missing
+
+
+def test_weak_set_report_tags_and_thresholds():
+    """tools/weak_set.py is the per-round adjudication lens: >2x
+    floor-adjusted rows, floor-band suppression, annotation/unstable
+    tags — pin its classification so the report stays trustworthy."""
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import weak_set
+
+    queries = {
+        "hot": 2.0,        # 2.0-0.1 / 0.5 = 3.8x, not floor-bound
+        "floor": 1.0,      # >2x but spark<=1.5 and duck<=0.25
+        "fine": 0.6,       # 1.0x
+        "annotated_hot": 3.0,
+    }
+    duck = {"hot": 0.5, "floor": 0.2, "fine": 0.5, "annotated_hot": 1.0}
+    rows = weak_set.weak_rows(
+        queries, duck, 0.1,
+        annotations={"annotated_hot": "note"},
+        unstable=["hot"],
+    )
+    by_name = {r[0]: r for r in rows}
+    assert "fine" not in by_name
+    assert "floor-bound" in by_name["floor"][4]
+    assert "floor-bound" not in by_name["hot"][4]
+    assert "unstable" in by_name["hot"][4]
+    assert "annotated" in by_name["annotated_hot"][4]
+    # sorted worst-first by ratio (floor: (1.0-0.1)/0.2 = 4.5x tops
+    # hot's 3.8x — suppression is a TAG, not an ordering change)
+    assert rows[0][0] == "floor"
+    assert rows[1][0] == "hot"
