@@ -1426,23 +1426,46 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (contained -> container); near-equal pairs appear in both
     directions, which is the correct reading.
 
-    At 100 TB: same scale contract as llm_dedup_prefixfilter — the
-    inverted index is (1-tau)-sized on the A side, text never ships,
-    candidates per doc are few by construction.
+    Shape at 100 TB (r15, found weak by the bench rotation at 6.8x
+    sf0.1; SCALE.md §30a decomposition): the shingle-set table
+    ``base`` — (doc_id, distinct-shingle array, sz) — is built at DOC
+    scale (sz = size(array_distinct(..)) needs no window) and
+    ``localCheckpoint``-pinned: it feeds the exploded index, the
+    prefix rank, AND the verify arrays directly, so the corpus
+    tokenizes exactly once and nothing row-scale is materialized (the
+    r15 A/B vs a row-scale ranked-table checkpoint: 1.47 vs 1.75 s at
+    sf0.1, and the collect_list re-aggregation disappears entirely).
+    Per-shingle document frequency is a COUNT window over ``s`` (not a
+    groupBy + join-back, which shuffles the corpus-scale shingle table
+    twice: measured 1.72 s vs 0.56 s for the attach alone); the df
+    rank then rides one doc_id exchange. The full inverted-index side
+    needs no df, so it re-derives from the checkpoint and shares the
+    join's s-partitioning. Otherwise the same scale contract as
+    llm_dedup_prefixfilter — the inverted index is (1-tau)-sized on
+    the A side, text never ships, candidates per doc are few by
+    construction; a pathologically hot shingle skews the s-window
+    exactly as it would the groupBy form, and AQE skew-join covers
+    the candidate join.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = _doc_shingles(docs)
-    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    by_doc = Window.partitionBy("doc_id")
-    ranked = (
-        sh.join(df_, "s")
-        .withColumn("sz", F.count(F.lit(1)).over(by_doc))
-        .withColumn("r", F.row_number().over(by_doc.orderBy("df", "s")))
+    base = (
+        with_shingles(docs)
+        .select("doc_id", F.array_distinct("shingles").alias("arr"))
+        .withColumn("sz", F.size("arr"))
+        .localCheckpoint(eager=False)
     )
-    prefix = ranked.filter(
-        F.col("r") <= F.col("sz") - F.ceil(F.lit(CT_TAU) * F.col("sz")) + 1
-    ).select(F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a"))
-    full = ranked.select(
+    sh = base.select("doc_id", "sz", F.explode("arr").alias("s"))
+    by_s = Window.partitionBy("s")
+    by_doc = Window.partitionBy("doc_id")
+    prefix = (
+        sh.withColumn("df", F.count(F.lit(1)).over(by_s))
+        .withColumn("r", F.row_number().over(by_doc.orderBy("df", "s")))
+        .filter(
+            F.col("r") <= F.col("sz") - F.ceil(F.lit(CT_TAU) * F.col("sz")) + 1
+        )
+        .select(F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sz_a"))
+    )
+    full = sh.select(
         F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("sz_b")
     )
     cands = (
@@ -1454,11 +1477,8 @@ def llm_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    arrs = with_shingles(docs).select(
-        "doc_id", F.array_distinct("shingles").alias("arr")
-    )
-    a = arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
-    b = arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
     return (
         cands.join(a, "doc_a")
