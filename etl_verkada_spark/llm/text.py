@@ -1343,6 +1343,16 @@ def llm_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     text; the boilerplate set is frequency-pruned (Zipf: tiny relative
     to the shingle universe) so the match join's build side stays
     small; the coverage window sorts within documents only.
+
+    The occurrence table is ``localCheckpoint``-pinned (r15, SCALE.md
+    §30c): it feeds BOTH the boilerplate-set aggregate and the match
+    join, and without the pin the stride-1 window build + md5 — the
+    single most expensive projection in the plan, ~0.7 s of the 2.1 s
+    sf0.1 absolute — ran twice (2.10 -> 1.61 s measured same-window).
+    The digest build itself is NOT the lever: md5 adds nothing
+    measurable over the window-string construction (0.59 vs 0.62 s),
+    and a token-hash polynomial variant is blocked by ANSI overflow
+    semantics.
     """
     K = BOILER_K
     d = table(spark, sf_dir, "documents")
@@ -1358,11 +1368,15 @@ def llm_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), (F.col("n_windows") - 1).cast("int")),
         lambda i: F.array_join(F.slice("w", i + 1, K), " "),
     )
-    occ = base.select(
-        "doc_id",
-        "n_tokens",
-        F.posexplode(wins).alias("w_idx", "win"),
-    ).select("doc_id", "n_tokens", "w_idx", F.md5("win").alias("h"))
+    occ = (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.posexplode(wins).alias("w_idx", "win"),
+        )
+        .select("doc_id", "n_tokens", "w_idx", F.md5("win").alias("h"))
+        .localCheckpoint(eager=False)
+    )
     boiler = (
         occ.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

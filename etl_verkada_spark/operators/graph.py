@@ -50,14 +50,21 @@ PR_DAMP_PCT = 85  # damping factor d = 0.85, as an integer percentage
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct bipartite edges, both directions. Node encoding packs
     the two key spaces into one BIGINT: part p -> 2p, supplier s ->
-    2s+1 (disjoint, reversible via div/mod)."""
+    2s+1 (disjoint, reversible via div/mod).
+
+    The distinct runs on the (p, s) PAIRS before the direction fan-out
+    (r15): parts are even, suppliers odd, so the fwd (even->odd) and
+    rev (odd->even) direction sets are disjoint by construction and
+    their union needs no second dedup — half the distinct's shuffle
+    wire vs distinct-after-union (measured 0.88 vs 1.00 s at sf0.1).
+    """
     li = table(spark, sf_dir, "lineitem").select(
         (F.col("l_partkey") * 2).alias("p"),
         (F.col("l_suppkey") * 2 + 1).alias("s"),
-    )
+    ).distinct()
     fwd = li.select(F.col("p").alias("src"), F.col("s").alias("dst"))
     rev = li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
-    return fwd.unionByName(rev).distinct()
+    return fwd.unionByName(rev)
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,6 +462,18 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB with a frontier too big to broadcast (web-graph expansion
     peak), drop the hints and pre-partition edges by src — the
     classic shuffle-BFS trade, one exchange per level.
+
+    sf0.1 ratio adjudication (r15, SCALE.md §30b): the 4.6x row is
+    per-round job tax, not plan — decomposed as edge build ~1.0 s
+    (the 2x-lineitem scan + pair distinct, vs DuckDB's ENTIRE
+    recursive CTE at 0.45 s in-process) plus 5 eager supersteps at
+    the ~0.28 s per-job floor. Both structural alternatives were
+    built and measured SLOWER: a fully lazy bounded-depth single-job
+    plan (5.1 s — frontier subtrees recompute exponentially without
+    per-level materialization) and a two-levels-per-superstep fold
+    (2.63 vs 2.42 s — the fold halves jobs but doubles stages per
+    job, so the wave count is unchanged). The constant amortizes at
+    cluster scale; folding is not the lever.
     """
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     visited = spark.createDataFrame(
