@@ -267,6 +267,14 @@ HEADLINE = [
 
 N_RUNS = 5  # min-of-N: sub-second timings carry ~20% scheduler noise
 
+#: floor-band policy, the single definition (r14 advice: these were
+#: duplicated in tools/weak_set.py and could drift): a >2x row whose
+#: Spark absolute is within FLOOR_BAND_SPARK_S against a DuckDB
+#: denominator under FLOOR_BAND_DUCK_S prices fixed per-job
+#: scheduling, not the plan.
+FLOOR_BAND_SPARK_S = 1.5
+FLOOR_BAND_DUCK_S = 0.25
+
 
 def _duck_connect():
     """DuckDB connection with spills pinned to /tmp: the default
@@ -708,10 +716,16 @@ SF1_SPARK_ONLY = ["ts_ewma", "ts_anomaly_zscore"]
 def _sf1_sql_overrides() -> dict[str, str]:
     from etl_verkada_spark.llm.dedup import SF1_TWIN_LLM_DEDUP_PREFIXFILTER
     from etl_verkada_spark.llm.text import SF1_TWIN_LLM_EVAL_NGRAM_RECALL
+    from etl_verkada_spark.streaming.upsert import SF1_TWIN_STREAM_TOPK
 
     return {
         "llm_dedup_prefixfilter": SF1_TWIN_LLM_DEDUP_PREFIXFILTER,
         "llm_eval_ngram_recall": SF1_TWIN_LLM_EVAL_NGRAM_RECALL,
+        # r15 (r14 verdict item 7): same two-trigger chunk-pair fold as
+        # the Spark replay — the one-shot-ranking denominator priced a
+        # structural mismatch; stays IN the ratio (the true oracle CAN
+        # finish at sf1, so the exclusion criterion does not apply)
+        "stream_topk": SF1_TWIN_STREAM_TOPK,
     }
 
 
@@ -772,12 +786,13 @@ SF1_ANNOTATIONS = {
         "docstring's operating-range note)"
     ),
     "stream_topk": (
-        "replay-stress row: replays ALL chunks through availableNow "
-        "micro-batch machinery (r14: 2 chunk-pair triggers — the fold "
-        "is associative so trigger grouping is free, and 4 triggers' "
-        "offsets-log/listing tax swung 3x between clean runs) vs the "
-        "one-shot ranking twin; the fold's own marginal work is the "
-        "per-chunk TakeOrdered, bounded by K x |series| state forever"
+        "replay row with a MATCHED-WORK denominator since r15 (r14 "
+        "verdict item 7): the DuckDB side folds the identical two "
+        "chunk-pair batches — per-batch top-K prune then semilattice "
+        "prune-merge (see sql_overrides; result provably equals the "
+        "one-shot ranking the correctness row checks). The residual "
+        "ratio prices Spark's streaming machinery (offsets log, state "
+        "versioning I/O) against an in-process fold, deliberately"
     ),
     "upsert_merge": (
         "floor/constant-bound (r14 adjudication, SCALE.md §29e): the "
@@ -1075,6 +1090,7 @@ def compact_stdout_line(
     floor_1row_s: float | None = None,
     host: dict | None = None,
     runs_merged: int | None = None,
+    n_current_run: int | None = None,
 ) -> str:
     """One JSON line <= STDOUT_LINE_BUDGET bytes: the driver contract.
 
@@ -1148,8 +1164,8 @@ def compact_stdout_line(
                 n
                 for n, r in sf1_summary["ratio"].items()
                 if r > 2.0
-                and sf1["queries"].get(n, 99.0) <= 1.5
-                and sf1["duckdb"].get(n, 99.0) <= 0.25
+                and sf1["queries"].get(n, 99.0) <= FLOOR_BAND_SPARK_S
+                and sf1["duckdb"].get(n, 99.0) <= FLOOR_BAND_DUCK_S
             )
             if fb:
                 sf1_summary["floor_bound"] = fb
@@ -1220,12 +1236,23 @@ def compact_stdout_line(
         "ratio_median_floor_adjusted": ratio_median,
         "n_queries_gt2x": n_gt2x,
         "n_ratio_pairs": len(per_q),
+        # intersection-size transparency (r14 advice): a prior run that
+        # lost a query to a deadline silently shrinks the merged query
+        # set for every later merged record — name both counts so a
+        # shrinking intersection is visible in the stdout record itself
         "pairs_md5": pairs_md5,
         "floor_used": "spark_fixed_overhead_sec",
         "host": host,
         "sf1": sf1_summary,
         "detail_file": detail_path,
     }
+    if runs_merged:
+        # intersection-size transparency (r14 advice): a prior run that
+        # lost a query to a deadline silently shrinks the merged query
+        # set for every later merged record — name both counts so a
+        # shrinking intersection is visible in the stdout record itself
+        final["n_queries_merged"] = len(timings)
+        final["n_queries_current_run"] = n_current_run
     if partial:
         final["partial"] = True
         final.pop("sf1", None)
@@ -1939,11 +1966,12 @@ def main() -> None:
     }
     # same-SCALE guard: a smoke run at another sf shares query NAMES
     # with prior sf0.1 runs — min-merging across scales would be
-    # nonsense, so only same-sf prior runs participate
-    runs = [
-        r for r in _load_prior_runs(repo_detail, tree_id)
-        if r.get("sf") == sf
-    ] + [cur_run]
+    # nonsense, so only same-sf prior runs participate in the merge;
+    # other-sf prior runs are carried through to the written detail
+    # file UNCHANGED (r14 advice: `runs = runs` used to drop them)
+    prior_runs = _load_prior_runs(repo_detail, tree_id)
+    other_sf_runs = [r for r in prior_runs if r.get("sf") != sf]
+    runs = [r for r in prior_runs if r.get("sf") == sf] + [cur_run]
     line_timings, line_duck, line_sf1 = timings, duck, sf1
     if len(runs) > 1:
         m_q = _min_intersect([r.get("queries") for r in runs])
@@ -1994,7 +2022,7 @@ def main() -> None:
         "duckdb_detail": duck_detail,
         "sf1": sf1,
         "tree_id": tree_id,
-        "runs": runs,
+        "runs": other_sf_runs + runs,
         "runs_merged": len(runs),
     }
     if line_timings is not timings:
@@ -2033,6 +2061,7 @@ def main() -> None:
             floor_1row_s=floor_1row_s,
             host=host,
             runs_merged=len(runs) if len(runs) > 1 else None,
+            n_current_run=len(timings),
         ),
         flush=True,
     )

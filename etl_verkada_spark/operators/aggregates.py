@@ -1196,6 +1196,18 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
         run[flag] = c + r["bw"]
+    # empty input (or all-zero weights) -> no median bucket anywhere:
+    # return the empty result frame directly instead of building a
+    # None predicate (li.filter(None) raises; r14 advice)
+    if not med_rows:
+        return (
+            li.select(
+                "l_returnflag",
+                F.lit(None).cast("double").alias("weighted_median_price"),
+                F.lit(None).cast("long").alias("total_weight"),
+            )
+            .limit(0)
+        )
     # literal pushdown predicate on the raw double column (coarse,
     # widened 1 cent each side) + exact integer bucket re-test
     coarse = None

@@ -18,6 +18,14 @@ Conventions (BASELINE.md / driver contract):
   the driver's canonicalizer (r4's flagship_features crash) — emit
   ``to_json(...)`` / ``array_join(...)`` string columns instead, with
   the oracle producing the identical serialization.
+* EAGER-CONSTRUCTION contract (r14): a few callables run bounded
+  driver-side jobs at DataFrame-CONSTRUCTION time (``collect()`` of a
+  cell-sized table that parameterizes the plan — agg_weighted_median's
+  median-bucket pick, ts_lttb's cell table) and embed the result as
+  literals. The returned plan is therefore frozen against the source
+  as read at build time: rebuild via the registry callable after any
+  data change instead of caching the DataFrame, and expect cluster
+  jobs from the call itself, not just from the action.
 """
 
 from __future__ import annotations

@@ -1007,6 +1007,50 @@ WHERE rnk <= {TOPK_K}
 """
 
 
+#: bench-only matched-work twin (r15, the r14 verdict's stream_topk
+#: item): the correctness oracle above is a ONE-SHOT ranking, so the
+#: sf1 ratio priced Spark's multi-batch replay against an engine doing
+#: a single pass — a structural mismatch, annotated since r11. The
+#: chunk assignment is ``event_id % TOPK_CHUNKS`` (deterministic, see
+#: _ensure_topk_landing) and the r14 replay groups chunk PAIRS per
+#: trigger, so DuckDB can fold the IDENTICAL two batches: per-batch
+#: top-K prune, then prune-merge — the same semilattice fold
+#: ``topK(topK(b1) ∪ topK(b2))``, whose result provably equals the
+#: one-shot ranking (that equality is what the correctness row
+#: verifies). Spark's residual streaming-machinery tax (offsets log,
+#: state versioning I/O) stays priced against the twin, deliberately.
+SF1_TWIN_STREAM_TOPK = f"""
+WITH pruned AS (
+  SELECT event_type, event_id, v_c, half FROM (
+    SELECT
+      event_type,
+      event_id,
+      CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c,
+      (event_id % {TOPK_CHUNKS}) // 2 AS half,
+      ROW_NUMBER() OVER (
+        PARTITION BY event_type, (event_id % {TOPK_CHUNKS}) // 2
+        ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC,
+                 event_id DESC
+      ) AS rn
+    FROM events
+  ) WHERE rn <= {TOPK_K}
+),
+merged AS (
+  SELECT
+    event_type, event_id, v_c,
+    ROW_NUMBER() OVER (
+      PARTITION BY event_type
+      ORDER BY v_c DESC, event_id DESC
+    ) AS rnk
+  FROM pruned
+)
+SELECT event_type, rnk, event_id,
+       CAST(CAST(v_c AS DECIMAL(38,0)) / 100 AS DOUBLE) AS value
+FROM merged
+WHERE rnk <= {TOPK_K}
+"""
+
+
 QUERIES = {
     "upsert_merge": spec(
         upsert_merge, ORACLE_UPSERT_MERGE, "reference:S9",

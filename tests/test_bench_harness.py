@@ -278,6 +278,23 @@ def test_stdout_metric_names_merged_run_count():
     assert "min-intersection" not in json.loads(line1)["metric"]
 
 
+def test_stdout_line_names_merged_intersection_size():
+    """r14 advice: a deadline-lost query silently shrinks the merged
+    set — the record must carry merged-vs-current-run query counts."""
+    line = bench.compact_stdout_line(
+        1.0, 0.1, {"q": 1.0, "r": 2.0}, 0.02, {"q": 0.5}, None,
+        "/tmp/x.json", runs_merged=2, n_current_run=5,
+    )
+    rec = json.loads(line)
+    assert rec["n_queries_merged"] == 2
+    assert rec["n_queries_current_run"] == 5
+    unmerged = json.loads(bench.compact_stdout_line(
+        1.0, 0.1, {"q": 1.0}, 0.02, {"q": 0.5}, None, "/tmp/x.json",
+        n_current_run=5,
+    ))
+    assert "n_queries_merged" not in unmerged
+
+
 def test_headline_pairs_are_registered_with_oracles():
     """Every sf0.1 benched pair must be a registered query WITH an
     oracle (a ratio needs a denominator), and the list must be
@@ -339,3 +356,28 @@ def test_weak_set_report_tags_and_thresholds():
     # hot's 3.8x — suppression is a TAG, not an ordering change)
     assert rows[0][0] == "floor"
     assert rows[1][0] == "hot"
+
+
+def test_stream_topk_twin_equals_one_shot_oracle():
+    """The sf1 matched-work twin (two chunk-pair prunes + semilattice
+    merge) must produce the IDENTICAL leaderboard as the one-shot
+    ranking oracle — the semilattice property the streaming fold
+    relies on, asserted on real data so the bench denominator swap
+    (r15) can never change the measured answer."""
+    import duckdb
+
+    from etl_verkada_spark.streaming.upsert import (
+        ORACLE_STREAM_TOPK,
+        SF1_TWIN_STREAM_TOPK,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.01/events.parquet'"
+    )
+    suffix = " ORDER BY event_type, rnk"
+    a = con.execute(ORACLE_STREAM_TOPK + suffix).df()
+    b = con.execute(SF1_TWIN_STREAM_TOPK + suffix).df()
+    assert a.equals(b)
+    assert len(a) > 0

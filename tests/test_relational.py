@@ -2320,6 +2320,24 @@ def test_weighted_median_scan2_is_literal_pushdown(spark):
     assert "LessThanOrEqual(l_extendedprice" in fp, fp
 
 
+def test_weighted_median_empty_input_returns_empty(spark, tmp_path):
+    """Empty lineitem -> empty result frame with the output schema
+    (r14 advice: the driver-side bucket pick used to leave the scan-2
+    predicates as None and li.filter(None) raised)."""
+    from etl_verkada_spark.catalog import table
+    from etl_verkada_spark.operators.aggregates import agg_weighted_median
+
+    src = table(spark, SF_SMALL, "lineitem")
+    src.limit(0).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = agg_weighted_median(spark, str(tmp_path))
+    assert out.columns == [
+        "l_returnflag",
+        "weighted_median_price",
+        "total_weight",
+    ]
+    assert out.count() == 0
+
+
 def test_tfidf_one_rowscale_exchange_broadcast_df(spark):
     """llm_tfidf's tf aggregate and per-doc top-k window both reuse the
     pre-explode repartition-by-doc_id (HashPartitioning(doc_id)

@@ -12,13 +12,17 @@ the merged cross-run maps (when present) and the current run.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-#: the in-record floor-band policy (bench.py compact_stdout_line):
-#: a >2x row whose Spark absolute is ~1 s against a <=0.25 s DuckDB
-#: denominator prices fixed per-job scheduling, not the plan
-FLOOR_SPARK_S = 1.5
-FLOOR_DUCK_S = 0.25
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+# the in-record floor-band policy — ONE definition, owned by bench.py
+# (r14 advice: a local copy could drift from the committed record's
+# floor_bound tags)
+from bench import FLOOR_BAND_DUCK_S as FLOOR_DUCK_S  # noqa: E402
+from bench import FLOOR_BAND_SPARK_S as FLOOR_SPARK_S  # noqa: E402
 
 
 def weak_rows(queries, duck, floor_s, annotations, unstable):
