@@ -1167,13 +1167,19 @@ def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     float fold that diverges in the last ulp under shuffle reordering.
     Monotone-comparable for filtering: both rank templated text low.
 
-    Two mergeable hash aggregates — (doc, word) counts, then the
-    per-doc rollup; the (doc, word) exchange is the same wire cost as
-    TF-IDF's. No windows, no UDFs, everything codegen.
+    ONE doc-scale exchange (r15, the llm_tfidf lesson — was the 2.06x
+    sf1 boundary row): documents repartition by doc_id BEFORE the
+    explode (pre-tokenization wire), and both hash aggregates —
+    (doc, word) counts and the per-doc rollup — have their clustering
+    satisfied by HashPartitioning(doc_id), so neither re-shuffles the
+    token- or (doc, word)-scale tables the old two-exchange form
+    shipped (2.32 -> 1.52 s at sf1, same-window A/B; now under the
+    DuckDB denominator). No windows, no UDFs, everything codegen.
     """
     d = table(spark, sf_dir, "documents")
     counts = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        d.repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )

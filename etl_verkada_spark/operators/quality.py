@@ -52,22 +52,55 @@ PRIMARY_KEYS = (
 def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan-FK audit: one row per relationship with total child rows
     and the count whose FK has no parent (NULL FKs count as orphans —
-    an audit reports missing lineage, whatever the cause)."""
-    rows = []
+    an audit reports missing lineage, whatever the cause).
+
+    ONE scan per child table (r15, found 30x floor-adjusted by the
+    bench-rotation probe): all of a child's relationships ride the
+    same scan as chained LEFT joins against the parent key columns
+    (parents are key-projected and distinct-free — they are declared
+    primary keys — so the joins preserve cardinality), and
+    ``n_orphans`` is a conditional count on the null-extended parent
+    key, which matches the old anti-join + NULL-FK semantics exactly.
+    The old form paid TWO aggregate branches per relationship (a
+    count crossJoin an anti-join count): 10 lineitem-family scans
+    where this pays 3 total (1.60 -> ~0.5 s at sf0.1). The per-child
+    single row is unpivoted via stack() to keep the stable
+    one-row-per-relationship report shape. Join strategy is left to
+    Catalyst/AQE — dimension parents broadcast at test scale; a
+    row-scale parent (lineitem->orders at 100 TB) shuffles, exactly
+    as the anti-join form would."""
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for name, child_t, fk, parent_t, pk in FK_RELATIONSHIPS:
-        child = table(spark, sf_dir, child_t).select(F.col(fk).alias("fk"))
-        parent = table(spark, sf_dir, parent_t).select(
-            F.col(pk).alias("pk")
-        )
-        orphans = child.join(
-            parent, child["fk"] == parent["pk"], "left_anti"
+        by_child.setdefault(child_t, []).append((name, fk, parent_t, pk))
+    rows = []
+    for child_t, rels in by_child.items():
+        fks = sorted({fk for _, fk, _, _ in rels})
+        df = table(spark, sf_dir, child_t).select(*fks)
+        for i, (name, fk, parent_t, pk) in enumerate(rels):
+            parent = table(spark, sf_dir, parent_t).select(
+                F.col(pk).alias(f"__pk_{i}")
+            )
+            df = df.join(
+                parent, df[fk] == parent[f"__pk_{i}"], "left"
+            )
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.count(F.when(F.col(f"__pk_{i}").isNull(), 1)).alias(
+                f"__orph_{i}"
+            )
+            for i in range(len(rels))
+        ]
+        one = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{name}', __orph_{i}" for i, (name, _, _, _) in enumerate(rels)
         )
         rows.append(
-            child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
-                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-            ).select(
-                F.lit(name).alias("relationship"), "n_rows", "n_orphans"
-            )
+            one.select(
+                F.expr(
+                    f"stack({len(rels)}, {stack_args}) AS "
+                    "(relationship, n_orphans)"
+                ),
+                "n_rows",
+            ).select("relationship", "n_rows", "n_orphans")
         )
     return reduce(DataFrame.unionByName, rows)
 

@@ -2354,6 +2354,20 @@ def test_tfidf_one_rowscale_exchange_broadcast_df(spark):
     assert n_hash <= 2, plan
 
 
+def test_lexical_diversity_one_exchange(spark):
+    """llm_lexical_diversity's two hash aggregates both reuse the
+    pre-explode repartition-by-doc_id — exactly ONE hash exchange in
+    the plan (r15; regression = the (doc, word) or per-doc rollup
+    re-shuffles at token scale, the 2.06x sf1 boundary-row shape)."""
+    import re
+
+    from etl_verkada_spark.llm.text import llm_lexical_diversity
+
+    plan = plan_of(llm_lexical_diversity(spark, SF_SMALL))
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, plan
+
+
 def test_dataset_card_has_no_expand_or_window(spark):
     """llm_dataset_card's rollup must keep ONE distinct (no Expand
     doubling the corpus-scale exchange) and derive top-lang/n_langs
