@@ -875,6 +875,15 @@ SF1_ANNOTATIONS = {
         "alone is 48% of the Spark absolute against a 0.2 s in-memory "
         "denominator"
     ),
+    "agg_weighted_median": (
+        "floor/constant-bound (SCALE.md §29a decomposition, "
+        "annotated-closed r15 §30g): the zero-row-scale-exchange "
+        "two-scan shape pays two bare parquet scans + two job floors "
+        "against DuckDB's single in-memory pass; the one named "
+        "residual lever (row-group min/max pruning on the pushed "
+        "price band) needs a value-clustered layout the testdata "
+        "does not have — a data-layout property, not a plan change"
+    ),
     "dq_referential": (
         "floor/constant-bound (r15 probe + decomposition, SCALE.md "
         "§30d): a 5-relationship FK audit = 3 child scans + 4 "

@@ -74,89 +74,89 @@ def spec(
 # driver-green from an earlier round with unchanged code, plus full
 # parity coverage via tools/parity_check.py.
 #
-# ROUND-14 WINDOW. CORRECTNESS_r13 went 50/50 green; cumulatively all
+# ROUND-15 WINDOW. CORRECTNESS_r14 went 50/50 green; cumulatively all
 # 228 registered queries carry a hash-green driver row. Evidence state
-# entering r14 (newest hash-green driver round -> count, computed from
-# CORRECTNESS_r01..r13): r6 -> 21, r9 -> 38, r10 -> 36, r11 -> 36,
-# r12 -> 47, r13 -> 50; never -> 0. Per the policy:
+# entering r15 (newest hash-green driver round -> count, computed from
+# CORRECTNESS_r01..r14): r9 -> 16, r10 -> 36, r11 -> 33, r12 -> 46,
+# r13 -> 47, r14 -> 50; never -> 0. Per the policy:
 #   1. flagship;
 #   2. clause (a) — empty (nothing unchecked);
-#   3. clause (b) — IMPLEMENTATION or oracle changed in round 14 (7):
-#      agg_weighted_median (driver-side bucket selection + literal
-#      parquet pushdown on scan 2), ts_lttb (two-scan quantized-cell
-#      plan, oracle rewritten to match), join_asof / join_asof_fwd /
-#      join_asof_nearest (one-scan conditional-projection legs),
-#      ts_interpolate (descending running frames replacing the O(n^2)
-#      unbounded-following frames), stream_topk (chunk-pair replay
-#      batching; result unchanged by design — the driver re-check is
-#      the proof);
-#   4. clause (c) fill (42 slots): the whole remaining r6-evidence
-#      cohort (21 — the r13 verdict's pinned queue), then the first 21
-#      of the 38 r9-evidence rows, alphabetical (join_asof_fwd already
-#      seated by clause b).
-# R15 QUEUE (clause c fill order, unless displaced by r15 changes):
-# the remaining 17 r9-evidence rows (llm_token_count, mm_binary_stats,
-# mm_feature_extract, scan_csv_land, scd2_apply, sort_topn_per_key,
-# subquery_all, ts_cusum, ts_gapfill, ts_interval_merge,
-# ts_rolling_median, ts_rollup_hierarchy, ts_seasonal_baseline,
-# validate_expectations, win_pattern_match, win_sessionize, plus the
-# one displaced here), then the r10 cohort (36 rows) alphabetical.
+#   3. clause (b) — IMPLEMENTATION or oracle changed in round 15 (10;
+#      the r14 policy note undercounted its changes at 7 — llm_tfidf
+#      landed after that window was pinned, so it seats FIRST here per
+#      the r14 verdict item 4): llm_tfidf (one-exchange rewrite r14 +
+#      r15 size-gated df broadcast), llm_dedup_containment (doc-scale
+#      checkpoint, window df, one tokenize), graph_bfs_levels /
+#      graph_pagerank / graph_degree_hist / graph_label_propagation
+#      (shared _edges build: distinct-before-direction-fan-out),
+#      llm_boilerplate_coverage (occurrence-table checkpoint),
+#      llm_lexical_diversity (repartition-by-doc pre-explode, one
+#      exchange), agg_weighted_median (empty-input guard),
+#      dq_referential (one-scan-per-child chained-left-join audit);
+#   4. clause (c) fill (39 slots): the whole remaining r9-evidence
+#      cohort (16), then the first 23 of the 36 r10-evidence rows,
+#      alphabetical.
+# R16 QUEUE (clause c fill order, unless displaced by r16 changes):
+# the remaining r10-evidence rows (project_struct_nested,
+# scan_partition_pruned, skyline_pareto, stream_session,
+# stream_stateful, stream_stream_join, stream_tumble, ts_autocorr,
+# ts_mad_anomaly, ts_ohlc, udf_pandas), then the r11 cohort (33 rows)
+# alphabetical.
 PRIORITY_ORDER: tuple[str, ...] = (
     # flagship
     "flagship_flat",
-    # -- 3. round-14 implementation changes (clause b) --
-    "agg_weighted_median",
-    "ts_lttb",
-    "join_asof",
-    "join_asof_fwd",
-    "join_asof_nearest",
-    "ts_interpolate",
-    "stream_topk",
-    # -- 4a. r6-evidence cohort (clause c, oldest evidence; whole set) --
-    "mm_resize",
-    "project_struct",
-    "scan_cursor",
-    "scan_manifest_log",
-    "scan_page",
-    "set_except",
-    "set_except_all",
-    "set_intersect",
-    "set_intersect_all",
-    "set_union",
-    "subquery_exists",
-    "subquery_in",
-    "subquery_scalar",
-    "unpivot",
-    "upsert_merge",
-    "validate_failfast",
-    "validate_json",
-    "win_first_last",
-    "win_lag",
-    "win_ntile",
-    "win_range_interval",
-    # -- 4b. r9-evidence cohort (clause c fill, 21 of 38, alphabetical;
-    #        join_asof_fwd seated by clause b) --
-    "agg_approx",
-    "agg_bitmap_distinct",
-    "agg_stats",
-    "cdc_merge_ops",
-    "fx_bitwise",
-    "geo_knn",
+    # -- 3. round-15 implementation changes (clause b) --
+    "llm_tfidf",
+    "llm_dedup_containment",
+    "graph_bfs_levels",
+    "graph_pagerank",
     "graph_degree_hist",
+    "graph_label_propagation",
     "llm_boilerplate_coverage",
-    "llm_bpe_pair_count",
-    "llm_decontaminate",
-    "llm_dedup_embed",
-    "llm_dedup_exact",
-    "llm_dedup_keep_best",
-    "llm_dedup_soft",
-    "llm_fingerprint",
-    "llm_lang_id",
-    "llm_length_buckets",
     "llm_lexical_diversity",
-    "llm_pii_scrub",
-    "llm_quality",
-    "llm_quality_ensemble",
+    "agg_weighted_median",
+    "dq_referential",
+    # -- 4a. r9-evidence cohort (clause c, oldest evidence; whole set) --
+    "llm_token_count",
+    "mm_binary_stats",
+    "mm_feature_extract",
+    "scan_csv_land",
+    "scd2_apply",
+    "sort_topn_per_key",
+    "subquery_all",
+    "ts_cusum",
+    "ts_gapfill",
+    "ts_interval_merge",
+    "ts_rolling_median",
+    "ts_rollup_hierarchy",
+    "ts_seasonal_baseline",
+    "validate_expectations",
+    "win_pattern_match",
+    "win_sessionize",
+    # -- 4b. r10-evidence cohort (clause c fill, 23 of 36, alphabetical) --
+    "agg_collect",
+    "agg_gini",
+    "agg_mode",
+    "agg_salted",
+    "cdc_snapshot_diff",
+    "dq_benford",
+    "fx_math",
+    "geo_geofence_join",
+    "join_bucketed",
+    "join_range",
+    "llm_clean_pipeline",
+    "llm_dedup_fuzzy",
+    "llm_dedup_ngram",
+    "llm_dedup_prefixfilter",
+    "llm_eval_ngram_recall",
+    "llm_quality_repetition",
+    "llm_sample_reservoir",
+    "llm_shard",
+    "llm_sim_ann_ivf",
+    "llm_sim_pairs",
+    "llm_winnowing",
+    "mm_resize_stub",
+    "pivot",
 )
 
 
