@@ -35,6 +35,22 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _local_shuffle_partitions() -> str:
+    """One task wave per shuffle stage at the *actual* local core count.
+
+    The bench driver re-runs at lower ``SPARK_GRAFT_CPUS`` to measure
+    scaling; a constant (the pre-r15 hard-coded 32) forces 4 waves per
+    shuffle on an 8-core run, polluting that measurement with pure
+    scheduling overhead. ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` overrides
+    for cluster deployments (SCALE.md: ~2-4x total executor cores and
+    let AQE coalesce).
+    """
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit:
+        return explicit
+    return os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+
+
 #: Confs that are runtime-settable (plain SQLConf) and required for
 #: correct + fast behavior regardless of who built the session.
 RUNTIME_DEFAULTS: dict[str, str] = {
@@ -50,10 +66,6 @@ RUNTIME_DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     # Arrow-batched UDTF eval (functions/udtfs.py)
     "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
-    # local[32] scale: one wave per shuffle stage (module docstring has
-    # the measured 64-vs-32 matrix); a cluster deployment overrides this
-    # (see SCALE.md).
-    "spark.sql.shuffle.partitions": "32",
     # 64 MB broadcast budget (default 10 MB): a compact 2-3 column dim of
     # a few million rows is far cheaper to broadcast than to shuffle the
     # fact side against — measured at synthesized sf1, join_large flips
@@ -69,8 +81,18 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
 
     Safe to call repeatedly; silently skips confs the session refuses
     (e.g. static confs on some builds).
+
+    ``spark.sql.shuffle.partitions`` is computed at call time, not
+    frozen in RUNTIME_DEFAULTS: one wave per shuffle stage at the
+    *current* ``SPARK_GRAFT_CPUS`` (the module docstring has the
+    measured 64-vs-32 matrix at 32 cores). Derived, not constant, so
+    the driver's lower-core bench runs keep one wave too; a cluster
+    deployment overrides via ``SPARK_GRAFT_SHUFFLE_PARTITIONS``
+    (SCALE.md: ~2-4x total executor cores, AQE coalesces).
     """
-    for key, value in RUNTIME_DEFAULTS.items():
+    defaults = dict(RUNTIME_DEFAULTS)
+    defaults["spark.sql.shuffle.partitions"] = _local_shuffle_partitions()
+    for key, value in defaults.items():
         try:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf rejected; keep going

@@ -381,3 +381,17 @@ def test_stream_topk_twin_equals_one_shot_oracle():
     b = con.execute(SF1_TWIN_STREAM_TOPK + suffix).df()
     assert a.equals(b)
     assert len(a) > 0
+
+
+def test_shuffle_partitions_follow_cpu_knob(monkeypatch):
+    """The driver benches at lower SPARK_GRAFT_CPUS to measure scaling;
+    shuffle partitions must track the knob (one wave per stage) rather
+    than stay pinned at the 32 of the primary bench host (r15)."""
+    from etl_verkada_spark.session import _local_shuffle_partitions
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    assert _local_shuffle_partitions() == "8"
+    # cluster override wins (SCALE.md: ~2-4x total executor cores)
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4096")
+    assert _local_shuffle_partitions() == "4096"
