@@ -81,7 +81,7 @@ def spec(
 # r13 -> 47, r14 -> 50; never -> 0. Per the policy:
 #   1. flagship;
 #   2. clause (a) — empty (nothing unchecked);
-#   3. clause (b) — IMPLEMENTATION or oracle changed in round 15 (10;
+#   3. clause (b) — IMPLEMENTATION or oracle changed in round 15 (11;
 #      the r14 policy note undercounted its changes at 7 — llm_tfidf
 #      landed after that window was pinned, so it seats FIRST here per
 #      the r14 verdict item 4): llm_tfidf (one-exchange rewrite r14 +
@@ -92,12 +92,17 @@ def spec(
 #      llm_boilerplate_coverage (occurrence-table checkpoint),
 #      llm_lexical_diversity (repartition-by-doc pre-explode, one
 #      exchange), agg_weighted_median (empty-input guard),
-#      dq_referential (one-scan-per-child chained-left-join audit);
-#   4. clause (c) fill (39 slots): the whole remaining r9-evidence
-#      cohort (16), then the first 23 of the 36 r10-evidence rows,
-#      alphabetical.
+#      dq_referential (one-scan-per-child chained-left-join audit),
+#      agg_approx (late-r15: the exact judge no longer shares a mixed
+#      distinct aggregate with the sketch — the per-distinct-key HLL
+#      partial buffer was 413 longs/key through the exchange; sketch
+#      now builds over the deduped keys, bit-identical estimate,
+#      1.96 -> 0.85 s isolated);
+#   4. clause (c) fill (38 slots): the whole remaining r9-evidence
+#      cohort (16), then the first 22 of the 36 r10-evidence rows,
+#      alphabetical (pivot displaced by the agg_approx seat).
 # R16 QUEUE (clause c fill order, unless displaced by r16 changes):
-# the remaining r10-evidence rows (project_struct_nested,
+# the remaining r10-evidence rows (pivot, project_struct_nested,
 # scan_partition_pruned, skyline_pareto, stream_session,
 # stream_stateful, stream_stream_join, stream_tumble, ts_autocorr,
 # ts_mad_anomaly, ts_ohlc, udf_pandas), then the r11 cohort (33 rows)
@@ -116,6 +121,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_lexical_diversity",
     "agg_weighted_median",
     "dq_referential",
+    "agg_approx",
     # -- 4a. r9-evidence cohort (clause c, oldest evidence; whole set) --
     "llm_token_count",
     "mm_binary_stats",
@@ -133,7 +139,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "validate_expectations",
     "win_pattern_match",
     "win_sessionize",
-    # -- 4b. r10-evidence cohort (clause c fill, 23 of 36, alphabetical) --
+    # -- 4b. r10-evidence cohort (clause c fill, 22 of 36, alphabetical) --
     "agg_collect",
     "agg_gini",
     "agg_mode",
@@ -156,7 +162,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "llm_sim_pairs",
     "llm_winnowing",
     "mm_resize_stub",
-    "pivot",
 )
 
 
