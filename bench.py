@@ -1170,19 +1170,44 @@ def _min_intersect(maps: list[dict | None]) -> dict:
     return {k: min(m[k] for m in present) for k in keys}
 
 
-def _load_prior_runs(repo_detail_path: str, tree_id: str) -> list[dict]:
-    """Per-run compact records accumulated by earlier bench invocations
-    on the SAME tree (tree_id mismatch or unknown -> no merge)."""
+def _min_union(maps: list[dict | None]) -> dict:
+    """Per-key minimum over the keys present in ANY map — the sf1
+    cross-run merge (r15 verdict item 2). Unlike the sf0.1 headline
+    (min-INTERSECTION: every run times every HEADLINE query, and the
+    merged sum must be comparable run-over-run), the sf1 section
+    completes a budget-dependent PREFIX of its pair list per run, so
+    an intersection merge would shrink to the weakest run's coverage;
+    the union lets resume-aware runs accumulate full coverage. Each
+    pair's value is still a same-tree min, so no entry is less honest
+    than a single-run record."""
+    out: dict = {}
+    for m in maps:
+        for k, v in (m or {}).items():
+            if k not in out or v < out[k]:
+                out[k] = v
+    return out
+
+
+def _load_prior_record(repo_detail_path: str, tree_id: str) -> dict:
+    """The previous bench record IF it belongs to the same tree
+    (tree_id mismatch or unknown -> empty: cross-run merging is only
+    valid between runs of the identical tree)."""
     if tree_id == "unknown":
-        return []
+        return {}
     try:
         with open(repo_detail_path) as f:
             prev = json.load(f)
     except (OSError, ValueError):
-        return []
+        return {}
     if prev.get("tree_id") != tree_id:
-        return []
-    runs = prev.get("runs")
+        return {}
+    return prev
+
+
+def _load_prior_runs(repo_detail_path: str, tree_id: str) -> list[dict]:
+    """Per-run compact records accumulated by earlier bench invocations
+    on the SAME tree (tree_id mismatch or unknown -> no merge)."""
+    runs = _load_prior_record(repo_detail_path, tree_id).get("runs")
     if isinstance(runs, list) and runs:
         return runs
     return []
@@ -1257,6 +1282,13 @@ def compact_stdout_line(
             # in the official record — carry the names (capped) too
             sf1_summary["n_deadline_skipped"] = len(sf1["deadline_skipped"])
             sf1_summary["skipped_q"] = sf1["deadline_skipped"][:8]
+        if sf1.get("deadline_skipped_recheck"):
+            # skips of pairs the accumulated record already covers
+            # (resume-aware ordering, r15 verdict item 2) — a count is
+            # enough, the pairs still carry same-tree measurements
+            sf1_summary["n_skip_recheck"] = len(
+                sf1["deadline_skipped_recheck"]
+            )
         if "free_disk_gb_at_start" in sf1:
             sf1_summary["free_gb"] = round(sf1["free_disk_gb_at_start"], 1)
         if "pairs_md5" in sf1:
@@ -1495,6 +1527,7 @@ def bench_sf1(
     floor_s: float,
     deadline: float | None = None,
     run_id: str | None = None,
+    covered: set[str] | None = None,
 ) -> dict:
     """Spark-vs-DuckDB timings for the worst-ratio set at the
     synthesized sf1 (min-of-N_RUNS_SF1 per engine; dispersion recorded
@@ -1512,14 +1545,36 @@ def bench_sf1(
     rc:124 failure): no new query starts past the deadline minus
     reserve; everything not reached lands in ``deadline_skipped``; the
     Spark pass runs DuckDB-paired queries first so whatever time
-    remains completes RATIOS, not orphan absolutes."""
+    remains completes RATIOS, not orphan absolutes.
+
+    ``covered`` (r15 verdict item 2 — resume-aware ordering): pair
+    names that already carry a same-tree measurement in the
+    accumulated record. Not-yet-covered pairs run FIRST (within the
+    existing evidence ordering), so successive default-budget runs
+    accumulate full coverage instead of re-measuring the same prefix;
+    a deadline skip of an already-covered pair is recorded under
+    ``deadline_skipped_recheck`` (the record still has a same-tree
+    number for it), keeping ``deadline_skipped`` = genuinely missing
+    measurements."""
 
     def over_deadline(reserve: float = SF1_DEADLINE_RESERVE_S) -> bool:
         return deadline is not None and time.monotonic() > deadline - reserve
 
+    covered = covered or set()
+    #: fresh-first iteration order (stable within each group)
+    sf1_order_all = [n for n in SF1_QUERIES if n not in covered] + [
+        n for n in SF1_QUERIES if n in covered
+    ]
+
     sf1_dir = ensure_sf1(spark, src_dir)
     errors: dict[str, str] = {}
     skipped_deadline: list[str] = []
+    skipped_recheck: list[str] = []
+
+    def skip(tag: str, name: str) -> None:
+        (skipped_recheck if name in covered else skipped_deadline).append(
+            f"{tag}:{name}"
+        )
     _clean_tmp()
     free0 = _free_bytes()
     if free0 < SF1_MIN_FREE_BYTES:
@@ -1586,12 +1641,12 @@ def bench_sf1(
 
     overrides = _sf1_sql_overrides()
     duck_detail: dict[str, dict] = {}
-    for name in SF1_QUERIES:
+    for name in sf1_order_all:
         sql = overrides.get(name) or registry[name].oracle
         if not sql:
             continue
         if duck_over_deadline():
-            skipped_deadline.append(f"duckdb:{name}")
+            skip("duckdb", name)
             continue
         budget = SF1_DUCK_BUDGET_OVERRIDES.get(
             name, SF1_DUCK_QUERY_BUDGET_S
@@ -1622,7 +1677,7 @@ def bench_sf1(
     # min). "unstable" should mean "unmeasurable this session", not
     # "the scheduler hiccuped once".
     for name in [
-        n for n in SF1_QUERIES
+        n for n in sf1_order_all
         if duck_detail.get(n, {}).get("spread", 1.0) > 2.0
     ]:
         if duck_over_deadline():
@@ -1647,7 +1702,7 @@ def bench_sf1(
         sql = registry[name].oracle
         if sql:
             if duck_over_deadline():
-                skipped_deadline.append(f"duckdb_cold:{name}")
+                skip("duckdb_cold", name)
                 continue
             try:
                 t0 = time.perf_counter()
@@ -1666,12 +1721,13 @@ def bench_sf1(
     spark_detail: dict[str, dict] = {}
     # ratio-completing order: queries whose DuckDB twin finished first,
     # then the rest — a deadline mid-pass costs absolutes, not pairs
-    spark_order = [n for n in SF1_QUERIES if n in duck] + [
-        n for n in SF1_QUERIES if n not in duck
+    # (fresh-first within each group, same as the duck pass)
+    spark_order = [n for n in sf1_order_all if n in duck] + [
+        n for n in sf1_order_all if n not in duck
     ] + SF1_SPARK_ONLY
     for name in spark_order:
         if over_deadline():
-            skipped_deadline.append(f"spark:{name}")
+            skip("spark", name)
             continue
         try:
             spark_detail[name] = run_spark(
@@ -1704,7 +1760,7 @@ def bench_sf1(
     cold: dict[str, float] = {}
     for name in SF1_COLD_QUERIES:
         if over_deadline():
-            skipped_deadline.append(f"spark_cold:{name}")
+            skip("spark_cold", name)
             continue
         try:
             t0 = time.perf_counter()
@@ -1784,6 +1840,10 @@ def bench_sf1(
     ).hexdigest()[:10]
     if skipped_deadline:
         out["deadline_skipped"] = skipped_deadline
+    if skipped_recheck:
+        out["deadline_skipped_recheck"] = skipped_recheck
+    if covered:
+        out["n_covered_by_prior_runs"] = len(covered)
     if errors:
         out["errors"] = errors
     return out
@@ -1808,6 +1868,13 @@ def sf1_main(
         time.monotonic() + deadline_s if deadline_s is not None else None
     )
     host_start = _host_telemetry()
+    # resume-aware ordering (r15 verdict item 2): the parent passes the
+    # already-covered pair names of the accumulated same-tree record
+    covered = {
+        n
+        for n in os.environ.get("SPARK_GRAFT_SF1_COVERED", "").split(",")
+        if n
+    }
     registry = build_registry()
     # the parent stopped its session before spawning us, so its scratch
     # dirs are dead; prune BEFORE creating our own session (age guard
@@ -1829,7 +1896,7 @@ def sf1_main(
     try:
         res = bench_sf1(
             spark, registry, sf_dir, floor_s, deadline=deadline,
-            run_id=run_id,
+            run_id=run_id, covered=covered,
         )
     except Exception as e:  # noqa: BLE001 - report, never crash silently
         # _err already leads with the class name — no second prefix
@@ -2021,6 +2088,32 @@ def main() -> None:
     # heavy query wedged the then-1000-stage-old shared JVM and every
     # later task died with "Lost task" — fault isolation plus a clean
     # heap is worth the ~30 s of subprocess warmup.
+    # tree identity + accumulated same-tree record, resolved BEFORE the
+    # sf1 subprocess so its pair ordering can be resume-aware (r15
+    # verdict item 2): pairs with no same-tree measurement yet run
+    # first in the child.
+    tree_id = _tree_id()
+    repo_detail = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+    prior_record = _load_prior_record(repo_detail, tree_id)
+    prior_runs = prior_record.get("runs") or []
+    # cross-run merging additionally requires same sf AND same cpus
+    # (r15 verdict item 2 / what's-wrong #4: the r15 working-tree
+    # record min-merged a 32-core and an 8-core run of the same sf).
+    # Runs that predate the cpus field never merge (tree_id changes
+    # with bench.py anyway, so none exist in practice).
+    merge_runs = [
+        r
+        for r in prior_runs
+        if r.get("sf") == sf and r.get("cpus") == cpus
+    ]
+    covered_pairs = sorted(
+        set(_min_union([r.get("sf1_queries") for r in merge_runs]))
+        & set(_min_union([r.get("sf1_duckdb") for r in merge_runs]))
+    )
+
     sf1: dict | None = None
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         spark.stop()  # free the 16g heap + shuffle dirs for the child
@@ -2059,12 +2152,17 @@ def main() -> None:
             }
         else:
             try:
+                child_env = dict(os.environ)
+                child_env["SPARK_GRAFT_SF1_COVERED"] = ",".join(
+                    covered_pairs
+                )
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--sf1-only",
                      sf_dir, out_path, f"{deadline_s:.0f}", run_id],
                     capture_output=True,
                     text=True,
                     timeout=deadline_s + 180,
+                    env=child_env,
                 )
                 if os.path.exists(out_path):
                     with open(out_path) as f:
@@ -2093,13 +2191,10 @@ def main() -> None:
     # cites. Per-run values stay in the detail under "runs"; a pair is
     # flagged unstable only if it looked unstable in EVERY run (more
     # samples -> fewer false flags, r13 verdict item 5).
-    tree_id = _tree_id()
-    repo_detail = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
-    )
     sf1_is_dict = isinstance(sf1, dict)
     cur_run = {
         "sf": sf,
+        "cpus": cpus,
         "value": headline["value"],
         "queries": timings,
         "duckdb": duck,
@@ -2109,53 +2204,71 @@ def main() -> None:
         "sf1_duckdb": sf1.get("duckdb") if sf1_is_dict else None,
         "sf1_unstable": sf1.get("unstable") if sf1_is_dict else None,
     }
-    # same-SCALE guard: a smoke run at another sf shares query NAMES
-    # with prior sf0.1 runs — min-merging across scales would be
-    # nonsense, so only same-sf prior runs participate in the merge;
-    # other-sf prior runs are carried through to the written detail
-    # file UNCHANGED (r14 advice: `runs = runs` used to drop them)
-    prior_runs = _load_prior_runs(repo_detail, tree_id)
-    other_sf_runs = [r for r in prior_runs if r.get("sf") != sf]
-    runs = [r for r in prior_runs if r.get("sf") == sf] + [cur_run]
+    # same-SCALE same-CPUS guard: a smoke run at another sf shares
+    # query NAMES with prior sf0.1 runs, and an 8-core scaling run
+    # shares names with the 32-core primary — min-merging across either
+    # axis mixes configurations (r15 what's-wrong #4), so only
+    # same-sf/same-cpus prior runs (merge_runs, resolved above the sf1
+    # subprocess) participate; everything else is carried through to
+    # the written detail file UNCHANGED (r14 advice).
+    other_runs = [r for r in prior_runs if r not in merge_runs]
+    runs = merge_runs + [cur_run]
     line_timings, line_duck, line_sf1 = timings, duck, sf1
     if len(runs) > 1:
         m_q = _min_intersect([r.get("queries") for r in runs])
         m_d = _min_intersect([r.get("duckdb") for r in runs])
         if m_q and m_d:
             line_timings, line_duck = m_q, m_d
-        if sf1_is_dict and sf1.get("queries"):
-            ms_q = _min_intersect([r.get("sf1_queries") for r in runs])
-            ms_d = _min_intersect([r.get("sf1_duckdb") for r in runs])
-            if ms_q and ms_d:
-                line_sf1 = dict(sf1)
-                line_sf1["queries"] = ms_q
-                line_sf1["duckdb"] = ms_d
-                line_sf1["ratio"] = {
-                    n: round(ms_q[n] / ms_d[n], 2)
-                    for n in ms_d
-                    if ms_d[n] > 0 and n in ms_q
-                    and n not in SF1_TWIN_EXCLUDED
-                }
-                line_sf1["ratio_floor_adjusted"] = {
-                    n: round(max(ms_q[n] - floor_s, 0.0) / ms_d[n], 2)
-                    for n in ms_d
-                    if ms_d[n] > 0 and n in ms_q
-                    and n not in SF1_TWIN_EXCLUDED
-                }
-                unst = [
-                    set(r.get("sf1_unstable") or []) for r in runs
-                ]
-                line_sf1["unstable"] = sorted(
-                    set.intersection(*unst) if unst else set()
-                )
-                import hashlib as _hl
+        # sf1 merge is union-with-min (r15 verdict item 2): each run
+        # completes a budget-dependent subset of pairs; the union lets
+        # resume-aware runs accumulate full coverage while every entry
+        # stays a same-tree/same-config min.
+        ms_q = _min_union([r.get("sf1_queries") for r in runs])
+        ms_d = _min_union([r.get("sf1_duckdb") for r in runs])
+        if ms_q and ms_d:
+            line_sf1 = dict(sf1) if sf1_is_dict else {
+                "carried_forward": True
+            }
+            line_sf1["queries"] = ms_q
+            line_sf1["duckdb"] = ms_d
+            line_sf1["ratio"] = {
+                n: round(ms_q[n] / ms_d[n], 2)
+                for n in ms_d
+                if ms_d[n] > 0 and n in ms_q
+                and n not in SF1_TWIN_EXCLUDED
+            }
+            line_sf1["ratio_floor_adjusted"] = {
+                n: round(max(ms_q[n] - floor_s, 0.0) / ms_d[n], 2)
+                for n in ms_d
+                if ms_d[n] > 0 and n in ms_q
+                and n not in SF1_TWIN_EXCLUDED
+            }
 
-                line_sf1["pairs_md5"] = _hl.md5(
-                    ",".join(
-                        sorted(line_sf1["ratio_floor_adjusted"])
-                    ).encode()
-                ).hexdigest()[:10]
-                line_sf1["runs_merged"] = len(runs)
+            def _present(r: dict, n: str) -> bool:
+                return n in (r.get("sf1_queries") or {}) or n in (
+                    r.get("sf1_duckdb") or {}
+                )
+
+            # unstable iff flagged in EVERY run that measured the pair
+            # (a pair seen by one run keeps that run's verdict)
+            line_sf1["unstable"] = sorted(
+                n
+                for n in set(ms_q) | set(ms_d)
+                if any(_present(r, n) for r in runs)
+                and all(
+                    n in (r.get("sf1_unstable") or [])
+                    for r in runs
+                    if _present(r, n)
+                )
+            )
+            import hashlib as _hl
+
+            line_sf1["pairs_md5"] = _hl.md5(
+                ",".join(
+                    sorted(line_sf1["ratio_floor_adjusted"])
+                ).encode()
+            ).hexdigest()[:10]
+            line_sf1["runs_merged"] = len(runs)
     merged_value = round(sum(line_timings.values()), 3)
 
     full = {
@@ -2163,13 +2276,19 @@ def main() -> None:
         "value": merged_value,
         "partial": False,
         "host": host,
+        "cpus": cpus,
         "queries_detail": spark_detail,
         "duckdb_detail": duck_detail,
-        "sf1": sf1,
+        # carry a prior same-tree sf1 section forward through an
+        # sf1-disabled run instead of refusing the write (r15 verdict
+        # item 2): the accumulated runs list must keep growing
+        "sf1": sf1 if sf1 is not None else prior_record.get("sf1"),
         "tree_id": tree_id,
-        "runs": other_sf_runs + runs,
+        "runs": other_runs + runs,
         "runs_merged": len(runs),
     }
+    if sf1 is None and prior_record.get("sf1") is not None:
+        full["sf1_carried_forward"] = True
     if line_timings is not timings:
         full["merged"] = {
             "queries": line_timings,
@@ -2190,10 +2309,12 @@ def main() -> None:
         with open(detail_path, "w") as f:
             json.dump(full, f, indent=1)
         # a copy inside the repo survives the sandbox via the driver's
-        # end-of-round commit (the /tmp copy does not). Skipped for
-        # sf1-disabled smoke runs so they cannot clobber the last full
-        # record with an sf1:null one.
-        if sf1 is not None:
+        # end-of-round commit (the /tmp copy does not). An sf1-disabled
+        # run may write ONLY when it extends a same-tree record (the
+        # prior sf1 section is carried forward above); on a foreign
+        # tree it still refuses, so a smoke run cannot clobber the last
+        # full record with an sf1:null one.
+        if sf1 is not None or prior_record:
             with open(repo_detail, "w") as f:
                 json.dump(full, f, indent=1)
     except OSError:

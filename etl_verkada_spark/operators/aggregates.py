@@ -239,7 +239,11 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers are a max over hashed values, so duplicates cannot
     change them and the estimate is bit-identical; the exact judge
     becomes a plain count and n_rows a sum of the carried per-key
-    counts. 1.96 -> 0.27 s isolated, identical output (parity-pinned).
+    counts. Same-protocol fresh-JVM A/B: 1.96 -> 0.85 s (the canonical
+    number, matching SCALE.md §30j and the registry note; the 0.27 s
+    this note once cited was a warm long-lived-session re-run of the
+    after form only — different conditions, reconciled r16 per ADVICE).
+    Identical output (parity-pinned).
     """
     li = table(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_returnflag", "l_partkey").agg(

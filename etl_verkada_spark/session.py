@@ -89,9 +89,24 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     the driver's lower-core bench runs keep one wave too; a cluster
     deployment overrides via ``SPARK_GRAFT_SHUFFLE_PARTITIONS``
     (SCALE.md: ~2-4x total executor cores, AQE coalesces).
+
+    The derivation applies ONLY to local[*] masters (r15 ADVICE): on a
+    small-driver/large-cluster session the driver host's cpu_count says
+    nothing about executor parallelism and silently capping shuffle
+    partitions at it would be a regression — there the explicit
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` env still applies, and absent
+    that the cluster's own configuration is left untouched.
     """
     defaults = dict(RUNTIME_DEFAULTS)
-    defaults["spark.sql.shuffle.partitions"] = _local_shuffle_partitions()
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    try:
+        master = spark.conf.get("spark.master", "")
+    except Exception:  # pragma: no cover - Connect sessions hide it
+        master = ""
+    if explicit:
+        defaults["spark.sql.shuffle.partitions"] = explicit
+    elif master.startswith("local"):
+        defaults["spark.sql.shuffle.partitions"] = _local_shuffle_partitions()
     for key, value in defaults.items():
         try:
             spark.conf.set(key, value)

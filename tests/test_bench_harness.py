@@ -395,3 +395,46 @@ def test_shuffle_partitions_follow_cpu_knob(monkeypatch):
     # cluster override wins (SCALE.md: ~2-4x total executor cores)
     monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4096")
     assert _local_shuffle_partitions() == "4096"
+
+
+def test_min_union_accumulates_coverage_across_runs():
+    """r15 verdict item 2: the sf1 merge is union-with-min so
+    budget-limited runs ACCUMULATE coverage (an intersection merge
+    shrinks to the weakest run's subset)."""
+    runs = [
+        {"a": 1.0, "b": 2.0},
+        {"b": 1.5, "c": 3.0},
+        None,
+    ]
+    assert bench._min_union(runs) == {"a": 1.0, "b": 1.5, "c": 3.0}
+    assert bench._min_union([]) == {}
+    assert bench._min_union([None]) == {}
+
+
+def test_load_prior_record_rejects_foreign_tree(tmp_path):
+    p = tmp_path / "BENCH_FULL.json"
+    rec = {"tree_id": "abc", "sf1": {"queries": {"q": 1.0}}, "runs": []}
+    p.write_text(json.dumps(rec))
+    assert bench._load_prior_record(str(p), "abc") == rec
+    assert bench._load_prior_record(str(p), "other") == {}
+    assert bench._load_prior_record(str(p), "unknown") == {}
+
+
+def test_stdout_line_carries_recheck_skip_count():
+    """Deadline skips of already-covered pairs are counted separately
+    (they are NOT missing measurements — the accumulated record has a
+    same-tree number for each)."""
+    sf1 = {
+        "ratio_floor_adjusted": {"q": 1.5},
+        "queries": {"q": 3.0},
+        "duckdb": {"q": 2.0},
+        "deadline_skipped": ["spark:fresh_q"],
+        "deadline_skipped_recheck": ["spark:old_q", "duckdb:old_q"],
+    }
+    line = bench.compact_stdout_line(
+        1.0, 1, {"q": 1.0}, 0.02, {"q": 0.5}, sf1, "/tmp/x.json"
+    )
+    rec = json.loads(line)
+    assert rec["sf1"]["n_deadline_skipped"] == 1
+    assert rec["sf1"]["skipped_q"] == ["spark:fresh_q"]
+    assert rec["sf1"]["n_skip_recheck"] == 2

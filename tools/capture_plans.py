@@ -21,9 +21,23 @@ from etl_verkada_spark.session import get_spark
 
 
 def formatted_plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    """Classic-session fast path via the private explainString helper
+    (matches PySpark 4.1's own DataFrame.explain); falls back to
+    capturing df.explain('formatted') stdout — version-stable and the
+    only option on Spark Connect, where _jdf does not exist (r15
+    ADVICE)."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:  # noqa: BLE001 - Connect session / private-API drift
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
 
 def main() -> None:
