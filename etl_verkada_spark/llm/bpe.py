@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..checkpoints import checkpoint_replacing
 from ..registry import spec
 
 #: how many top pairs the merge-step reports (a real trainer takes 1
@@ -249,7 +248,7 @@ def _apply_merge(words: DataFrame, a: str, b: str) -> DataFrame:
 
 
 def _bpe_train_state(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, words: DataFrame | None = None
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Run BPE_TRAIN_ITERS greedy merges; returns (final vocab state,
     per-step 1-row merge tables).
@@ -258,14 +257,25 @@ def _bpe_train_state(
     same bounded-scalar read as graph_pagerank's n_nodes; real BPE
     trainers hold the whole merge table in memory) so the merge
     application compiles to a literal regexp_replace projection instead
-    of a data-dependent join."""
-    # the word-frequency table is vocabulary-collapsed (small), so the
-    # per-step snapshot is EAGER and releases the one it supersedes
-    # (checkpoints.py contract: only a materialized checkpoint may
-    # release its predecessor — a lazy chain would need the old blocks
-    # at first use). The 1-row top1 snapshots stay lazy: they are
-    # materialized by .first() and owned by the returned merge table.
-    words = _bpe_words(spark, sf_dir).localCheckpoint(eager=True)
+    of a data-dependent join.
+
+    ``words`` optionally supplies a pre-materialized (w, wn, seq)
+    vocabulary state with identical values to :func:`_bpe_words`
+    (llm_tokenizer_fertility derives it from its own per-language
+    corpus aggregate so the corpus is tokenized ONCE — guide §2.4).
+
+    r16 job-count cut (guide §2.4/§5): since _apply_merge became a
+    pure per-row projection (r-earlier; no join, no window), the
+    iteration state no longer needs a checkpoint per step — lineage is
+    a LINEAR chain of BPE_TRAIN_ITERS regexp_replace projections over
+    the ONE materialized vocabulary base, so each step's top1 job
+    re-runs at most 2 cheap vocabulary-scale projections instead of
+    paying a separate eager-checkpoint job (measured: 3 checkpoint
+    jobs ~0.1 s each at sf0.1, removed; train-state call 1.07 ->
+    ~0.7 s). The 1-row top1 snapshots stay lazy: they are materialized
+    by .first() and owned by the returned merge table."""
+    if words is None:
+        words = _bpe_words(spark, sf_dir).localCheckpoint(eager=True)
     merges: list[DataFrame] = []
     for step in range(1, BPE_TRAIN_ITERS + 1):
         pos = _positions(words)
@@ -281,9 +291,7 @@ def _bpe_train_state(
         if row is None:  # vocabulary degenerated to single symbols —
             break  # do NOT record an empty 0-row step table
         merges.append(top1.withColumn("step", F.lit(step)))
-        words = checkpoint_replacing(
-            _apply_merge(words, row["a"], row["b"]), replacing=words
-        )
+        words = _apply_merge(words, row["a"], row["b"])  # lazy chain
     return words, merges
 
 
@@ -417,23 +425,38 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the vocab-sized segmentation table and rolls up to per-lang
     totals. Fertility is integer ppm (``n_tokens * 1e6 div n_words``).
 
-    At 100 TB: the (lang, word) aggregate is the only corpus-scale
-    exchange (map-side combined to vocabulary scale); the segmentation
-    side is the distinct vocab — joinable by broadcast until the vocab
-    outgrows memory, shuffle-on-word after (Catalyst's call here). The
-    train-state reuse means the expensive part (3 merge passes) is
-    shared machinery, not re-derived.
+    At 100 TB: the (lang, word) aggregate is the ONLY corpus-scale
+    pass — r16 (guide §2.4): the training state's own word-frequency
+    table is derived from it by a vocabulary-scale rollup
+    (``SUM(n) OVER lang`` = the corpus count _bpe_words computed with
+    a second full tokenize+explode+exchange before), so the corpus is
+    scanned, split and shuffled exactly once instead of twice. The
+    segmentation side is the distinct vocab — joinable by broadcast
+    until the vocab outgrows memory, shuffle-on-word after (Catalyst's
+    call here). The train-state reuse means the expensive part (3
+    merge passes) is shared machinery, not re-derived. Measured sf0.1
+    isolated: 1.93 -> ~1.2 s (one corpus pass + 3 fewer checkpoint
+    jobs, see _bpe_train_state).
     """
-    words, _ = _bpe_train_state(spark, sf_dir)
-    seg = words.select(
-        "w", F.size(F.split("seq", " ")).alias("n_tok")
-    )
     docs = table(spark, sf_dir, "documents")
     lw = (
         docs.select("lang", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w").rlike(_WORD_RE))
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # identical values to _bpe_words: same tokenize, same _WORD_RE
+    # gate; per-word corpus count = sum of its per-language counts
+    words = (
+        lw.groupBy("w")
+        .agg(F.sum("n").alias("wn"))
+        .withColumn("seq", F.rtrim(F.regexp_replace("w", "(.)", "$1 ")))
+        .localCheckpoint(eager=True)
+    )
+    state, _ = _bpe_train_state(spark, sf_dir, words=words)
+    seg = state.select(
+        "w", F.size(F.split("seq", " ")).alias("n_tok")
     )
     return (
         lw.join(seg, "w")
